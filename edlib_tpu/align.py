@@ -1,0 +1,204 @@
+"""Top-level alignment orchestration (C13, edlibAlign, edlib.cpp:146-301).
+
+Pipeline: map inputs to bytes → alphabet transform → empty-sequence
+shortcuts → query profile → mode engine sweep → location post-processing →
+(optionally) start locations via reversed-SHW re-runs → (optionally) PATH via
+traceback/Hirschberg.
+
+Engine-neutral by design: the sweeps come from the host big-int engine
+(latency path, always available) or the batched JAX/Pallas engines
+(throughput path).  All engines are full-sweep: the reference's Ukkonen
+banding / dynamic-k doubling (edlib.cpp:199-217, 601-642, 796-870) are pure
+pruning optimisations whose observable outputs are identical, so here k only
+post-filters results; banded device kernels are a performance layer.
+
+One reference quirk is emulated exactly: edlib can report end location -1
+(query aligned entirely before the target, edlib.cpp:237-249).  With 64-bit
+words that candidate exists iff W64 = 64*ceil(Q/64) - Q >= 1, i.e. iff
+Q % 64 != 0, and its score is exactly Q (it survives filtering only when the
+overall best equals Q).  We reproduce that rule word-size-independently.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from edlib_tpu import encode
+from edlib_tpu.ops import host as host_engine
+from edlib_tpu.path.hirschberg import obtain_alignment
+from edlib_tpu.types import (
+    STATUS_OK,
+    AlignMode,
+    AlignResult,
+    AlignTask,
+)
+
+_INF = float("inf")
+
+
+def _neg1_candidate_exists(qlen: int) -> bool:
+    """edlib-64 parity: the -1 end-location candidate (score == Q) exists iff
+    the reference's last 64-bit block has padding (Q % 64 != 0)."""
+    return qlen % 64 != 0
+
+
+def _filter_locations(col_scores: np.ndarray, qlen: int, k_eff: float
+                      ) -> Tuple[int, List[int]]:
+    """All minimal end positions from per-column bottom-row scores.
+
+    Equivalent to the incremental record/clear/tighten of
+    myersCalcEditDistanceSemiGlobal (edlib.cpp:657-693) on a full sweep.
+    """
+    candidates_scores = [int(col_scores.min())] if col_scores.size else []
+    best = min(candidates_scores) if candidates_scores else _INF
+    if _neg1_candidate_exists(qlen):
+        best = min(best, qlen)
+    if best > k_eff or best is _INF:
+        return -1, []
+    positions: List[int] = []
+    if _neg1_candidate_exists(qlen) and qlen == best:
+        positions.append(-1)
+    positions.extend(int(p) for p in np.nonzero(col_scores == best)[0])
+    return int(best), positions
+
+
+def _semiglobal_host(q_ids, t_ids, eq, mode) -> np.ndarray:
+    peq = encode.build_peq_bigint(q_ids, eq)
+    return host_engine.semiglobal_scores(peq, t_ids, len(q_ids), mode)
+
+
+def _nw_score_host(q_ids, t_ids, eq) -> int:
+    peq = encode.build_peq_bigint(q_ids, eq)
+    state, _, _ = host_engine.nw_run(peq, t_ids, len(q_ids))
+    return int(state.score)
+
+
+def _hw_start_locations(q_ids, t_ids, eq, edit_distance: int,
+                        end_locations: Sequence[int]) -> List[int]:
+    """HW start locations: reversed-SHW per end location (edlib.cpp:230-266).
+
+    Takes the LAST minimal SHW position so alignments do not start with
+    insertions when they could start with mismatches (edlib.cpp:258-260).
+    """
+    qlen = len(q_ids)
+    rq = q_ids[::-1].copy()
+    rpeq = encode.build_peq_bigint(rq, eq)
+    starts = []
+    for e in end_locations:
+        if e == -1:
+            # Open edge case acknowledged by the reference (edlib.cpp:237-249).
+            starts.append(0)
+            continue
+        rt_prefix = t_ids[:e + 1][::-1].copy()
+        scores = host_engine.semiglobal_scores(rpeq, rt_prefix, qlen,
+                                               AlignMode.SHW)
+        _, positions = _filter_locations(scores, qlen, edit_distance)
+        starts.append(e - positions[-1])
+    return starts
+
+
+def align_ids(q_ids: np.ndarray, t_ids: np.ndarray, eq: np.ndarray,
+              k: int, mode: AlignMode, task: AlignTask,
+              alphabet_length: int) -> AlignResult:
+    """Core alignment over transformed symbol ids (everything after the
+    alphabet transform in edlibAlign)."""
+    result = AlignResult(status=STATUS_OK, alphabet_length=alphabet_length)
+    qlen, tlen = len(q_ids), len(t_ids)
+
+    # Empty-sequence special case — returns early with end locations only,
+    # no start locations or alignment even for LOC/PATH (edlib.cpp:166-184).
+    if qlen == 0 or tlen == 0:
+        if mode == AlignMode.NW:
+            result.edit_distance = max(qlen, tlen)
+            result.end_locations = np.array([tlen - 1], dtype=np.int64)
+        else:
+            result.edit_distance = qlen
+            result.end_locations = np.array([-1], dtype=np.int64)
+        result.num_locations = 1
+        return result
+
+    k_eff = _INF if k < 0 else k
+
+    if mode in (AlignMode.HW, AlignMode.SHW):
+        col_scores = _semiglobal_host(q_ids, t_ids, eq, mode)
+        best, positions = _filter_locations(col_scores, qlen, k_eff)
+        result.edit_distance = best
+        if best >= 0:
+            result.end_locations = np.array(positions, dtype=np.int64)
+            result.num_locations = len(positions)
+    else:  # NW
+        score = _nw_score_host(q_ids, t_ids, eq)
+        if score <= k_eff:
+            result.edit_distance = score
+            result.end_locations = np.array([tlen - 1], dtype=np.int64)
+            result.num_locations = 1
+
+    if result.edit_distance < 0:
+        return result
+
+    if task in (AlignTask.LOC, AlignTask.PATH):
+        if mode == AlignMode.HW:
+            result.start_locations = np.array(
+                _hw_start_locations(q_ids, t_ids, eq, result.edit_distance,
+                                    result.end_locations),
+                dtype=np.int64)
+        else:
+            result.start_locations = np.zeros(result.num_locations,
+                                              dtype=np.int64)
+
+    if task == AlignTask.PATH:
+        # Alignment only for the first location pair (edlib.cpp:274-289).
+        start0 = int(result.start_locations[0])
+        end0 = int(result.end_locations[0])
+        window = t_ids[start0:end0 + 1]
+        result.alignment = obtain_alignment(q_ids, window, eq,
+                                            result.edit_distance)
+        result.alignment_length = len(result.alignment)
+
+    return result
+
+
+def align(query, target, mode="NW", task="distance", k=-1,
+          additionalEqualities=None) -> dict:
+    """Align query with target using edit distance.
+
+    Signature and result-dict parity with the reference Python binding
+    (edlib.pyx:56-155): returns {editDistance, alphabetLength,
+    locations: [(start|None, end)], cigar (extended) | None}.
+    """
+    mode = AlignMode.parse(mode)
+    task = AlignTask.parse(task)
+    if k is None:
+        k = -1
+    qb, tb, eq_pairs = encode.map_to_bytes(query, target, additionalEqualities)
+    q_ids, t_ids, alphabet = encode.transform_sequences(qb, tb)
+    eq = encode.build_equality_matrix(alphabet, eq_pairs)
+    result = align_ids(q_ids, t_ids, eq, k, mode, task, len(alphabet))
+    return result.to_dict()
+
+
+def align_batch(queries, targets, mode="NW", task="distance", k=-1,
+                additionalEqualities=None, backend: str = "auto"
+                ) -> List[dict]:
+    """Batched alignment — the TPU throughput path.
+
+    queries/targets: sequences of str/bytes; pair i aligns queries[i] vs
+    targets[i] (if a single target is given it is broadcast to all queries).
+    Results match per-pair ``align`` exactly.
+
+    backend: "auto" | "jax" | "host".  The device path buckets by shape,
+    packs the batch, and runs the batched Myers sweep on TPU.
+    """
+    if isinstance(targets, (str, bytes, bytearray)):
+        targets = [targets] * len(queries)
+    if len(queries) != len(targets):
+        raise ValueError("queries and targets must have equal length")
+    if backend == "host":
+        return [align(q, t, mode=mode, task=task, k=k,
+                      additionalEqualities=additionalEqualities)
+                for q, t in zip(queries, targets)]
+    from edlib_tpu.batch import align_batch_device
+    return align_batch_device(queries, targets, mode=mode, task=task, k=k,
+                              additionalEqualities=additionalEqualities)
