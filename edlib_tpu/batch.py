@@ -1,0 +1,235 @@
+"""Batched alignment on device — the TPU throughput path.
+
+The reference CLI loops pairs serially through one core (aligner.cpp:162-225);
+here the batch IS the parallel axis: pairs are bucketed by shape (power-of-two
+word count and scan length to bound recompilation), packed into device arrays,
+swept by the batched Myers engine, and post-processed with exactly the same
+location/path rules as the single-pair orchestrator — results are verified
+identical to per-pair ``align`` in tests.
+
+HW start locations are themselves batched: all (pair, end-location)
+reversed-SHW re-runs (the scheme of edlib.cpp:230-266) are collected into one
+device batch instead of re-running serially per location.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from edlib_tpu import encode
+from edlib_tpu.align import _filter_locations, align
+from edlib_tpu.path.hirschberg import obtain_alignment
+from edlib_tpu.types import (
+    STATUS_OK,
+    AlignMode,
+    AlignResult,
+    AlignTask,
+)
+
+_INF = float("inf")
+
+
+def _pow2_at_least(x: int, floor: int = 1) -> int:
+    n = floor
+    while n < x:
+        n *= 2
+    return n
+
+
+class GlobalAlphabet:
+    """Shared symbol table across a batch (engine ids are mapping-invariant;
+    per-pair alphabetLength is computed separately for API parity)."""
+
+    def __init__(self):
+        self.letter_idx = np.full(256, -1, dtype=np.int16)
+        self.alphabet = bytearray()
+
+    def encode(self, seq: bytes) -> np.ndarray:
+        arr = np.frombuffer(seq, dtype=np.uint8)
+        new = np.unique(arr[self.letter_idx[arr] < 0])
+        for c in new:
+            self.letter_idx[c] = len(self.alphabet)
+            self.alphabet.append(int(c))
+        return self.letter_idx[arr].astype(np.int32)
+
+    @property
+    def sigma(self) -> int:
+        return len(self.alphabet)
+
+
+def _sweep_bucket(q_ids_list, t_ids_list, sigma: int, eq: np.ndarray,
+                  n_words: int, t_scan: int, hin0: int) -> np.ndarray:
+    """Pack one shape bucket and run the batched sweep; returns (B, t_scan)
+    int32 score streams."""
+    from edlib_tpu.ops import jax_engine
+
+    B = len(q_ids_list)
+    # Pad the batch axis to a power of two so compiled sweep shapes are
+    # reused across calls (padding rows are all-wildcard no-ops).
+    B_pad = _pow2_at_least(B, floor=8)
+    peq = np.full((B_pad, sigma + 1, n_words), 0xFFFFFFFF, dtype=np.uint32)
+    targets = np.full((B_pad, t_scan), sigma, dtype=np.int32)  # wildcard fill
+    for b, (q_ids, t_ids) in enumerate(zip(q_ids_list, t_ids_list)):
+        peq[b] = encode.build_peq_words(q_ids, eq, n_words=n_words)
+        targets[b, :len(t_ids)] = t_ids
+    scores = jax_engine.sweep_scores(peq, targets, hin0=hin0)
+    return np.asarray(scores)[:B]
+
+
+def _run_bucketed(pairs: List[Tuple[np.ndarray, np.ndarray]], sigma: int,
+                  eq: np.ndarray, hin0: int) -> List[np.ndarray]:
+    """Sweep arbitrary (q_ids, t_ids) pairs, bucketed by shape.
+
+    Returns, per pair, the true bottom-row score stream cell(Q-1, c) for
+    c in [0, tlen) — already W-shifted.
+    """
+    buckets: Dict[Tuple[int, int], List[int]] = defaultdict(list)
+    metas = []
+    for i, (q_ids, t_ids) in enumerate(pairs):
+        nw = encode.num_words(len(q_ids))
+        nw_b = _pow2_at_least(nw)
+        w = nw_b * 32 - len(q_ids)
+        t_scan = _pow2_at_least(len(t_ids) + w, floor=32)
+        buckets[(nw_b, t_scan)].append(i)
+        metas.append((nw_b, w, t_scan))
+    out: List[Optional[np.ndarray]] = [None] * len(pairs)
+    for (nw_b, t_scan), idxs in buckets.items():
+        scores = _sweep_bucket([pairs[i][0] for i in idxs],
+                               [pairs[i][1] for i in idxs],
+                               sigma, eq, nw_b, t_scan, hin0)
+        for row, i in enumerate(idxs):
+            w = metas[i][1]
+            tlen = len(pairs[i][1])
+            out[i] = scores[row, w:w + tlen]
+    return out
+
+
+def align_batch_device(queries: Sequence, targets: Sequence,
+                       mode="NW", task="distance", k=-1,
+                       additionalEqualities=None) -> List[dict]:
+    mode = AlignMode.parse(mode)
+    task = AlignTask.parse(task)
+    if k is None:
+        k = -1
+
+    # The device path needs a consistent byte space across the batch; fall
+    # back to per-pair host alignment for exotic hashable alphabets.
+    try:
+        byte_pairs = []
+        eq_pairs = None
+        for q, t in zip(queries, targets):
+            qb = encode._map_ascii(q)
+            tb = encode._map_ascii(t)
+            byte_pairs.append((qb, tb))
+        if additionalEqualities is not None:
+            eq_pairs = [(encode._eq_symbol_to_byte(a),
+                         encode._eq_symbol_to_byte(b))
+                        for a, b in additionalEqualities]
+    except encode.NeedsAlphabetMapping:
+        return [align(q, t, mode=mode, task=task, k=k,
+                      additionalEqualities=additionalEqualities)
+                for q, t in zip(queries, targets)]
+
+    glob = GlobalAlphabet()
+    id_pairs = [(glob.encode(qb), glob.encode(tb)) for qb, tb in byte_pairs]
+    sigma = glob.sigma
+    eq = encode.build_equality_matrix(bytes(glob.alphabet), eq_pairs)
+    k_eff = _INF if k < 0 else k
+
+    results: List[AlignResult] = []
+    main_idx = []  # indices with non-empty sequences needing device sweeps
+    for i, (q_ids, t_ids) in enumerate(id_pairs):
+        qb, tb = byte_pairs[i]
+        alphabet_len = len(set(qb) | set(tb))
+        res = AlignResult(status=STATUS_OK, alphabet_length=alphabet_len)
+        if len(q_ids) == 0 or len(t_ids) == 0:
+            # Early empty-sequence convention (edlib.cpp:166-184).
+            if mode == AlignMode.NW:
+                res.edit_distance = max(len(q_ids), len(t_ids))
+                res.end_locations = np.array([len(t_ids) - 1], np.int64)
+            else:
+                res.edit_distance = len(q_ids)
+                res.end_locations = np.array([-1], np.int64)
+            res.num_locations = 1
+        else:
+            main_idx.append(i)
+        results.append(res)
+
+    if main_idx:
+        hin0 = 0 if mode == AlignMode.HW else 1
+        streams = _run_bucketed([id_pairs[i] for i in main_idx], sigma, eq,
+                                hin0)
+        for i, stream in zip(main_idx, streams):
+            res = results[i]
+            qlen = len(id_pairs[i][0])
+            tlen = len(id_pairs[i][1])
+            if mode == AlignMode.NW:
+                score = int(stream[-1])
+                if score <= k_eff:
+                    res.edit_distance = score
+                    res.end_locations = np.array([tlen - 1], np.int64)
+                    res.num_locations = 1
+            else:
+                best, positions = _filter_locations(stream, qlen, k_eff)
+                res.edit_distance = best
+                if best >= 0:
+                    res.end_locations = np.array(positions, np.int64)
+                    res.num_locations = len(positions)
+
+    if task in (AlignTask.LOC, AlignTask.PATH):
+        _fill_start_locations(results, id_pairs, main_idx, mode, sigma, eq)
+
+    if task == AlignTask.PATH:
+        for i in main_idx:
+            res = results[i]
+            if res.edit_distance < 0:
+                continue
+            q_ids, t_ids = id_pairs[i]
+            start0 = int(res.start_locations[0])
+            end0 = int(res.end_locations[0])
+            window = t_ids[start0:end0 + 1].astype(np.uint8)
+            res.alignment = obtain_alignment(q_ids.astype(np.uint8), window,
+                                             eq, res.edit_distance)
+            res.alignment_length = len(res.alignment)
+
+    return [r.to_dict() for r in results]
+
+
+def _fill_start_locations(results, id_pairs, main_idx, mode, sigma, eq):
+    """Start locations; HW batches every reversed-SHW re-run on device."""
+    if mode != AlignMode.HW:
+        for i in main_idx:
+            res = results[i]
+            if res.edit_distance >= 0:
+                res.start_locations = np.zeros(res.num_locations, np.int64)
+        return
+
+    sub_pairs = []   # (pair index, end location) per sub-task
+    sub_owner = []
+    for i in main_idx:
+        res = results[i]
+        if res.edit_distance < 0:
+            continue
+        res.start_locations = np.zeros(res.num_locations, np.int64)
+        q_ids, t_ids = id_pairs[i]
+        rq = q_ids[::-1].copy()
+        for j, e in enumerate(res.end_locations):
+            e = int(e)
+            if e == -1:
+                res.start_locations[j] = 0  # open edge case, edlib.cpp:237-249
+                continue
+            rt_prefix = t_ids[:e + 1][::-1].copy()
+            sub_pairs.append((rq, rt_prefix))
+            sub_owner.append((i, j, e))
+
+    if not sub_pairs:
+        return
+    streams = _run_bucketed(sub_pairs, sigma, eq, hin0=1)  # SHW
+    for (i, j, e), stream in zip(sub_owner, streams):
+        res = results[i]
+        qlen = len(id_pairs[i][0])
+        _, positions = _filter_locations(stream, qlen, res.edit_distance)
+        res.start_locations[j] = e - positions[-1]

@@ -1,0 +1,193 @@
+"""Pallas TPU kernel for the batched Myers sweep — the hot path.
+
+Replaces the XLA ``lax.scan`` engine (ops/jax_engine.py) on TPU, where
+per-step while-loop overhead dominates the tiny per-column work.  Design:
+
+* **Batch tile = one VPU tile.**  1024 alignments = (8, 128) lanes; every
+  bitwise op of the Myers block update (C6, edlib.cpp:412-447) advances all
+  1024 alignments at once.  uint32 words (32 DP cells per lane) — ~20 VPU
+  ops per word-column ⇒ ~1.6 cell/op ⇒ multi-TCUPS/chip headroom.
+* **Grid = (batch_tiles, target_chunks).**  TPU grid steps run sequentially;
+  the DP state (Pv, Mv, score) lives in VMEM scratch and persists across the
+  target-chunk axis (reset when a new batch tile starts).  Pallas pipelines
+  the target-chunk input blocks (HBM→VMEM) and score output blocks
+  automatically — compute overlaps DMA.
+* **Query profiles resident in VMEM.**  Peq laid out (S1, NW, 8, 128); the
+  per-column Eq lookup is an S1-way select against the symbol tile (TPU has
+  no per-lane gather; for S1 beyond ~32 the XLA engine is used instead).
+* The inter-word carry is the hin/hout chain, unrolled over NW (static).
+
+Same observable semantics as the other engines: emits the padded-bottom
+score stream; wildcard-extended targets make it cover every end position
+(see ops/jax_engine.py docstring).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+SUBLANES = 8
+B_TILE = SUBLANES * LANES  # 1024 alignments per kernel tile
+MAX_SIGMA_PALLAS = 32      # S1 beyond this: fall back to the XLA engine
+
+_ONES = np.uint32(0xFFFFFFFF)
+
+
+def _advance_word(Pv, Mv, Eq, hin_neg_u, hin_pos_u):
+    """Myers block update on (8,128) uint32 tiles; hin encoded as two uint32
+    masks (1 where hin<0 / hin>0).  Returns (Pv', Mv', hout int32)."""
+    Xv = Eq | Mv
+    Eq = Eq | hin_neg_u
+    Xh = (((Eq & Pv) + Pv) ^ Pv) | Eq
+    Ph = Mv | ~(Xh | Pv)
+    Mh = Pv & Xh
+    hout = ((Ph >> 31) & 1).astype(jnp.int32) - ((Mh >> 31) & 1).astype(jnp.int32)
+    Ph = (Ph << 1) | hin_pos_u
+    Mh = (Mh << 1) | hin_neg_u
+    PvOut = Mh | ~(Xv | Ph)
+    MvOut = Ph & Xv
+    return PvOut, MvOut, hout
+
+
+def _sweep_kernel(targets_ref, peq_ref, scores_ref, pv_ref, mv_ref,
+                  score_ref, *, n_words: int, sigma1: int, chunk: int,
+                  hin0: int):
+    """One grid step: advance `chunk` columns for one batch tile.
+
+    targets_ref: (chunk, 8, 128) int32 VMEM (pipelined in)
+    peq_ref:     (sigma1, n_words, 8, 128) uint32 VMEM
+    scores_ref:  (chunk, 8, 128) int32 VMEM (pipelined out)
+    pv/mv_ref:   (n_words, 8, 128) uint32 scratch — persistent state
+    score_ref:   (8, 128) int32 scratch
+    """
+    t_step = pl.program_id(1)
+
+    @pl.when(t_step == 0)
+    def _reset():
+        pv_ref[...] = jnp.full((n_words, SUBLANES, LANES), _ONES, jnp.uint32)
+        mv_ref[...] = jnp.zeros((n_words, SUBLANES, LANES), jnp.uint32)
+        score_ref[...] = jnp.full((SUBLANES, LANES), n_words * 32, jnp.int32)
+
+    def column(c, _):
+        sym = targets_ref[c]
+        # S1-way select: Eq[w] = Peq[sym, w] per lane.
+        eqs = []
+        for w in range(n_words):
+            acc = jnp.zeros((SUBLANES, LANES), jnp.uint32)
+            for s in range(sigma1):
+                acc = jnp.where(sym == s, peq_ref[s, w], acc)
+            eqs.append(acc)
+        if hin0 == 0:
+            hin_neg = jnp.zeros((SUBLANES, LANES), jnp.uint32)
+            hin_pos = jnp.zeros((SUBLANES, LANES), jnp.uint32)
+        else:
+            hin_neg = jnp.zeros((SUBLANES, LANES), jnp.uint32)
+            hin_pos = jnp.ones((SUBLANES, LANES), jnp.uint32)
+        for w in range(n_words):
+            pv, mv, hout = _advance_word(pv_ref[w], mv_ref[w], eqs[w],
+                                         hin_neg, hin_pos)
+            pv_ref[w] = pv
+            mv_ref[w] = mv
+            hin_neg = (hout < 0).astype(jnp.uint32)
+            hin_pos = (hout > 0).astype(jnp.uint32)
+        score_ref[...] = score_ref[...] + hin_pos.astype(jnp.int32) \
+            - hin_neg.astype(jnp.int32)
+        scores_ref[c] = score_ref[...]
+        return 0
+
+    jax.lax.fori_loop(0, chunk, column, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("hin0", "chunk", "interpret"))
+def sweep_scores_pallas(peq: jnp.ndarray, targets: jnp.ndarray, hin0: int,
+                        chunk: int = 256, interpret: bool = False
+                        ) -> jnp.ndarray:
+    """Batched Myers sweep on TPU via Pallas.
+
+    peq:     uint32 (n_tiles, S1, NW, 8, 128)
+    targets: int32  (n_tiles, n_chunks, chunk, 8, 128)
+    Returns int32 (n_tiles, n_chunks, chunk, 8, 128) score streams.
+    """
+    n_tiles, sigma1, n_words = peq.shape[:3]
+    n_chunks = targets.shape[1]
+
+    kernel = functools.partial(_sweep_kernel, n_words=n_words, sigma1=sigma1,
+                               chunk=chunk, hin0=hin0)
+    grid = (n_tiles, n_chunks)
+    flops_per_col = n_words * (17 + sigma1) * B_TILE
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, None, chunk, SUBLANES, LANES),
+                         lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, sigma1, n_words, SUBLANES, LANES),
+                         lambda i, j: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, None, chunk, SUBLANES, LANES),
+                               lambda i, j: (i, j, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_tiles, n_chunks, chunk, SUBLANES, LANES), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((n_words, SUBLANES, LANES), jnp.uint32),
+            pltpu.VMEM((n_words, SUBLANES, LANES), jnp.uint32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(targets, peq)
+
+
+class PallasSweeper:
+    """Host-side packing for the Pallas sweep: lanes-major batch layout.
+
+    Batch element b maps to tile b // 1024, sublane (b % 1024) // 128,
+    lane b % 128.
+    """
+
+    def __init__(self, chunk: int = 256, interpret: bool = False):
+        self.chunk = chunk
+        self.interpret = interpret
+
+    def pack(self, peq_flat: np.ndarray, targets_flat: np.ndarray):
+        """peq_flat uint32 (B, S1, NW), targets_flat int32 (B, T_scan)."""
+        B, S1, NW = peq_flat.shape
+        T = targets_flat.shape[1]
+        n_tiles = -(-B // B_TILE)
+        n_chunks = -(-T // self.chunk)
+        Bp = n_tiles * B_TILE
+        Tp = n_chunks * self.chunk
+        peq = np.full((Bp, S1, NW), _ONES, dtype=np.uint32)
+        peq[:B] = peq_flat
+        tg = np.zeros((Bp, Tp), dtype=np.int32)
+        tg[:B, :T] = targets_flat
+        # (Bp, S1, NW) -> (n_tiles, S1, NW, 8, 128)
+        peq = peq.reshape(n_tiles, SUBLANES, LANES, S1, NW)
+        peq = peq.transpose(0, 3, 4, 1, 2).copy()
+        # (Bp, Tp) -> (n_tiles, n_chunks, chunk, 8, 128)
+        tg = tg.reshape(n_tiles, SUBLANES, LANES, n_chunks, self.chunk)
+        tg = tg.transpose(0, 3, 4, 1, 2).copy()
+        return peq, tg, B, T
+
+    def unpack_scores(self, scores: np.ndarray, B: int, T: int) -> np.ndarray:
+        n_tiles, n_chunks, chunk = scores.shape[:3]
+        s = scores.transpose(0, 3, 4, 1, 2).reshape(n_tiles * B_TILE,
+                                                    n_chunks * chunk)
+        return s[:B, :T]
+
+    def sweep(self, peq_flat: np.ndarray, targets_flat: np.ndarray,
+              hin0: int) -> np.ndarray:
+        peq, tg, B, T = self.pack(peq_flat, targets_flat)
+        scores = sweep_scores_pallas(peq, tg, hin0=hin0, chunk=self.chunk,
+                                     interpret=self.interpret)
+        return self.unpack_scores(np.asarray(scores), B, T)

@@ -2,16 +2,25 @@
 
 Logic tests run on CPU with 8 virtual devices so multi-chip sharding paths
 are exercised without a TPU slice (SURVEY.md §4: multi-chip tests via
-xla_force_host_platform_device_count).  Must be set before jax imports.
+xla_force_host_platform_device_count).
+
+NOTE: this environment force-registers a TPU PJRT plugin ("axon") via
+sitecustomize and re-sets jax_platforms programmatically, so the env var
+alone is not enough — we must update jax.config before any backend
+initialisation.  Real-TPU runs happen in bench.py / __graft_entry__.py, not
+under pytest.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
