@@ -64,12 +64,39 @@ def _filter_locations(col_scores: np.ndarray, qlen: int, k_eff: float
     return int(best), positions
 
 
+def _sweep_native(q_ids, t_ids, eq, hin0) -> Optional[np.ndarray]:
+    """Native 64-bit sweep over the wildcard-extended target.  Returns the
+    true bottom-row score stream cell(Q-1, c) for c in [0, tlen), or None
+    when the native library is unavailable / alphabet too large."""
+    from edlib_tpu import native_loader
+    sigma = eq.shape[0]
+    if sigma > 255 or not native_loader.available():
+        return None
+    qlen = len(q_ids)
+    nw64 = encode.num_words(qlen, 64)
+    w64 = nw64 * 64 - qlen
+    peq64 = encode.build_peq_words(q_ids, eq, word_size=64, n_words=nw64)
+    t_ext = np.concatenate([np.asarray(t_ids, np.uint8),
+                            np.full(w64, sigma, np.uint8)])
+    scores = native_loader.sweep_scores_native(peq64, t_ext, hin0)
+    if scores is None:
+        return None
+    return scores[w64:]
+
+
 def _semiglobal_host(q_ids, t_ids, eq, mode) -> np.ndarray:
+    hin0 = 0 if AlignMode.parse(mode) == AlignMode.HW else 1
+    scores = _sweep_native(q_ids, t_ids, eq, hin0)
+    if scores is not None:
+        return scores
     peq = encode.build_peq_bigint(q_ids, eq)
     return host_engine.semiglobal_scores(peq, t_ids, len(q_ids), mode)
 
 
 def _nw_score_host(q_ids, t_ids, eq) -> int:
+    scores = _sweep_native(q_ids, t_ids, eq, 1)
+    if scores is not None:
+        return int(scores[-1])
     peq = encode.build_peq_bigint(q_ids, eq)
     state, _, _ = host_engine.nw_run(peq, t_ids, len(q_ids))
     return int(state.score)
@@ -84,7 +111,6 @@ def _hw_start_locations(q_ids, t_ids, eq, edit_distance: int,
     """
     qlen = len(q_ids)
     rq = q_ids[::-1].copy()
-    rpeq = encode.build_peq_bigint(rq, eq)
     starts = []
     for e in end_locations:
         if e == -1:
@@ -92,8 +118,7 @@ def _hw_start_locations(q_ids, t_ids, eq, edit_distance: int,
             starts.append(0)
             continue
         rt_prefix = t_ids[:e + 1][::-1].copy()
-        scores = host_engine.semiglobal_scores(rpeq, rt_prefix, qlen,
-                                               AlignMode.SHW)
+        scores = _semiglobal_host(rq, rt_prefix, eq, AlignMode.SHW)
         _, positions = _filter_locations(scores, qlen, edit_distance)
         starts.append(e - positions[-1])
     return starts

@@ -28,6 +28,12 @@ def alignment_to_cigar(alignment: Union[np.ndarray, list],
         return ""
     if ops.min() < 0 or ops.max() > 3:
         raise ValueError("alignment contains invalid op codes (must be 0..3)")
+    from edlib_tpu import native_loader
+    if native_loader.available():
+        native = native_loader.cigar_encode_native(
+            ops, cigar_format == CigarFormat.EXTENDED)
+        if native is not None:
+            return native
     chars = (_STANDARD_CHARS if cigar_format == CigarFormat.STANDARD
              else _EXTENDED_CHARS)[ops]
     # Run-length encode over the mapped characters (so STANDARD merges

@@ -1,0 +1,224 @@
+"""edlib-tpu-aligner — CLI with parity to the reference aligner (C16).
+
+Flags, defaults, adaptive-k best-N semantics, and output formats mirror
+apps/aligner/aligner.cpp:28-280.  The TPU-native addition: ``--backend``
+selects the engine — ``host`` replicates the reference's sequential loop
+(adaptive-k heap tightens k between queries, aligner.cpp:183-195), ``jax``
+computes all scores in one device batch and then *replays* the heap over
+them, which reproduces the sequential output exactly (a computed score is
+the true score whenever it's <= the k in force at that query's turn).
+
+Run:  python -m edlib_tpu.cli [options...] <queries.fasta> <target.fasta>
+"""
+
+from __future__ import annotations
+
+import argparse
+import heapq
+import sys
+import time
+from typing import List, Optional
+
+from edlib_tpu.align import align, align_batch
+from edlib_tpu.cigar import alignment_to_cigar, cigar_to_alignment
+from edlib_tpu.io.fasta import read_fasta_bytes
+from edlib_tpu.types import CigarFormat, EDOP_DELETE, EDOP_INSERT, EDOP_MATCH
+
+
+def print_alignment(query: bytes, target: bytes, ops, position: int,
+                    mode: str, out=None) -> None:
+    """NICE side-by-side printer (aligner.cpp:331-377): 50-op rows of
+    T:/match/Q: lines with positions."""
+    if out is None:
+        out = sys.stdout
+    t_idx = -1
+    q_idx = -1
+    if mode == "HW":
+        t_idx = position
+        for op in ops:
+            if op != EDOP_INSERT:
+                t_idx -= 1
+    n = len(ops)
+    for start in range(0, n, 50):
+        chunk = ops[start:start + 50]
+        t_row = []
+        start_t_idx = -1
+        for j, op in enumerate(chunk):
+            if op == EDOP_INSERT:
+                t_row.append("-")
+            else:
+                t_idx += 1
+                t_row.append(chr(target[t_idx]))
+            if j == 0:
+                start_t_idx = t_idx
+        out.write("T: %s (%d - %d)\n" % ("".join(t_row),
+                                         max(start_t_idx, 0), t_idx))
+        out.write("   %s\n" % "".join(
+            "|" if op == EDOP_MATCH else " " for op in chunk))
+        q_row = []
+        start_q_idx = q_idx
+        for j, op in enumerate(chunk):
+            if op == EDOP_DELETE:
+                q_row.append("-")
+            else:
+                q_idx += 1
+                q_row.append(chr(query[q_idx]))
+            if j == 0:
+                start_q_idx = q_idx
+        out.write("Q: %s (%d - %d)\n\n" % ("".join(q_row),
+                                           max(start_q_idx, 0), q_idx))
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="edlib-tpu-aligner",
+        description="Sequence aligner using edit distance (TPU-native).")
+    p.add_argument("queries", help="FASTA file with query sequences")
+    p.add_argument("target", help="FASTA file with the target sequence")
+    p.add_argument("-m", dest="mode", default="NW",
+                   choices=["NW", "HW", "SHW"],
+                   help="alignment mode [default: NW]")
+    p.add_argument("-n", dest="num_best", type=int, default=0,
+                   help="calculate scores only for N best sequences "
+                        "(0 = all) [default: 0]")
+    p.add_argument("-k", dest="k", type=int, default=-1,
+                   help="discard sequences with score > K (-1 = keep all) "
+                        "[default: -1]")
+    p.add_argument("-p", dest="find_alignment", action="store_true",
+                   help="find and print the alignment path")
+    p.add_argument("-l", dest="find_start_locations", action="store_true",
+                   help="find start locations")
+    p.add_argument("-f", dest="path_format", default="NICE",
+                   choices=["NICE", "CIG_STD", "CIG_EXT"],
+                   help="alignment path output format [default: NICE]")
+    p.add_argument("-s", dest="silent", action="store_true",
+                   help="silent mode — no score or alignment output")
+    p.add_argument("-r", dest="num_repeats", type=int, default=1,
+                   help="repeat the core calculation N times (benchmarks)")
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "host", "jax"],
+                   help="compute backend: host (sequential, native/bigint) "
+                        "or jax (one device batch) [default: auto]")
+    args = p.parse_args(argv)
+
+    task = "distance"
+    if args.find_start_locations:
+        task = "locations"
+    if args.find_alignment:
+        task = "path"
+
+    print(f"Using {args.mode} alignment mode.")
+    print("Reading queries...")
+    try:
+        queries = read_fasta_bytes(args.queries)
+    except (FileNotFoundError, OSError):
+        print(f"Error: There is no file with name {args.queries}")
+        return 1
+    print(f"Read {len(queries)} queries, "
+          f"{sum(len(q) for q in queries)} residues total.")
+    print("Reading target fasta file...")
+    try:
+        target = read_fasta_bytes(args.target)[0]
+    except (FileNotFoundError, OSError):
+        print(f"Error: There is no file with name {args.target}")
+        return 1
+    print(f"Read target, {len(target)} residues.")
+
+    backend = args.backend
+    if backend == "auto":
+        # Device batching pays off for many queries; sequential host wins on
+        # latency for a handful (adaptive-k also prunes best on host).
+        backend = "jax" if len(queries) >= 256 and task == "distance" else "host"
+
+    print("\nComparing queries to target...")
+    start_time = time.process_time()
+    results = []
+    if backend == "jax":
+        batch = align_batch(queries, [target] * len(queries), mode=args.mode,
+                            task=task, k=args.k)
+        results = batch
+    else:
+        best_heap: List[int] = []  # max-heap via negation
+        k = args.k
+        for i, q in enumerate(queries):
+            for _ in range(args.num_repeats):
+                res = align(q, target, mode=args.mode, task=task, k=k)
+            results.append(res)
+            if args.num_best > 0 and res["editDistance"] >= 0:
+                heapq.heappush(best_heap, -res["editDistance"])
+                if len(best_heap) > args.num_best:
+                    heapq.heappop(best_heap)
+                if len(best_heap) == args.num_best:
+                    k = -best_heap[0] - 1
+                    if args.k >= 0 and args.k < k:
+                        k = args.k
+            if not args.find_alignment or args.silent:
+                print(f"\r{i + 1}/{len(queries)}", end="", flush=True)
+
+    # Replay the adaptive-k heap for batch mode (identical outputs to the
+    # sequential loop; see module docstring).
+    if backend == "jax" and args.num_best > 0:
+        best_heap = []
+        k = args.k
+        for res in results:
+            s = res["editDistance"]
+            if s >= 0 and (k < 0 or s <= k):
+                heapq.heappush(best_heap, -s)
+                if len(best_heap) > args.num_best:
+                    heapq.heappop(best_heap)
+                if len(best_heap) == args.num_best:
+                    k = -best_heap[0] - 1
+                    if args.k >= 0 and args.k < k:
+                        k = args.k
+            else:
+                res["editDistance"] = -1
+                res["locations"] = []
+
+    score_limit = -1
+    if args.num_best > 0 and best_heap:
+        score_limit = -best_heap[0]
+
+    if args.find_alignment and not args.silent:
+        for i, (q, res) in enumerate(zip(queries, results)):
+            if res.get("cigar"):
+                print()
+                print(f"Query #{i} ({len(q)} residues): score = "
+                      f"{res['editDistance']}")
+                ops = cigar_to_alignment(res["cigar"])
+                # Re-derive exact ops (cigar '=' vs 'X' is lossless for
+                # extended format produced by align()).
+                if args.path_format == "NICE":
+                    print_alignment(q, target, ops,
+                                    res["locations"][0][1], args.mode)
+                else:
+                    fmt = (CigarFormat.STANDARD
+                           if args.path_format == "CIG_STD"
+                           else CigarFormat.EXTENDED)
+                    print("Cigar:")
+                    print(alignment_to_cigar(ops, fmt))
+    elif not args.silent:
+        print()
+        if score_limit >= 0:
+            print(f"{len(best_heap)} best scores:")
+        else:
+            print("Scores:")
+        print("<query number>: <score>, <num_locations>, "
+              "[(<start_location_in_target>, <end_location_in_target>)]")
+        for i, res in enumerate(results):
+            s = res["editDistance"]
+            if s > -1 and (score_limit == -1 or s <= score_limit):
+                line = f"#{i}: {s}  {len(res['locations'])}"
+                if res["locations"]:
+                    locs = " ".join(
+                        "(%s, %d)" % ("?" if st is None else st, en)
+                        for st, en in res["locations"])
+                    line += f"  [ {locs} ]"
+                print(line)
+
+    cpu_time = time.process_time() - start_time
+    print(f"\nCpu time of searching: {cpu_time:.6f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

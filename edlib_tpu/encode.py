@@ -162,10 +162,10 @@ def build_peq_words(q_ids: np.ndarray, eq: np.ndarray,
     if qlen:
         match[:sigma, :qlen] = eq[:, q_ids]
     # Pack bits little-endian within each word (bit i == row i of the block).
-    bits = match.reshape(sigma + 1, nw, word_size).astype(np.uint32)
-    shifts = np.arange(word_size, dtype=np.uint32)
-    peq = (bits << shifts).sum(axis=2, dtype=np.uint64).astype(np.uint32)
-    return peq
+    bits = match.reshape(sigma + 1, nw, word_size).astype(np.uint64)
+    shifts = np.arange(word_size, dtype=np.uint64)
+    peq = (bits << shifts).sum(axis=2, dtype=np.uint64)
+    return peq.astype(np.uint32) if word_size == 32 else peq
 
 
 def build_peq_bigint(q_ids: np.ndarray, eq: np.ndarray) -> List[int]:

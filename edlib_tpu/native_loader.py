@@ -1,0 +1,189 @@
+"""Loader for the native C++ runtime (native/edlib_tpu_native.cpp).
+
+Builds the shared library on first use (g++, a few hundred ms) and binds it
+via ctypes — no pybind11 dependency.  Every entry point has a pure-Python
+fallback; ``available()`` gates usage so the package works without a
+toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_LIB_NAME = "libedlib_tpu_native.so"
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build_and_load() -> Optional[ctypes.CDLL]:
+    src = os.path.join(_NATIVE_DIR, "edlib_tpu_native.cpp")
+    lib_path = os.path.join(_NATIVE_DIR, _LIB_NAME)
+    if not os.path.exists(src):
+        return None
+    if (not os.path.exists(lib_path)
+            or os.path.getmtime(lib_path) < os.path.getmtime(src)):
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-std=c++17", "-fPIC", "-march=native",
+                 "-shared", "-o", lib_path, src],
+                check=True, capture_output=True, timeout=300)
+        except (subprocess.SubprocessError, FileNotFoundError, OSError):
+            return None
+    try:
+        lib = ctypes.CDLL(lib_path)
+    except OSError:
+        return None
+
+    c_i64 = ctypes.c_int64
+    lib.etn_fasta_stat.restype = ctypes.c_int
+    lib.etn_fasta_stat.argtypes = [ctypes.c_char_p,
+                                   ctypes.POINTER(c_i64),
+                                   ctypes.POINTER(c_i64)]
+    lib.etn_fasta_read.restype = ctypes.c_int
+    lib.etn_fasta_read.argtypes = [ctypes.c_char_p, ctypes.c_void_p,
+                                   ctypes.c_void_p]
+    lib.etn_cigar_encode.restype = c_i64
+    lib.etn_cigar_encode.argtypes = [ctypes.c_void_p, c_i64, ctypes.c_int,
+                                     ctypes.c_void_p]
+    lib.etn_sweep_scores.restype = None
+    lib.etn_sweep_scores.argtypes = [ctypes.c_void_p, c_i64, ctypes.c_void_p,
+                                     c_i64, ctypes.c_int, ctypes.c_void_p]
+    lib.etn_build_peq.restype = None
+    lib.etn_build_peq.argtypes = [ctypes.c_void_p, c_i64, ctypes.c_void_p,
+                                  ctypes.c_int, ctypes.c_void_p]
+    lib.etn_nw_path.restype = c_i64
+    lib.etn_nw_path.argtypes = [ctypes.c_void_p, c_i64, ctypes.c_void_p,
+                                c_i64, ctypes.c_void_p, ctypes.c_int,
+                                ctypes.c_int32, ctypes.c_void_p]
+    lib.etn_nw_cells_at.restype = None
+    lib.etn_nw_cells_at.argtypes = [ctypes.c_void_p, c_i64, c_i64,
+                                    ctypes.c_void_p, c_i64, ctypes.c_void_p]
+    return lib
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if not _tried:
+            _tried = True
+            if os.environ.get("EDLIB_TPU_NO_NATIVE"):
+                _lib = None
+            else:
+                _lib = _build_and_load()
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+# ---------------------------------------------------------------------------
+# Wrappers
+# ---------------------------------------------------------------------------
+
+def read_fasta(path: str) -> List[bytes]:
+    """All sequences in a FASTA file (headerless-tolerant)."""
+    lib = get_lib()
+    if lib is None:
+        return _read_fasta_py(path)
+    n = ctypes.c_int64()
+    total = ctypes.c_int64()
+    if lib.etn_fasta_stat(path.encode(), ctypes.byref(n),
+                          ctypes.byref(total)):
+        raise FileNotFoundError(path)
+    data = np.empty(total.value, dtype=np.uint8)
+    offsets = np.empty(n.value + 1, dtype=np.int64)
+    if lib.etn_fasta_read(path.encode(), data.ctypes.data,
+                          offsets.ctypes.data):
+        raise FileNotFoundError(path)
+    return [data[offsets[i]:offsets[i + 1]].tobytes()
+            for i in range(n.value)]
+
+
+def _read_fasta_py(path: str) -> List[bytes]:
+    """Pure-Python fallback with the reference reader's acceptance rules
+    (aligner.cpp:290-328): headerless tolerated, '\\r'/'\\n' skipped."""
+    seqs: List[bytearray] = []
+    in_seq = False
+    with open(path, "rb") as f:
+        for raw in f:
+            line = raw.rstrip(b"\r\n")
+            if line.startswith(b">"):
+                in_seq = False
+                continue
+            if not line:
+                continue
+            if not in_seq:
+                seqs.append(bytearray())
+                in_seq = True
+            seqs[-1].extend(line)
+    return [bytes(s) for s in seqs]
+
+
+def cigar_encode_native(ops: np.ndarray, extended: bool) -> Optional[str]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    ops = np.ascontiguousarray(ops, dtype=np.uint8)
+    out = ctypes.create_string_buffer(12 * max(1, len(ops)) + 1)
+    n = lib.etn_cigar_encode(ops.ctypes.data, len(ops), int(extended), out)
+    if n < 0:
+        raise ValueError("alignment contains invalid op codes (must be 0..3)")
+    return out.value.decode()
+
+
+def sweep_scores_native(peq64: np.ndarray, target_ext: np.ndarray,
+                        hin0: int) -> Optional[np.ndarray]:
+    """peq64: uint64 (sigma+1, n_words); target_ext: uint8 wildcard-extended
+    symbols.  Returns int32 padded-bottom score per column."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    peq64 = np.ascontiguousarray(peq64, dtype=np.uint64)
+    target_ext = np.ascontiguousarray(target_ext, dtype=np.uint8)
+    out = np.empty(len(target_ext), dtype=np.int32)
+    lib.etn_sweep_scores(peq64.ctypes.data, peq64.shape[1],
+                         target_ext.ctypes.data, len(target_ext), hin0,
+                         out.ctypes.data)
+    return out
+
+
+def nw_cells_at_native(peq64: np.ndarray, qlen: int, t_ids: np.ndarray,
+                       stop: int) -> Optional[np.ndarray]:
+    """Cell values of NW column `stop` (the Hirschberg half-sweep)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    peq64 = np.ascontiguousarray(peq64, dtype=np.uint64)
+    t = np.ascontiguousarray(t_ids, dtype=np.uint8)
+    out = np.empty(qlen, dtype=np.int32)
+    lib.etn_nw_cells_at(peq64.ctypes.data, peq64.shape[1], qlen,
+                        t.ctypes.data, stop, out.ctypes.data)
+    return out
+
+
+def nw_path_native(q_ids: np.ndarray, t_ids: np.ndarray, eq: np.ndarray,
+                   best_score: int) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    q = np.ascontiguousarray(q_ids, dtype=np.uint8)
+    t = np.ascontiguousarray(t_ids, dtype=np.uint8)
+    eqb = np.ascontiguousarray(eq, dtype=np.uint8)
+    ops = np.empty(len(q) + len(t) or 1, dtype=np.uint8)
+    n = lib.etn_nw_path(q.ctypes.data, len(q), t.ctypes.data, len(t),
+                        eqb.ctypes.data, eq.shape[0], best_score,
+                        ops.ctypes.data)
+    if n < 0:
+        raise RuntimeError("native traceback inconsistent with best_score")
+    return ops[:n]

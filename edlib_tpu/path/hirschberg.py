@@ -43,6 +43,11 @@ def obtain_alignment(q_ids: np.ndarray, t_ids: np.ndarray,
         return np.full(qlen + tlen, op, dtype=np.uint8)
 
     if _traceback_mem_estimate(qlen, tlen) < _TRACEBACK_MEM_LIMIT:
+        if eq.shape[0] <= 255:
+            from edlib_tpu import native_loader
+            ops = native_loader.nw_path_native(q_ids, t_ids, eq, best_score)
+            if ops is not None:
+                return ops
         peq = build_peq_bigint(q_ids, eq)
         provider = HostColumnProvider(peq, t_ids, qlen)
         return traceback(provider, qlen, tlen, best_score)
@@ -54,8 +59,6 @@ def _hirschberg(q_ids: np.ndarray, t_ids: np.ndarray,
     qlen, tlen = len(q_ids), len(t_ids)
     rq = q_ids[::-1].copy()
     rt = t_ids[::-1].copy()
-    peq = build_peq_bigint(q_ids, eq)
-    rpeq = build_peq_bigint(rq, eq)
 
     left_w = tlen // 2
     right_w = tlen - left_w
@@ -63,14 +66,30 @@ def _hirschberg(q_ids: np.ndarray, t_ids: np.ndarray,
     # Forward sweep stopped at the last column of the left half, reverse
     # sweep stopped at the last column of the (reversed) right half
     # (edlib.cpp:1250-1260).
-    lstate, _, _ = nw_run(peq, t_ids, qlen, stop=left_w - 1)
-    rstate, _, _ = nw_run(rpeq, rt, qlen, stop=right_w - 1)
-
-    # left[r]  = cost(query[:r+1], target[:left_w])
-    left = decode_cells(lstate.Pv, lstate.Mv, qlen, boundary=left_w)
-    # rev[j]   = cost(rq[:j+1], rt[:right_w]); suffix cost for original row i
-    # is rev[qlen-1-i]  (the readBlockReverse unwrapping, edlib.cpp:1290-1309).
-    rev = decode_cells(rstate.Pv, rstate.Mv, qlen, boundary=right_w)
+    left = rev = None
+    if eq.shape[0] <= 255:
+        from edlib_tpu import native_loader
+        if native_loader.available():
+            from edlib_tpu.encode import build_peq_words, num_words
+            nw64 = num_words(qlen, 64)
+            peq64 = build_peq_words(q_ids, eq, word_size=64, n_words=nw64)
+            rpeq64 = build_peq_words(rq, eq, word_size=64, n_words=nw64)
+            left = native_loader.nw_cells_at_native(peq64, qlen, t_ids,
+                                                    left_w - 1)
+            rev = native_loader.nw_cells_at_native(rpeq64, qlen, rt,
+                                                   right_w - 1)
+    if left is None:
+        peq = build_peq_bigint(q_ids, eq)
+        rpeq = build_peq_bigint(rq, eq)
+        lstate, _, _ = nw_run(peq, t_ids, qlen, stop=left_w - 1)
+        rstate, _, _ = nw_run(rpeq, rt, qlen, stop=right_w - 1)
+        # left[r] = cost(query[:r+1], target[:left_w])
+        left = decode_cells(lstate.Pv, lstate.Mv, qlen, boundary=left_w)
+        # rev[j]  = cost(rq[:j+1], rt[:right_w]); suffix cost for original
+        # row i is rev[qlen-1-i] (readBlockReverse, edlib.cpp:1290-1309).
+        rev = decode_cells(rstate.Pv, rstate.Mv, qlen, boundary=right_w)
+    left = np.asarray(left, dtype=np.int64)
+    rev = np.asarray(rev, dtype=np.int64)
     right_suffix = rev[::-1]  # right_suffix[i] = cost(query[i:], target[left_w:])
 
     # Find the crossing row: first r in 0..Q-2 with

@@ -1,0 +1,298 @@
+// edlib_tpu native runtime: host-side C++ components.
+//
+// The TPU compute path is JAX/Pallas (edlib_tpu/ops); this library covers
+// the runtime around it the way the reference keeps its runtime in C++:
+//   * FASTA IO      (counterpart of apps/aligner/aligner.cpp:290-328)
+//   * CIGAR encode  (counterpart of edlib.cpp:303-350)
+//   * single-pair Myers engines for the CLI latency path (counterpart of
+//     edlib.cpp:550-928) and the traceback walker (edlib.cpp:942-1141)
+//
+// Design is NOT a port: the engine is an unbanded full sweep over 64-bit
+// words whose target is virtually extended with W wildcard columns, so the
+// bottom-row score stream covers every end position and the NW corner with
+// no block readout; all location/k logic lives in Python.  The traceback
+// decodes whole columns to integer cell values (vectorizable, branch-light)
+// instead of chasing bits through banded blocks.  Banded variants (Ukkonen)
+// sit alongside as pure-pruning accelerators.
+//
+// Exposed as a C ABI for ctypes (no pybind11 dependency).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+typedef uint64_t Word;
+static const int WBITS = 64;
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// FASTA reading. Two-pass C ABI: stat sizes, then fill caller buffers.
+// Tolerates headerless files; '>' header lines are skipped; '\r'/'\n'
+// ignored inside sequences (same acceptance as the reference reader).
+// ---------------------------------------------------------------------------
+
+int etn_fasta_stat(const char* path, int64_t* n_seqs, int64_t* total_len) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return 1;
+    *n_seqs = 0;
+    *total_len = 0;
+    bool in_header = false, in_seq = false;
+    std::vector<char> buf(1 << 20);
+    size_t got;
+    while ((got = fread(buf.data(), 1, buf.size(), f)) > 0) {
+        for (size_t i = 0; i < got; i++) {
+            char c = buf[i];
+            if (in_header) {
+                if (c == '\n') in_header = false;
+            } else if (c == '>') {
+                in_header = true;
+                in_seq = false;
+            } else if (c != '\r' && c != '\n') {
+                if (!in_seq) { in_seq = true; (*n_seqs)++; }
+                (*total_len)++;
+            }
+        }
+    }
+    fclose(f);
+    return 0;
+}
+
+int etn_fasta_read(const char* path, char* data, int64_t* offsets) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return 1;
+    bool in_header = false, in_seq = false;
+    int64_t pos = 0, seq = 0;
+    std::vector<char> buf(1 << 20);
+    size_t got;
+    while ((got = fread(buf.data(), 1, buf.size(), f)) > 0) {
+        for (size_t i = 0; i < got; i++) {
+            char c = buf[i];
+            if (in_header) {
+                if (c == '\n') in_header = false;
+            } else if (c == '>') {
+                in_header = true;
+                in_seq = false;
+            } else if (c != '\r' && c != '\n') {
+                if (!in_seq) { in_seq = true; offsets[seq++] = pos; }
+                data[pos++] = c;
+            }
+        }
+    }
+    offsets[seq] = pos;
+    fclose(f);
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// CIGAR run-length encoding. ops: 0 match, 1 insert, 2 delete, 3 mismatch.
+// extended!=0 -> "=IDX", else "MIDM". Returns bytes written (excl. NUL),
+// or -1 on an invalid op code. out must hold >= 12*n+1 bytes worst case.
+// ---------------------------------------------------------------------------
+
+int64_t etn_cigar_encode(const uint8_t* ops, int64_t n, int extended,
+                         char* out) {
+    static const char ext_chars[4] = {'=', 'I', 'D', 'X'};
+    static const char std_chars[4] = {'M', 'I', 'D', 'M'};
+    const char* chars = extended ? ext_chars : std_chars;
+    int64_t w = 0;
+    int64_t i = 0;
+    while (i < n) {
+        if (ops[i] > 3) return -1;
+        char sym = chars[ops[i]];
+        int64_t j = i + 1;
+        while (j < n && ops[j] <= 3 && chars[ops[j]] == sym) j++;
+        if (j < n && ops[j] > 3) return -1;
+        w += snprintf(out + w, 24, "%lld%c", (long long)(j - i), sym);
+        i = j;
+    }
+    out[w] = 0;
+    return w;
+}
+
+// ---------------------------------------------------------------------------
+// Single-pair Myers engine (64-bit words, unbanded).
+//
+// peq layout: (sigma+1) rows x n_words, row sigma = wildcard (all ones);
+// built by the caller (Python) or by etn_build_peq below.
+// ---------------------------------------------------------------------------
+
+static inline int advance(Word& Pv, Word& Mv, Word Eq, int hin) {
+    Word Xv = Eq | Mv;
+    if (hin < 0) Eq |= 1;
+    Word Xh = (((Eq & Pv) + Pv) ^ Pv) | Eq;
+    Word Ph = Mv | ~(Xh | Pv);
+    Word Mh = Pv & Xh;
+    int hout = 0;
+    if (Ph >> (WBITS - 1)) hout = 1;
+    else if (Mh >> (WBITS - 1)) hout = -1;
+    Ph = (Ph << 1) | (Word)(hin > 0);
+    Mh = (Mh << 1) | (Word)(hin < 0);
+    Pv = Mh | ~(Xv | Ph);
+    Mv = Ph & Xv;
+    return hout;
+}
+
+void etn_build_peq(const uint8_t* q_ids, int64_t qlen, const uint8_t* eq,
+                   int sigma, Word* peq /* (sigma+1) * n_words */) {
+    int64_t n_words = (qlen + WBITS - 1) / WBITS;
+    if (n_words == 0) n_words = 1;
+    for (int s = 0; s <= sigma; s++) {
+        for (int64_t w = 0; w < n_words; w++) {
+            Word bits = 0;
+            for (int b = WBITS - 1; b >= 0; b--) {
+                int64_t r = w * WBITS + b;
+                bits <<= 1;
+                if (r >= qlen || s == sigma ||
+                    eq[(int64_t)q_ids[r] * sigma + s])
+                    bits |= 1;
+            }
+            peq[(int64_t)s * n_words + w] = bits;
+        }
+    }
+}
+
+// Full sweep emitting the padded-bottom score after every column of the
+// wildcard-extended target (t_scan = tlen + W columns; caller passes the
+// target followed by W wildcard symbols). scores_out: int32[t_scan].
+void etn_sweep_scores(const Word* peq, int64_t n_words,
+                      const uint8_t* target, int64_t t_scan,
+                      int hin0, int32_t* scores_out) {
+    std::vector<Word> Pv(n_words, ~(Word)0), Mv(n_words, 0);
+    int32_t score = (int32_t)(n_words * WBITS);
+    for (int64_t c = 0; c < t_scan; c++) {
+        const Word* eq_c = peq + (int64_t)target[c] * n_words;
+        int h = hin0;
+        for (int64_t w = 0; w < n_words; w++) {
+            h = advance(Pv[w], Mv[w], eq_c[w], h);
+        }
+        score += h;
+        scores_out[c] = score;
+    }
+}
+
+// Sweep to a stop column and decode that column's cell values — the
+// Hirschberg primitive (counterpart of targetStopPosition, edlib.cpp:896-908,
+// but returning decoded int cells instead of bit state).
+// cells_out: int32[qlen]; cells_out[r] = cell(r, stop).
+void etn_nw_cells_at(const Word* peq, int64_t n_words, int64_t qlen,
+                     const uint8_t* target, int64_t stop,
+                     int32_t* cells_out) {
+    std::vector<Word> Pv(n_words, ~(Word)0), Mv(n_words, 0);
+    for (int64_t c = 0; c <= stop; c++) {
+        const Word* eq_c = peq + (int64_t)target[c] * n_words;
+        int h = 1;
+        for (int64_t w = 0; w < n_words; w++)
+            h = advance(Pv[w], Mv[w], eq_c[w], h);
+    }
+    int32_t v = (int32_t)(stop + 1);
+    for (int64_t r = 0; r < qlen; r++) {
+        Word bit = (Word)1 << (r % WBITS);
+        v += (int32_t)((Pv[r / WBITS] & bit) != 0)
+           - (int32_t)((Mv[r / WBITS] & bit) != 0);
+        cells_out[r] = v;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// NW capture + traceback: run the sweep storing (Pv, Mv) per column, then
+// walk back over decoded cell values with the up -> left -> diagonal
+// preference.  ops_out must hold qlen + tlen bytes. Returns ops length,
+// or -1 if the walk is inconsistent with best_score.
+// ---------------------------------------------------------------------------
+
+static void decode_column(const Word* Ps, const Word* Ms, int64_t n_words,
+                          int64_t qlen, int64_t boundary, int32_t* cells) {
+    // cells[0] = boundary (row -1), cells[r+1] = cell(r).
+    cells[0] = (int32_t)boundary;
+    int32_t v = (int32_t)boundary;
+    for (int64_t r = 0; r < qlen; r++) {
+        Word bit = (Word)1 << (r % WBITS);
+        const Word p = Ps[r / WBITS], m = Ms[r / WBITS];
+        v += (int32_t)((p & bit) != 0) - (int32_t)((m & bit) != 0);
+        cells[r + 1] = v;
+    }
+}
+
+int64_t etn_nw_path(const uint8_t* q_ids, int64_t qlen,
+                    const uint8_t* t_ids, int64_t tlen,
+                    const uint8_t* eq, int sigma,
+                    int32_t best_score, uint8_t* ops_out) {
+    if (qlen == 0 || tlen == 0) {
+        for (int64_t i = 0; i < qlen + tlen; i++)
+            ops_out[i] = qlen == 0 ? 2 /*DELETE*/ : 1 /*INSERT*/;
+        return qlen + tlen;
+    }
+    int64_t n_words = (qlen + WBITS - 1) / WBITS;
+    std::vector<Word> peq((int64_t)(sigma + 1) * n_words);
+    etn_build_peq(q_ids, qlen, eq, sigma, peq.data());
+
+    // Sweep with column capture (no wildcard extension needed: the
+    // traceback decodes real rows only).
+    std::vector<Word> colP((size_t)tlen * n_words), colM((size_t)tlen * n_words);
+    {
+        std::vector<Word> Pv(n_words, ~(Word)0), Mv(n_words, 0);
+        for (int64_t c = 0; c < tlen; c++) {
+            const Word* eq_c = peq.data() + (int64_t)t_ids[c] * n_words;
+            int h = 1;
+            for (int64_t w = 0; w < n_words; w++)
+                h = advance(Pv[w], Mv[w], eq_c[w], h);
+            memcpy(&colP[(size_t)c * n_words], Pv.data(), n_words * sizeof(Word));
+            memcpy(&colM[(size_t)c * n_words], Mv.data(), n_words * sizeof(Word));
+        }
+    }
+
+    // Value-space walk (same move preference as the reference traceback:
+    // up=INSERT, left=DELETE, then diagonal).
+    std::vector<int32_t> cur(qlen + 1), left(qlen + 1);
+    auto get_col = [&](int64_t c, int32_t* dst) {
+        if (c < 0) {
+            for (int64_t r = 0; r <= qlen; r++) dst[r] = (int32_t)r;
+        } else {
+            decode_column(&colP[(size_t)c * n_words], &colM[(size_t)c * n_words],
+                          n_words, qlen, c + 1, dst);
+        }
+    };
+    int64_t r = qlen - 1, c = tlen - 1;
+    int32_t v = best_score;
+    int64_t n_ops = 0;
+    get_col(c, cur.data());
+    get_col(c - 1, left.data());
+    while (true) {
+        if (r == -1) {
+            for (int64_t i = 0; i <= c; i++) ops_out[n_ops++] = 2;  // DELETE
+            break;
+        }
+        if (c == -1) {
+            for (int64_t i = 0; i <= r; i++) ops_out[n_ops++] = 1;  // INSERT
+            break;
+        }
+        int32_t u = cur[r];        // cell(r-1, c)
+        int32_t l = left[r + 1];   // cell(r,   c-1)
+        int32_t ul = left[r];      // cell(r-1, c-1)
+        if (u + 1 == v) {
+            ops_out[n_ops++] = 1;  // INSERT (up)
+            r--; v = u;
+        } else if (l + 1 == v) {
+            ops_out[n_ops++] = 2;  // DELETE (left)
+            c--; v = l;
+            std::swap(cur, left);
+            get_col(c - 1, left.data());
+        } else {
+            ops_out[n_ops++] = (ul == v) ? 0 : 3;  // MATCH / MISMATCH
+            r--; c--; v = ul;
+            std::swap(cur, left);
+            get_col(c - 1, left.data());
+        }
+        if (n_ops > qlen + tlen) return -1;  // inconsistent best_score
+    }
+    // Reverse into forward order.
+    for (int64_t i = 0, j = n_ops - 1; i < j; i++, j--) {
+        uint8_t t = ops_out[i]; ops_out[i] = ops_out[j]; ops_out[j] = t;
+    }
+    return n_ops;
+}
+
+}  // extern "C"
