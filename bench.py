@@ -1,0 +1,192 @@
+"""Benchmark: batched HW alignment throughput (GCUPS) on one chip.
+
+Prints ONE JSON line:
+  {"metric": "batched_hw_gcups", "value": N, "unit": "GCUPS",
+   "vs_baseline": N / 80}
+
+Baseline: the reference's implied naive-cell rate at Q=T=50000 is ~80 GCUPS
+on one 2017 CPU core (BASELINE.md).  GCUPS counts query_len * target_len *
+batch cells per second — the accounting the baseline figure implies.
+
+Workload: the reference's read-mapping use case (test_data/E_coli_DH1) —
+a batch of reads HW-aligned against one shared target, returning per-read
+(best score, first best end position).  Everything is generated, packed,
+swept, and reduced ON DEVICE (this host reaches its TPU through a slow
+tunnel; only ~KB of results transfer).  Backends are tried in subprocesses
+with timeouts so a wedged accelerator cannot hang the benchmark; outputs
+are cross-checked against the host engine before timing is accepted.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_GCUPS = 80.0
+
+B = 4096          # reads (4 kernel tiles)
+QLEN = 120        # read length (nw=4 words)
+TARGET_LEN = 65536
+SIGMA = 4
+CHUNK = 512
+
+_CHILD_CODE = r"""
+import json, sys, time
+import numpy as np
+backend = sys.argv[1]
+out_path = sys.argv[2]
+sys.path.insert(0, sys.argv[3])
+B, QLEN, TARGET_LEN, SIGMA, CHUNK = map(int, sys.argv[4:9])
+
+from edlib_tpu import encode
+
+def report(seconds, note, reps):
+    cells = float(B) * QLEN * TARGET_LEN * reps
+    with open(out_path, "w") as f:
+        json.dump({"gcups": cells / seconds / 1e9, "seconds": seconds,
+                   "note": note}, f)
+
+if backend == "native":
+    from edlib_tpu import native_loader
+    assert native_loader.available()
+    rng = np.random.RandomState(0)
+    target = rng.randint(0, SIGMA, TARGET_LEN).astype(np.int32)
+    eq = np.eye(SIGMA, dtype=bool)
+    nw64 = encode.num_words(QLEN, 64)
+    w64 = nw64 * 64 - QLEN
+    t_ext = np.concatenate([target.astype(np.uint8),
+                            np.full(w64, SIGMA, np.uint8)])
+    n_reads = 64  # sample; native is the fallback path
+    peqs = [encode.build_peq_words(
+        rng.randint(0, SIGMA, QLEN).astype(np.uint8), eq, word_size=64,
+        n_words=nw64) for _ in range(n_reads)]
+    t0 = time.time()
+    for p in peqs:
+        native_loader.sweep_scores_native(p, t_ext, 0)
+    dt = (time.time() - t0) * (B / n_reads)
+    report(dt, "native-cpu", 1)
+    sys.exit(0)
+
+import jax
+import jax.numpy as jnp
+from edlib_tpu.ops.pallas_kernel import (
+    B_TILE, build_peq_device, pack_tiles_device, sweep_best_pallas_shared)
+
+nw = encode.num_words(QLEN)
+w = nw * 32 - QLEN
+t_scan = TARGET_LEN + w
+n_chunks = -(-t_scan // CHUNK)
+
+@jax.jit
+def make_inputs(key):
+    k1, k2 = jax.random.split(key)
+    target = jax.random.randint(k1, (TARGET_LEN,), 0, SIGMA, jnp.int32)
+    # Reads: random windows of the target with ~5% mutations.
+    k2a, k2b, k2c = jax.random.split(k2, 3)
+    starts = jax.random.randint(k2a, (B,), 0, TARGET_LEN - QLEN)
+    idx = starts[:, None] + jnp.arange(QLEN)[None, :]
+    reads = target[idx]
+    muts = jax.random.uniform(k2b, (B, QLEN)) < 0.05
+    rand_sym = jax.random.randint(k2c, (B, QLEN), 0, SIGMA, jnp.int32)
+    reads = jnp.where(muts, rand_sym, reads)
+    qlens = jnp.full((B,), QLEN, jnp.int32)
+    peq = build_peq_device(reads, qlens, SIGMA, nw)
+    tiles = pack_tiles_device(peq)
+    tg = jnp.full((n_chunks * CHUNK,), SIGMA, jnp.int32)
+    tg = tg.at[:TARGET_LEN].set(target)
+    return tiles, tg.reshape(n_chunks, CHUNK, 1), reads, target
+
+tiles, tg_chunks, reads, target = make_inputs(jax.random.key(0))
+jax.block_until_ready((tiles, tg_chunks))
+
+def step():
+    return sweep_best_pallas_shared(tiles, tg_chunks, hin0=0,
+                                    col_lo=w, col_hi=w + TARGET_LEN,
+                                    chunk=CHUNK)
+
+best, pos = step()  # compile + warm
+
+# Correctness gate: cross-check reads against the host engine.  The fetch
+# also forces true completion (the tunneled backend acks async work early).
+best_h = np.asarray(best).reshape(-1)
+pos_h = np.asarray(pos).reshape(-1)
+reads_h = np.asarray(reads)
+target_h = np.asarray(target)
+from edlib_tpu.ops import host as host_engine
+eq = np.eye(SIGMA, dtype=bool)
+for b in (0, B // 2, B - 1):
+    hp = encode.build_peq_bigint(reads_h[b].astype(np.uint8), eq)
+    hs = host_engine.semiglobal_scores(hp, target_h, QLEN, "HW")
+    assert best_h[b] == hs.min(), (b, best_h[b], int(hs.min()))
+    assert pos_h[b] - w == int(np.argmin(hs)), (b, pos_h[b] - w)
+
+# Timing: N sweeps chained inside one jit (each rep's input is perturbed so
+# the loop body cannot be hoisted), final scalar fetch forces completion.
+REPS = 20
+
+@jax.jit
+def many(tiles, tg_chunks):
+    def body(i, acc):
+        tg2 = tg_chunks.at[0, 0, 0].set(i % SIGMA)
+        bb, _ = sweep_best_pallas_shared(tiles, tg2, hin0=0, col_lo=w,
+                                         col_hi=w + TARGET_LEN, chunk=CHUNK)
+        return acc + bb.sum()
+    return jax.lax.fori_loop(0, REPS, body, jnp.int32(0))
+
+many(tiles, tg_chunks).block_until_ready()  # compile
+t0 = time.time()
+int(many(tiles, tg_chunks))  # scalar fetch = completion barrier
+dt = time.time() - t0
+report(dt, "pallas-" + jax.default_backend(), REPS)
+"""
+
+
+def try_backend(backend: str, timeout: int):
+    with tempfile.NamedTemporaryFile(mode="r", suffix=".json",
+                                     delete=False) as tf:
+        out_path = tf.name
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _CHILD_CODE, backend, out_path, REPO,
+             str(B), str(QLEN), str(TARGET_LEN), str(SIGMA), str(CHUNK)],
+            capture_output=True, timeout=timeout)
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr.decode()[-2000:] + "\n")
+            return None
+        with open(out_path) as f:
+            return json.load(f)
+    except (subprocess.TimeoutExpired, OSError, ValueError):
+        return None
+    finally:
+        try:
+            os.unlink(out_path)
+        except OSError:
+            pass
+
+
+def main():
+    result = None
+    for backend, timeout in (("pallas", 420), ("native", 300)):
+        result = try_backend(backend, timeout)
+        if result is not None:
+            break
+    if result is None:
+        print(json.dumps({"metric": "batched_hw_gcups", "value": 0.0,
+                          "unit": "GCUPS", "vs_baseline": 0.0,
+                          "note": "all backends failed"}))
+        return 1
+    gcups = result["gcups"]
+    print(json.dumps({
+        "metric": "batched_hw_gcups",
+        "value": round(gcups, 3),
+        "unit": "GCUPS",
+        "vs_baseline": round(gcups / BASELINE_GCUPS, 4),
+        "note": result["note"],
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

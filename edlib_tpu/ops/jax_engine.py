@@ -63,9 +63,9 @@ def _column_update(Pv, Mv, eq, hin0):
     (edlib.cpp:586-598); NW is small so the scan is cheap relative to the
     batch-wide VPU work per word.
     """
-    n_words = Pv.shape[0]
-    B = Pv.shape[1]
-    hin_init = jnp.full((B,), hin0, dtype=jnp.int32)
+    # Derive the init from data so its varying-axes type matches the loop
+    # output under shard_map (constants are unvarying; mixing fails).
+    hin_init = (eq[0, :] & 0).astype(jnp.int32) + hin0
 
     def word_step(hin, xs):
         pv, mv, e = xs
@@ -93,9 +93,13 @@ def sweep_scores(peq: jnp.ndarray, targets: jnp.ndarray, hin0: int,
     B, S1, NW = peq.shape
     peq_t = jnp.transpose(peq, (1, 2, 0))  # (S1, NW, B) — word-major layout
 
-    Pv0 = jnp.full((NW, B), 0xFFFFFFFF, dtype=jnp.uint32)
-    Mv0 = jnp.zeros((NW, B), dtype=jnp.uint32)
-    score0 = jnp.full((B,), NW * WORD_SIZE, dtype=jnp.int32)
+    # Data-derived inits: depend on BOTH inputs so their varying-axes types
+    # under shard_map match the loop outputs (constants are unvarying).
+    zero_b = (peq_t[0, 0] & 0).astype(jnp.int32) + (targets[:, 0] & 0)  # (B,)
+    Pv0 = jnp.broadcast_to(zero_b.astype(jnp.uint32)[None, :], (NW, B)) \
+        | jnp.uint32(0xFFFFFFFF)
+    Mv0 = jnp.broadcast_to(zero_b.astype(jnp.uint32)[None, :], (NW, B))
+    score0 = zero_b + NW * WORD_SIZE
 
     def col_step(carry, sym):
         Pv, Mv, score = carry
@@ -134,9 +138,11 @@ def sweep_capture(peq: jnp.ndarray, targets: jnp.ndarray, hin0: int
     """
     B, S1, NW = peq.shape
     peq_t = jnp.transpose(peq, (1, 2, 0))
-    Pv0 = jnp.full((NW, B), 0xFFFFFFFF, dtype=jnp.uint32)
-    Mv0 = jnp.zeros((NW, B), dtype=jnp.uint32)
-    score0 = jnp.full((B,), NW * WORD_SIZE, dtype=jnp.int32)
+    zero_b = (peq_t[0, 0] & 0).astype(jnp.int32) + (targets[:, 0] & 0)
+    Pv0 = jnp.broadcast_to(zero_b.astype(jnp.uint32)[None, :], (NW, B)) \
+        | jnp.uint32(0xFFFFFFFF)
+    Mv0 = jnp.broadcast_to(zero_b.astype(jnp.uint32)[None, :], (NW, B))
+    score0 = zero_b + NW * WORD_SIZE
 
     def col_step(carry, sym):
         Pv, Mv, score = carry

@@ -148,6 +148,150 @@ def sweep_scores_pallas(peq: jnp.ndarray, targets: jnp.ndarray, hin0: int,
     )(targets, peq)
 
 
+# ---------------------------------------------------------------------------
+# Shared-target kernel with in-kernel reduction — the read-mapping hot path.
+#
+# All lanes align against the SAME target (reads vs one reference), so the
+# per-column symbol is a scalar prefetched to SMEM: the query-profile lookup
+# becomes one dynamic VMEM row read instead of an S1-way select, and the
+# kernel reduces (best score, first best column) on the fly so only two
+# (8,128) tiles per batch tile ever leave the chip — essential both for HBM
+# traffic and for tunneled hosts.
+# ---------------------------------------------------------------------------
+
+
+def _shared_kernel(targets_ref, peq_ref, best_ref, pos_ref, pv_ref, mv_ref,
+                   score_ref, run_best_ref, run_pos_ref, *, n_words: int,
+                   chunk: int, hin0: int, col_lo: int, col_hi: int):
+    """targets_ref: (chunk, 1) int32 SMEM — shared symbols for this chunk.
+    peq_ref: (S1, n_words, 8, 128) uint32 VMEM.
+    best_ref/pos_ref: (8, 128) int32 outputs (written on the last chunk).
+    """
+    t_step = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+
+    @pl.when(t_step == 0)
+    def _reset():
+        pv_ref[...] = jnp.full((n_words, SUBLANES, LANES), _ONES, jnp.uint32)
+        mv_ref[...] = jnp.zeros((n_words, SUBLANES, LANES), jnp.uint32)
+        score_ref[...] = jnp.full((SUBLANES, LANES), n_words * 32, jnp.int32)
+        run_best_ref[...] = jnp.full((SUBLANES, LANES), 0x3FFFFFFF, jnp.int32)
+        run_pos_ref[...] = jnp.full((SUBLANES, LANES), -1, jnp.int32)
+
+    def column(c, _):
+        sym = targets_ref[c, 0]
+        if hin0 == 0:
+            hin_neg = jnp.zeros((SUBLANES, LANES), jnp.uint32)
+            hin_pos = jnp.zeros((SUBLANES, LANES), jnp.uint32)
+        else:
+            hin_neg = jnp.zeros((SUBLANES, LANES), jnp.uint32)
+            hin_pos = jnp.ones((SUBLANES, LANES), jnp.uint32)
+        for w in range(n_words):
+            pv, mv, hout = _advance_word(pv_ref[w], mv_ref[w],
+                                         peq_ref[sym, w], hin_neg, hin_pos)
+            pv_ref[w] = pv
+            mv_ref[w] = mv
+            hin_neg = (hout < 0).astype(jnp.uint32)
+            hin_pos = (hout > 0).astype(jnp.uint32)
+        score = score_ref[...] + hin_pos.astype(jnp.int32) \
+            - hin_neg.astype(jnp.int32)
+        score_ref[...] = score
+        # Only columns mapping to real end positions participate in the
+        # reduction: col in [W, W + tlen) (warm-up columns decode negative
+        # positions; trailing wildcard filler drains upper cells down).
+        col = t_step * chunk + c
+        upd = (score < run_best_ref[...]) & (col >= col_lo) & (col < col_hi)
+        run_best_ref[...] = jnp.where(upd, score, run_best_ref[...])
+        run_pos_ref[...] = jnp.where(upd, col, run_pos_ref[...])
+        return 0
+
+    jax.lax.fori_loop(0, chunk, column, 0)
+
+    @pl.when(t_step == n_chunks - 1)
+    def _emit():
+        best_ref[...] = run_best_ref[...]
+        pos_ref[...] = run_pos_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("hin0", "chunk", "col_lo",
+                                              "col_hi", "interpret"))
+def sweep_best_pallas_shared(peq: jnp.ndarray, target_chunks: jnp.ndarray,
+                             hin0: int, col_lo: int, col_hi: int,
+                             chunk: int = 256,
+                             interpret: bool = False):
+    """Shared-target sweep returning (best, first-best column) per lane.
+
+    peq: uint32 (n_tiles, S1, NW, 8, 128); target_chunks: int32
+    (n_chunks, chunk, 1) — the shared wildcard-extended target.
+    Returns (best (n_tiles, 8, 128) int32, pos (n_tiles, 8, 128) int32);
+    pos is a scan-column index (caller subtracts W for positions; -1 when
+    nothing was seen, impossible for nonempty targets).
+    """
+    n_tiles, sigma1, n_words = peq.shape[:3]
+    n_chunks = target_chunks.shape[0]
+    kernel = functools.partial(_shared_kernel, n_words=n_words, chunk=chunk,
+                               hin0=hin0, col_lo=col_lo, col_hi=col_hi)
+    grid = (n_tiles, n_chunks)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, chunk, 1), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, sigma1, n_words, SUBLANES, LANES),
+                         lambda i, j: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, SUBLANES, LANES), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, SUBLANES, LANES), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, SUBLANES, LANES), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n_words, SUBLANES, LANES), jnp.uint32),
+            pltpu.VMEM((n_words, SUBLANES, LANES), jnp.uint32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(target_chunks, peq)
+
+
+def build_peq_device(q_ids: jnp.ndarray, qlens: jnp.ndarray, sigma: int,
+                     n_words: int) -> jnp.ndarray:
+    """Query profiles built on device (no host transfer of packed tables).
+
+    q_ids: int32 (B, Qmax) (entries past qlens are ignored); returns uint32
+    (B, sigma+1, n_words) with wildcard padding rows past each qlen.
+    """
+    B, qmax = q_ids.shape
+    total = n_words * 32
+    rows = jnp.arange(total, dtype=jnp.int32)
+    q_pad = jnp.full((B, total), -1, dtype=jnp.int32)
+    q_pad = q_pad.at[:, :qmax].set(q_ids)
+    pad_mask = rows[None, :] >= qlens[:, None]          # (B, total)
+    sym = jnp.arange(sigma + 1, dtype=jnp.int32)
+    match = (q_pad[:, None, :] == sym[None, :, None]) | pad_mask[:, None, :] \
+        | (sym[None, :, None] == sigma)                 # (B, S1, total)
+    bits = match.reshape(B, sigma + 1, n_words, 32).astype(jnp.uint32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return (bits << shifts).sum(axis=3, dtype=jnp.uint32)
+
+
+def pack_tiles_device(peq_flat: jnp.ndarray) -> jnp.ndarray:
+    """(B, S1, NW) -> (n_tiles, S1, NW, 8, 128) on device; B % 1024 == 0."""
+    B, S1, NW = peq_flat.shape
+    n_tiles = B // B_TILE
+    p = peq_flat.reshape(n_tiles, SUBLANES, LANES, S1, NW)
+    return jnp.transpose(p, (0, 3, 4, 1, 2))
+
+
 class PallasSweeper:
     """Host-side packing for the Pallas sweep: lanes-major batch layout.
 
