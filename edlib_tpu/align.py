@@ -64,10 +64,8 @@ def _filter_locations(col_scores: np.ndarray, qlen: int, k_eff: float
     return int(best), positions
 
 
-def _sweep_native(q_ids, t_ids, eq, hin0) -> Optional[np.ndarray]:
-    """Native 64-bit sweep over the wildcard-extended target.  Returns the
-    true bottom-row score stream cell(Q-1, c) for c in [0, tlen), or None
-    when the native library is unavailable / alphabet too large."""
+def _native_ctx(q_ids, t_ids, eq):
+    """(peq64, t_ext, w64) for the native 64-bit engines, or None."""
     from edlib_tpu import native_loader
     sigma = eq.shape[0]
     if sigma > 255 or not native_loader.available():
@@ -78,28 +76,75 @@ def _sweep_native(q_ids, t_ids, eq, hin0) -> Optional[np.ndarray]:
     peq64 = encode.build_peq_words(q_ids, eq, word_size=64, n_words=nw64)
     t_ext = np.concatenate([np.asarray(t_ids, np.uint8),
                             np.full(w64, sigma, np.uint8)])
-    scores = native_loader.sweep_scores_native(peq64, t_ext, hin0)
-    if scores is None:
-        return None
-    return scores[w64:]
+    return peq64, t_ext, w64
 
 
-def _semiglobal_host(q_ids, t_ids, eq, mode) -> np.ndarray:
-    hin0 = 0 if AlignMode.parse(mode) == AlignMode.HW else 1
-    scores = _sweep_native(q_ids, t_ids, eq, hin0)
-    if scores is not None:
-        return scores
+def _semiglobal_best_positions(q_ids, t_ids, eq, mode, k_eff
+                               ) -> Tuple[int, List[int]]:
+    """Best score + all minimal end positions for HW/SHW.
+
+    Native path uses the Ukkonen-banded sweep; unbounded k runs the
+    reference's dynamic-k doubling loop (k=64, 128, ... — edlib.cpp:199-217)
+    since banding needs a finite k.  Banded entries are exact wherever
+    <= the k in force, so filtering is unchanged.
+    """
+    mode = AlignMode.parse(mode)
+    qlen = len(q_ids)
+    hin0 = 0 if mode == AlignMode.HW else 1
+    ctx = _native_ctx(q_ids, t_ids, eq)
+    if ctx is not None:
+        from edlib_tpu import native_loader
+        peq64, t_ext, w64 = ctx
+        # HW solutions never exceed qlen (edlib.cpp:566-568).
+        cap = qlen if mode == AlignMode.HW else 1 << 40
+        if k_eff is _INF or k_eff >= (1 << 40):
+            k = 64
+            while True:
+                kk = min(k, cap)
+                scores = native_loader.sweep_scores_banded_native(
+                    peq64, t_ext, hin0, kk)[w64:]
+                best, positions = _filter_locations(scores, qlen, kk)
+                if best >= 0:
+                    return best, positions
+                if kk >= cap and kk >= qlen:
+                    # Semiglobal best is always <= qlen; unreachable.
+                    break
+                k *= 2
+            return -1, []
+        kk = int(min(k_eff, cap))
+        scores = native_loader.sweep_scores_banded_native(
+            peq64, t_ext, hin0, kk)[w64:]
+        return _filter_locations(scores, qlen, k_eff)
     peq = encode.build_peq_bigint(q_ids, eq)
-    return host_engine.semiglobal_scores(peq, t_ids, len(q_ids), mode)
+    scores = host_engine.semiglobal_scores(peq, t_ids, qlen, mode)
+    return _filter_locations(scores, qlen, k_eff)
 
 
-def _nw_score_host(q_ids, t_ids, eq) -> int:
-    scores = _sweep_native(q_ids, t_ids, eq, 1)
-    if scores is not None:
-        return int(scores[-1])
+def _nw_score_host(q_ids, t_ids, eq, k_eff) -> int:
+    """NW distance, or -1 if above k_eff.  Banded native path with the
+    dynamic-k doubling loop for unbounded k."""
+    qlen, tlen = len(q_ids), len(t_ids)
+    ctx = _native_ctx(q_ids, t_ids, eq)
+    if ctx is not None:
+        from edlib_tpu import native_loader
+        peq64, _, _ = ctx
+        bound = max(qlen, tlen)
+        if k_eff is _INF or k_eff >= (1 << 40):
+            k = 64
+            while True:
+                d = native_loader.nw_distance_banded_native(
+                    peq64, t_ids, qlen, min(k, bound))
+                if d >= 0:
+                    return d
+                if k >= bound:
+                    return -1  # unreachable: NW distance <= max(Q, T)
+                k *= 2
+        return native_loader.nw_distance_banded_native(
+            peq64, t_ids, qlen, int(min(k_eff, bound)))
     peq = encode.build_peq_bigint(q_ids, eq)
-    state, _, _ = host_engine.nw_run(peq, t_ids, len(q_ids))
-    return int(state.score)
+    state, _, _ = host_engine.nw_run(peq, t_ids, qlen)
+    score = int(state.score)
+    return score if score <= k_eff else -1
 
 
 def _hw_start_locations(q_ids, t_ids, eq, edit_distance: int,
@@ -118,8 +163,9 @@ def _hw_start_locations(q_ids, t_ids, eq, edit_distance: int,
             starts.append(0)
             continue
         rt_prefix = t_ids[:e + 1][::-1].copy()
-        scores = _semiglobal_host(rq, rt_prefix, eq, AlignMode.SHW)
-        _, positions = _filter_locations(scores, qlen, edit_distance)
+        _, positions = _semiglobal_best_positions(rq, rt_prefix, eq,
+                                                  AlignMode.SHW,
+                                                  edit_distance)
         starts.append(e - positions[-1])
     return starts
 
@@ -147,15 +193,15 @@ def align_ids(q_ids: np.ndarray, t_ids: np.ndarray, eq: np.ndarray,
     k_eff = _INF if k < 0 else k
 
     if mode in (AlignMode.HW, AlignMode.SHW):
-        col_scores = _semiglobal_host(q_ids, t_ids, eq, mode)
-        best, positions = _filter_locations(col_scores, qlen, k_eff)
+        best, positions = _semiglobal_best_positions(q_ids, t_ids, eq, mode,
+                                                     k_eff)
         result.edit_distance = best
         if best >= 0:
             result.end_locations = np.array(positions, dtype=np.int64)
             result.num_locations = len(positions)
     else:  # NW
-        score = _nw_score_host(q_ids, t_ids, eq)
-        if score <= k_eff:
+        score = _nw_score_host(q_ids, t_ids, eq, k_eff)
+        if score >= 0:
             result.edit_distance = score
             result.end_locations = np.array([tlen - 1], dtype=np.int64)
             result.num_locations = 1

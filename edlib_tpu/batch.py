@@ -14,6 +14,7 @@ device batch instead of re-running serially per location.
 
 from __future__ import annotations
 
+import os
 from collections import defaultdict
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -64,8 +65,6 @@ def _sweep_bucket(q_ids_list, t_ids_list, sigma: int, eq: np.ndarray,
                   n_words: int, t_scan: int, hin0: int) -> np.ndarray:
     """Pack one shape bucket and run the batched sweep; returns (B, t_scan)
     int32 score streams."""
-    from edlib_tpu.ops import jax_engine
-
     B = len(q_ids_list)
     # Pad the batch axis to a power of two so compiled sweep shapes are
     # reused across calls (padding rows are all-wildcard no-ops).
@@ -75,8 +74,34 @@ def _sweep_bucket(q_ids_list, t_ids_list, sigma: int, eq: np.ndarray,
     for b, (q_ids, t_ids) in enumerate(zip(q_ids_list, t_ids_list)):
         peq[b] = encode.build_peq_words(q_ids, eq, n_words=n_words)
         targets[b, :len(t_ids)] = t_ids
-    scores = jax_engine.sweep_scores(peq, targets, hin0=hin0)
-    return np.asarray(scores)[:B]
+    return _run_sweep(peq, targets, hin0)[:B]
+
+
+def _pallas_mode() -> str:
+    """'tpu' to use the Pallas kernel, 'interpret' to force the interpreter
+    (tests), '' to use the XLA scan engine."""
+    forced = os.environ.get("EDLIB_TPU_FORCE_PALLAS", "")
+    if forced:
+        return forced
+    import jax
+    return "tpu" if jax.default_backend() == "tpu" else ""
+
+
+def _run_sweep(peq: np.ndarray, targets: np.ndarray, hin0: int) -> np.ndarray:
+    """Dispatch a packed sweep to the right engine for the current backend.
+
+    On TPU the XLA scan engine is latency-bound (per-step while-loop
+    overhead), so the Pallas kernel runs the column loop on-chip; on CPU the
+    scan engine wins (Pallas would interpret).
+    """
+    from edlib_tpu.ops import jax_engine, pallas_kernel
+
+    mode = _pallas_mode()
+    if mode and peq.shape[1] <= pallas_kernel.MAX_SIGMA_PALLAS:
+        sweeper = pallas_kernel.PallasSweeper(
+            chunk=256, interpret=(mode == "interpret"))
+        return sweeper.sweep(peq, targets, hin0=hin0)
+    return np.asarray(jax_engine.sweep_scores(peq, targets, hin0=hin0))
 
 
 def _run_bucketed(pairs: List[Tuple[np.ndarray, np.ndarray]], sigma: int,

@@ -68,6 +68,13 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.etn_nw_cells_at.restype = None
     lib.etn_nw_cells_at.argtypes = [ctypes.c_void_p, c_i64, c_i64,
                                     ctypes.c_void_p, c_i64, ctypes.c_void_p]
+    lib.etn_sweep_scores_banded.restype = None
+    lib.etn_sweep_scores_banded.argtypes = [
+        ctypes.c_void_p, c_i64, ctypes.c_void_p, c_i64, ctypes.c_int,
+        c_i64, ctypes.c_void_p]
+    lib.etn_nw_distance_banded.restype = ctypes.c_int32
+    lib.etn_nw_distance_banded.argtypes = [
+        ctypes.c_void_p, c_i64, ctypes.c_void_p, c_i64, c_i64, c_i64]
     return lib
 
 
@@ -156,6 +163,37 @@ def sweep_scores_native(peq64: np.ndarray, target_ext: np.ndarray,
                          target_ext.ctypes.data, len(target_ext), hin0,
                          out.ctypes.data)
     return out
+
+
+SCORE_INF = 0x3FFFFFFF  # banded sweeps: "provably > k" marker
+
+
+def sweep_scores_banded_native(peq64: np.ndarray, target_ext: np.ndarray,
+                               hin0: int, k: int) -> Optional[np.ndarray]:
+    """Ukkonen-banded sweep; entries are exact where <= k, SCORE_INF where
+    the band proves the score > k."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    peq64 = np.ascontiguousarray(peq64, dtype=np.uint64)
+    target_ext = np.ascontiguousarray(target_ext, dtype=np.uint8)
+    out = np.empty(len(target_ext), dtype=np.int32)
+    lib.etn_sweep_scores_banded(peq64.ctypes.data, peq64.shape[1],
+                                target_ext.ctypes.data, len(target_ext),
+                                hin0, int(k), out.ctypes.data)
+    return out
+
+
+def nw_distance_banded_native(peq64: np.ndarray, t_ids: np.ndarray,
+                              qlen: int, k: int) -> Optional[int]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    peq64 = np.ascontiguousarray(peq64, dtype=np.uint64)
+    t = np.ascontiguousarray(t_ids, dtype=np.uint8)
+    return int(lib.etn_nw_distance_banded(peq64.ctypes.data, peq64.shape[1],
+                                          t.ctypes.data, len(t), qlen,
+                                          int(k)))
 
 
 def nw_cells_at_native(peq64: np.ndarray, qlen: int, t_ids: np.ndarray,

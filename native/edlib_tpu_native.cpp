@@ -173,6 +173,175 @@ void etn_sweep_scores(const Word* peq, int64_t n_words,
     }
 }
 
+// ---------------------------------------------------------------------------
+// Banded engines (Ukkonen pruning; Myers 1999 §4 block reduction).
+// Pruning-only: every emitted score <= the k in force is exact; cells the
+// band skips are provably > k.  Semantics therefore identical to the
+// unbanded sweeps after host filtering (counterpart of the reference's
+// banded engines, edlib.cpp:550-928, with our wildcard-extension output
+// convention instead of block readouts).
+// ---------------------------------------------------------------------------
+
+static const int32_t SCORE_INF = 0x3FFFFFFF;
+
+static inline bool all_cells_above_k(Word P, Word M, int64_t bottom,
+                                     int64_t k) {
+    // Walk cells bottom-up: cell(i-1) = cell(i) - P_i + M_i.
+    int64_t v = bottom;
+    Word bit = (Word)1 << (WBITS - 1);
+    for (int i = 0; i < WBITS; i++) {
+        if (v <= k) return false;
+        v -= (int64_t)((P & bit) != 0);
+        v += (int64_t)((M & bit) != 0);
+        bit >>= 1;
+    }
+    return true;
+}
+
+// Semiglobal banded sweep over the wildcard-extended target.
+// Emits bottom score per column, SCORE_INF where the band excludes the
+// bottom block (true score > k there).  k tightens to the running best.
+void etn_sweep_scores_banded(const Word* peq, int64_t n_words,
+                             const uint8_t* target, int64_t t_scan,
+                             int hin0, int64_t k, int32_t* scores_out) {
+    const int64_t maxNB = n_words;
+    std::vector<Word> Pv(maxNB, ~(Word)0), Mv(maxNB, 0);
+    std::vector<int64_t> score(maxNB);
+    for (int64_t b = 0; b < maxNB; b++) score[b] = (b + 1) * WBITS;
+    int64_t first = 0;
+    int64_t last = std::min((k + 1 + WBITS - 1) / WBITS, maxNB) - 1;
+    if (last < 0) last = 0;
+    const int64_t STRONG_EVERY = 2048;
+
+    for (int64_t c = 0; c < t_scan; c++) {
+        const Word* eq = peq + (int64_t)target[c] * n_words;
+        int h = hin0;
+        for (int64_t b = first; b <= last; b++) {
+            h = advance(Pv[b], Mv[b], eq[b], h);
+            score[b] += h;
+        }
+        // Band bottom: grow by one when the next block may hold <=k cells,
+        // else shrink while provably out of band.
+        if (last < maxNB - 1 && score[last] - h <= k
+            && ((eq[last + 1] & (Word)1) || h < 0)) {
+            last++;
+            Pv[last] = ~(Word)0;
+            Mv[last] = 0;
+            score[last] = score[last - 1] - h + WBITS;
+            int h2 = advance(Pv[last], Mv[last], eq[last], h);
+            score[last] += h2;
+            h = h2;
+        } else {
+            while (last >= first && score[last] >= k + WBITS) last--;
+        }
+        if (c % STRONG_EVERY == 0) {
+            while (last >= first
+                   && all_cells_above_k(Pv[last], Mv[last], score[last], k))
+                last--;
+        }
+        if (hin0 == 0) {
+            // HW: block 0 stays alive forever (free restart at the top
+            // boundary keeps every column a candidate).
+            if (last < first) last = first;
+        } else {
+            while (first <= last && score[first] >= k + WBITS) first++;
+            if (c % STRONG_EVERY == 0) {
+                while (first <= last
+                       && all_cells_above_k(Pv[first], Mv[first],
+                                            score[first], k))
+                    first++;
+            }
+            if (last < first) {  // band vanished: all later scores > k
+                for (int64_t cc = c; cc < t_scan; cc++)
+                    scores_out[cc] = SCORE_INF;
+                return;
+            }
+        }
+        if (last == maxNB - 1) {
+            scores_out[c] = (int32_t)score[last];
+            if (score[last] < k) k = score[last];  // equal-or-better search
+        } else {
+            scores_out[c] = SCORE_INF;
+        }
+    }
+}
+
+// NW banded distance: static diagonal band from the feasibility bound
+// |r-c| + |(Q-1-r)-(T-1-c)| <= k, tightened per column by the corner upper
+// bound.  Returns the distance, or -1 when it exceeds k.
+int32_t etn_nw_distance_banded(const Word* peq, int64_t n_words,
+                               const uint8_t* target, int64_t tlen,
+                               int64_t qlen, int64_t k) {
+    if (k < 0) return -1;
+    int64_t diff = qlen - tlen;
+    if ((diff > 0 ? diff : -diff) > k) return -1;
+    const int64_t maxNB = n_words;
+    std::vector<Word> Pv(maxNB, ~(Word)0), Mv(maxNB, 0);
+    std::vector<int64_t> score(maxNB);
+    for (int64_t b = 0; b < maxNB; b++) score[b] = (b + 1) * WBITS;
+    // Row band at column c: r in [c + lo, c + hi],
+    // lo = min(0, Q-T) - s, hi = max(0, Q-T) + s, s = (k - |Q-T|) / 2.
+    auto band_blocks = [&](int64_t c, int64_t kk, int64_t& bf, int64_t& bl) {
+        int64_t s = (kk - (diff > 0 ? diff : -diff)) / 2;
+        int64_t lo = (diff < 0 ? diff : 0) - s;
+        int64_t hi = (diff > 0 ? diff : 0) + s;
+        int64_t r_lo = c + lo, r_hi = c + hi;
+        bf = r_lo <= 0 ? 0 : r_lo / WBITS;
+        bl = r_hi >= qlen - 1 ? maxNB - 1 : r_hi / WBITS;
+        if (bf > maxNB - 1) bf = maxNB - 1;
+        if (bl < 0) bl = 0;
+    };
+    int64_t first, last;
+    band_blocks(0, k, first, last);
+    first = 0;  // initial column state covers all rows from the top
+    for (int64_t c = 0; c < tlen; c++) {
+        const Word* eq = peq + (int64_t)target[c] * n_words;
+        int h = 1;
+        for (int64_t b = first; b <= last; b++) {
+            h = advance(Pv[b], Mv[b], eq[b], h);
+            score[b] += h;
+        }
+        // Tighten k: the corner is reachable from the band bottom cell in
+        // at most max(row-distance, col-distance) further edits; when the
+        // bottom block is the padded last block, its bottom cell is W rows
+        // and W columns away from the real corner diagonal, so add W.
+        int64_t rb = (last + 1) * WBITS - 1;
+        int64_t row_rem = qlen - rb - 1;  // may be negative
+        int64_t col_rem = tlen - c - 1;
+        int64_t rem = (row_rem > col_rem ? row_rem : col_rem)
+            + (last == maxNB - 1 ? maxNB * WBITS - qlen : 0);
+        if (score[last] + rem < k) k = score[last] + rem;
+        if ((diff > 0 ? diff : -diff) > k) return -1;
+        // Static band for the next column.
+        int64_t nf, nl;
+        band_blocks(c + 1, k, nf, nl);
+        if (nl > last) {
+            // Band bottom crossed into a new block: synthesize its state at
+            // this column as "cell above + 1 each" (upper bounds; cells <= k
+            // are never synthesized, so exactness within k is preserved).
+            for (int64_t b = last + 1; b <= nl; b++) {
+                Pv[b] = ~(Word)0;
+                Mv[b] = 0;
+                score[b] = score[b - 1] + WBITS;
+            }
+        }
+        if (nf > first) first = nf <= nl ? nf : nl;
+        last = nl;
+        if (first > last) return -1;
+    }
+    // Decode cell (qlen-1, tlen-1) from its block.
+    int64_t bq = (qlen - 1) / WBITS;
+    if (bq < first || bq > last) return -1;
+    int64_t v = score[bq];
+    int64_t top_row = bq * WBITS;
+    for (int64_t r = (bq + 1) * WBITS - 1; r > qlen - 1; r--) {
+        Word bit = (Word)1 << (r - top_row);
+        v -= (int64_t)((Pv[bq] & bit) != 0);
+        v += (int64_t)((Mv[bq] & bit) != 0);
+    }
+    return v <= k ? (int32_t)v : -1;
+}
+
 // Sweep to a stop column and decode that column's cell values — the
 // Hirschberg primitive (counterpart of targetStopPosition, edlib.cpp:896-908,
 // but returning decoded int cells instead of bit state).
