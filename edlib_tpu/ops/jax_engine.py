@@ -115,6 +115,48 @@ def sweep_scores(peq: jnp.ndarray, targets: jnp.ndarray, hin0: int,
     return scores.T
 
 
+# ---------------------------------------------------------------------------
+# Resumable sweep: the scan carry (Pv, Mv, score) is an explicit checkpoint.
+# Device counterpart of the reference's targetStopPosition column snapshot
+# (edlib.cpp:725-727, 896-908): stream a long target through bounded memory
+# in segments, persist/restore the state between segments (or hand it to the
+# next host in a pipeline).
+# ---------------------------------------------------------------------------
+
+
+def initial_state(B: int, n_words: int):
+    """Fresh sweep state (column -1): Pv all ones, Mv zero, padded-bottom
+    score = n_words*32."""
+    return (np.full((n_words, B), 0xFFFFFFFF, dtype=np.uint32),
+            np.zeros((n_words, B), dtype=np.uint32),
+            np.full((B,), n_words * WORD_SIZE, dtype=np.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("hin0",))
+def sweep_scores_resumable(peq: jnp.ndarray, targets: jnp.ndarray,
+                           state, hin0: int):
+    """Like sweep_scores but takes and returns the carried state.
+
+    state: (Pv (NW, B) uint32, Mv (NW, B) uint32, score (B,) int32).
+    Returns (scores (B, T_seg) int32, new_state).  Chaining segments
+    t0|t1|... reproduces the single-call sweep exactly.
+    """
+    B, S1, NW = peq.shape
+    peq_t = jnp.transpose(peq, (1, 2, 0))
+
+    def col_step(carry, sym):
+        Pv, Mv, score = carry
+        idx = sym[None, None, :].astype(jnp.int32)
+        eq = jnp.take_along_axis(peq_t, jnp.broadcast_to(idx, (1, NW, B)),
+                                 axis=0)[0]
+        Pv, Mv, hout = _column_update(Pv, Mv, eq, hin0)
+        score = score + hout
+        return (Pv, Mv, score), score
+
+    new_state, scores = jax.lax.scan(col_step, tuple(state), targets.T)
+    return scores.T, new_state
+
+
 def semiglobal_scores_batch(peq, targets, mode_is_hw: bool):
     return sweep_scores(peq, targets, hin0=0 if mode_is_hw else 1)
 
