@@ -244,6 +244,29 @@ def align(query, target, mode="NW", task="distance", k=-1,
     if k is None:
         k = -1
     qb, tb, eq_pairs = encode.map_to_bytes(query, target, additionalEqualities)
+
+    # Latency fast path: full DISTANCE/LOC orchestration in one native call
+    # (no numpy/Python in the loop).  PATH and empty sequences take the
+    # general route.
+    if task != AlignTask.PATH and len(qb) and len(tb):
+        from edlib_tpu import native_loader
+        res = native_loader.align_native(qb, tb, mode.name,
+                                         task == AlignTask.LOC, k, eq_pairs)
+        if res is not None:
+            locations = []
+            starts = res["startLocations"]
+            for i, e in enumerate(res["endLocations"]):
+                s = int(starts[i]) if starts is not None else None
+                locations.append((s, int(e)))
+            if res["editDistance"] < 0:
+                locations = []
+            return {
+                "editDistance": int(res["editDistance"]),
+                "alphabetLength": int(res["alphabetLength"]),
+                "locations": locations,
+                "cigar": None,
+            }
+
     q_ids, t_ids, alphabet = encode.transform_sequences(qb, tb)
     eq = encode.build_equality_matrix(alphabet, eq_pairs)
     result = align_ids(q_ids, t_ids, eq, k, mode, task, len(alphabet))

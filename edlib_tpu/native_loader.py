@@ -75,6 +75,13 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.etn_nw_distance_banded.restype = ctypes.c_int32
     lib.etn_nw_distance_banded.argtypes = [
         ctypes.c_void_p, c_i64, ctypes.c_void_p, c_i64, c_i64, c_i64]
+    lib.etn_align.restype = ctypes.c_int
+    lib.etn_align.argtypes = [
+        ctypes.c_char_p, c_i64, ctypes.c_char_p, c_i64,
+        ctypes.c_int, ctypes.c_int, c_i64,
+        ctypes.c_void_p, ctypes.c_void_p, c_i64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_void_p, ctypes.POINTER(c_i64), ctypes.c_void_p]
     return lib
 
 
@@ -166,6 +173,49 @@ def sweep_scores_native(peq64: np.ndarray, target_ext: np.ndarray,
 
 
 SCORE_INF = 0x3FFFFFFF  # banded sweeps: "provably > k" marker
+
+_MODE_CODE = {"NW": 0, "SHW": 1, "HW": 2}
+
+
+def align_native(query: bytes, target: bytes, mode: str, want_starts: bool,
+                 k: int, eq_pairs) -> Optional[dict]:
+    """Full single-pair DISTANCE/LOC orchestration in C.
+
+    Returns {editDistance, alphabetLength, endLocations, startLocations}
+    with numpy arrays, or None when unavailable (no lib / >255 symbols).
+    Empty sequences must be handled by the caller.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    tlen = len(target)
+    n_eq = 0
+    eq_a = eq_b = None
+    if eq_pairs:
+        n_eq = len(eq_pairs)
+        eq_a = np.array([p[0] for p in eq_pairs], dtype=np.uint8)
+        eq_b = np.array([p[1] for p in eq_pairs], dtype=np.uint8)
+    dist = ctypes.c_int32()
+    alpha = ctypes.c_int32()
+    n_locs = ctypes.c_int64()
+    ends = np.empty(tlen + 1, dtype=np.int32)
+    starts = np.empty(tlen + 1, dtype=np.int32)
+    rc = lib.etn_align(
+        query, len(query), target, tlen,
+        _MODE_CODE[mode], int(want_starts), int(k),
+        eq_a.ctypes.data if eq_a is not None else None,
+        eq_b.ctypes.data if eq_b is not None else None, n_eq,
+        ctypes.byref(dist), ctypes.byref(alpha),
+        ends.ctypes.data, ctypes.byref(n_locs), starts.ctypes.data)
+    if rc != 0:
+        return None
+    n = n_locs.value
+    return {
+        "editDistance": dist.value,
+        "alphabetLength": alpha.value,
+        "endLocations": ends[:n].astype(np.int64),
+        "startLocations": starts[:n].astype(np.int64) if want_starts else None,
+    }
 
 
 def sweep_scores_banded_native(peq64: np.ndarray, target_ext: np.ndarray,

@@ -312,6 +312,11 @@ int32_t etn_nw_distance_banded(const Word* peq, int64_t n_words,
             + (last == maxNB - 1 ? maxNB * WBITS - qlen : 0);
         if (score[last] + rem < k) k = score[last] + rem;
         if ((diff > 0 ? diff : -diff) > k) return -1;
+        // Cheap value-based shrink: a block whose bottom score is >= k+64
+        // has every cell > k (cells within a block differ by < 64).
+        while (last >= first && score[last] >= k + WBITS) last--;
+        while (first <= last && score[first] >= k + WBITS) first++;
+        if (first > last) return -1;
         // Static band for the next column.
         int64_t nf, nl;
         band_blocks(c + 1, k, nf, nl);
@@ -462,6 +467,178 @@ int64_t etn_nw_path(const uint8_t* q_ids, int64_t qlen,
         uint8_t t = ops_out[i]; ops_out[i] = ops_out[j]; ops_out[j] = t;
     }
     return n_ops;
+}
+
+// ---------------------------------------------------------------------------
+// Full single-pair orchestration (the CLI/latency fast path): alphabet
+// transform, equality matrix, profile build, banded sweep with dynamic-k
+// doubling, and location filtering — one call, no Python in the loop.
+// Counterpart of edlibAlign for DISTANCE/LOC (edlib.cpp:146-272); PATH
+// reconstruction stays in the host layer.
+//
+// Returns 0 on success, 1 if the combined alphabet exceeds 255 symbols
+// (the wildcard/NULL convention needs byte headroom; caller falls back).
+// Outputs: end_locs (capacity tlen+1), start_locs (capacity tlen+1, filled
+// when want_starts). edit_distance = -1 when above k.
+// ---------------------------------------------------------------------------
+
+static int64_t filter_positions(const int32_t* stream, int64_t tlen,
+                                int64_t qlen, int64_t k_eff,
+                                int32_t* locs_out, int32_t* best_out) {
+    // All minimal end positions, ascending; emulates the reference's
+    // 64-bit-padding -1 candidate (score exactly qlen iff qlen % 64 != 0).
+    int64_t best = SCORE_INF;
+    for (int64_t c = 0; c < tlen; c++)
+        if (stream[c] < best) best = stream[c];
+    bool neg1 = (qlen % 64) != 0;
+    if (neg1 && qlen < best) best = qlen;
+    if (best > k_eff || best >= SCORE_INF) {
+        *best_out = -1;
+        return 0;
+    }
+    int64_t n = 0;
+    if (neg1 && qlen == best) locs_out[n++] = -1;
+    for (int64_t c = 0; c < tlen; c++)
+        if (stream[c] == best) locs_out[n++] = (int32_t)c;
+    *best_out = (int32_t)best;
+    return n;
+}
+
+static void semiglobal_best(const Word* peq, int64_t n_words,
+                            const uint8_t* t_ext, int64_t t_scan,
+                            int64_t w_pad, int64_t qlen, int64_t tlen,
+                            int hin0, int64_t k, bool dynamic,
+                            std::vector<int32_t>& stream,
+                            int32_t* best, int32_t* locs, int64_t* n_locs) {
+    // Semiglobal best is always <= qlen, so the doubling loop caps there.
+    stream.resize(t_scan);
+    int64_t kk = dynamic ? 64 : k;
+    for (;;) {
+        int64_t k_run = kk < qlen ? kk : qlen;
+        etn_sweep_scores_banded(peq, n_words, t_ext, t_scan, hin0, k_run,
+                                stream.data());
+        *n_locs = filter_positions(stream.data() + w_pad, tlen, qlen, k_run,
+                                   locs, best);
+        if (*best >= 0 || !dynamic || k_run >= qlen) return;
+        kk *= 2;
+    }
+}
+
+int etn_align(const uint8_t* query, int64_t qlen,
+              const uint8_t* target, int64_t tlen,
+              int mode /*0 NW,1 SHW,2 HW*/, int want_starts, int64_t k,
+              const uint8_t* eq_first, const uint8_t* eq_second,
+              int64_t n_eq,
+              int32_t* edit_distance_out, int32_t* alphabet_len_out,
+              int32_t* end_locs_out, int64_t* n_locs_out,
+              int32_t* start_locs_out) {
+    // --- alphabet transform (first-appearance order, query then target) ---
+    int16_t letter_idx[256];
+    for (int i = 0; i < 256; i++) letter_idx[i] = -1;
+    int sigma = 0;
+    std::vector<uint8_t> q_ids(qlen), t_ids(tlen);
+    for (int64_t i = 0; i < qlen; i++) {
+        if (letter_idx[query[i]] < 0) letter_idx[query[i]] = (int16_t)sigma++;
+        if (sigma > 255) return 1;
+        q_ids[i] = (uint8_t)letter_idx[query[i]];
+    }
+    for (int64_t i = 0; i < tlen; i++) {
+        if (letter_idx[target[i]] < 0) letter_idx[target[i]] = (int16_t)sigma++;
+        if (sigma > 255) return 1;
+        t_ids[i] = (uint8_t)letter_idx[target[i]];
+    }
+    *alphabet_len_out = sigma;
+
+    // --- equality matrix ---
+    std::vector<uint8_t> eq((size_t)sigma * sigma, 0);
+    for (int s = 0; s < sigma; s++) eq[(size_t)s * sigma + s] = 1;
+    for (int64_t i = 0; i < n_eq; i++) {
+        int a = letter_idx[eq_first[i]], b = letter_idx[eq_second[i]];
+        if (a >= 0 && b >= 0) {
+            eq[(size_t)a * sigma + b] = eq[(size_t)b * sigma + a] = 1;
+        }
+    }
+
+    // --- query profile (64-bit) ---
+    int64_t n_words = (qlen + WBITS - 1) / WBITS;
+    if (n_words == 0) n_words = 1;
+    std::vector<Word> peq((size_t)(sigma + 1) * n_words);
+    etn_build_peq(q_ids.data(), qlen, eq.data(), sigma, peq.data());
+
+    const bool dynamic = k < 0;
+    *edit_distance_out = -1;
+    *n_locs_out = 0;
+
+    if (mode == 0) {  // NW
+        int64_t bound = qlen > tlen ? qlen : tlen;
+        int32_t d = -1;
+        if (dynamic) {
+            for (int64_t kk = 64;; kk *= 2) {
+                int64_t k_run = kk < bound ? kk : bound;
+                d = etn_nw_distance_banded(peq.data(), n_words, t_ids.data(),
+                                           tlen, qlen, k_run);
+                if (d >= 0 || k_run >= bound) break;
+            }
+        } else {
+            d = etn_nw_distance_banded(peq.data(), n_words, t_ids.data(),
+                                       tlen, qlen, k < bound ? k : bound);
+        }
+        if (d < 0) return 0;
+        *edit_distance_out = d;
+        end_locs_out[0] = (int32_t)(tlen - 1);
+        *n_locs_out = 1;
+        if (want_starts) start_locs_out[0] = 0;
+        return 0;
+    }
+
+    // --- HW / SHW ---
+    int64_t w_pad = n_words * WBITS - qlen;
+    std::vector<uint8_t> t_ext(tlen + w_pad);
+    memcpy(t_ext.data(), t_ids.data(), tlen);
+    for (int64_t i = 0; i < w_pad; i++) t_ext[tlen + i] = (uint8_t)sigma;
+    int hin0 = mode == 2 ? 0 : 1;
+    std::vector<int32_t> stream;
+    int32_t best;
+    int64_t n_locs;
+    semiglobal_best(peq.data(), n_words, t_ext.data(), tlen + w_pad, w_pad,
+                    qlen, tlen, hin0, k, dynamic, stream, &best,
+                    end_locs_out, &n_locs);
+    if (best < 0) return 0;
+    *edit_distance_out = best;
+    *n_locs_out = n_locs;
+
+    if (!want_starts) return 0;
+    if (mode == 1) {  // SHW: starts are all 0 (edlib.cpp:267-271)
+        for (int64_t i = 0; i < n_locs; i++) start_locs_out[i] = 0;
+        return 0;
+    }
+    // HW: reversed-SHW per end location, take the LAST minimal position
+    // (edlib.cpp:230-266).
+    std::vector<uint8_t> rq_ids(q_ids.rbegin(), q_ids.rend());
+    std::vector<Word> rpeq((size_t)(sigma + 1) * n_words);
+    etn_build_peq(rq_ids.data(), qlen, eq.data(), sigma, rpeq.data());
+    std::vector<uint8_t> rt_ext;
+    std::vector<int32_t> sub_stream;
+    std::vector<int32_t> sub_locs;
+    for (int64_t i = 0; i < n_locs; i++) {
+        int64_t e = end_locs_out[i];
+        if (e == -1) {
+            start_locs_out[i] = 0;  // open edge case (edlib.cpp:237-249)
+            continue;
+        }
+        int64_t plen = e + 1;
+        rt_ext.resize(plen + w_pad);
+        for (int64_t j = 0; j < plen; j++) rt_ext[j] = t_ids[e - j];
+        for (int64_t j = 0; j < w_pad; j++) rt_ext[plen + j] = (uint8_t)sigma;
+        sub_locs.resize(plen + 1);
+        int32_t sub_best;
+        int64_t sub_n;
+        semiglobal_best(rpeq.data(), n_words, rt_ext.data(), plen + w_pad,
+                        w_pad, qlen, plen, 1, *edit_distance_out, false,
+                        sub_stream, &sub_best, sub_locs.data(), &sub_n);
+        start_locs_out[i] = (int32_t)(e - sub_locs[sub_n - 1]);
+    }
+    return 0;
 }
 
 }  // extern "C"
