@@ -42,6 +42,7 @@ from edlib_tpu.types import (
 )
 from edlib_tpu.align import align, align_batch
 from edlib_tpu.cigar import alignment_to_cigar, cigar_to_alignment
+from edlib_tpu.mapping import map_reads
 from edlib_tpu.nice import getNiceAlignment
 
 __version__ = "0.1.0"
@@ -49,6 +50,7 @@ __version__ = "0.1.0"
 __all__ = [
     "align",
     "align_batch",
+    "map_reads",
     "getNiceAlignment",
     "alignment_to_cigar",
     "cigar_to_alignment",

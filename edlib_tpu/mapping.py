@@ -1,0 +1,174 @@
+"""map_reads — the TPU-native read-mapping fast path.
+
+A purpose-built API for the headline workload (thousands of reads vs one
+reference sequence, HW mode): returns per-read (best edit distance, end
+position of the first best hit) — the reduction happens ON CHIP, so HBM
+traffic and host transfer are O(batch), not O(batch x target).
+
+This intentionally returns less than ``align_batch`` (which reports ALL
+minimal end locations for edlib parity): when you only need the best hit
+per read — the common mapping case — this path is orders of magnitude
+lighter.  Results agree with ``align(...)['locations'][0][1]``-style firsts:
+best == editDistance and pos == endLocations[0] whenever the best hit's
+first position is wanted (ties resolve to the smallest end position, like
+the first entry of the reference's ascending location list).
+
+Queries may have mixed lengths up to a bucket maximum; each read's wildcard
+padding is handled per-lane (scores compared against per-lane column
+bounds in the kernel would cost ops, so mixed-length batches are grouped by
+word count and post-filtered on host).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from edlib_tpu import encode
+from edlib_tpu.types import AlignMode
+
+_INF = float("inf")
+
+
+def _prep(reads: Sequence[bytes], target: bytes):
+    glob_idx = np.full(256, -1, dtype=np.int16)
+    alphabet = bytearray()
+
+    def enc(seq: bytes) -> np.ndarray:
+        arr = np.frombuffer(seq, dtype=np.uint8)
+        for c in np.unique(arr):
+            if glob_idx[c] < 0:
+                glob_idx[c] = len(alphabet)
+                alphabet.append(int(c))
+        return glob_idx[arr].astype(np.int32)
+
+    t_ids = enc(target)
+    read_ids = [enc(r) for r in reads]
+    return read_ids, t_ids, len(alphabet)
+
+
+def map_reads(reads: Sequence, target, mode="HW", k: int = -1
+              ) -> Tuple[np.ndarray, np.ndarray]:
+    """Best-hit mapping of reads against one shared target.
+
+    Returns (best int64 (B,), end_pos int64 (B,)): best = minimal edit
+    distance of read vs any target window (HW) / prefix end (SHW); end_pos
+    = smallest end position achieving it.  best > k (when k >= 0) is
+    reported as -1 with end_pos -1.
+    """
+    mode = AlignMode.parse(mode)
+    if mode == AlignMode.NW:
+        raise ValueError("map_reads is for semiglobal modes (HW/SHW)")
+    if isinstance(target, str):
+        target = target.encode()
+    reads_b = [r.encode() if isinstance(r, str) else bytes(r) for r in reads]
+    read_ids, t_ids, sigma = _prep(reads_b, bytes(target))
+    B = len(reads_b)
+    best = np.full(B, -1, dtype=np.int64)
+    pos = np.full(B, -1, dtype=np.int64)
+    if B == 0 or len(t_ids) == 0:
+        if B and len(t_ids) == 0:
+            # Empty target: best = read length at position -1 (edlib
+            # empty-sequence convention).
+            for i, r in enumerate(read_ids):
+                if k < 0 or len(r) <= k:
+                    best[i] = len(r)
+        return best, pos
+
+    hin0 = 0 if mode == AlignMode.HW else 1
+    dev = _map_reads_device(read_ids, t_ids, sigma, hin0)
+    if dev is None:
+        dev = _map_reads_host(read_ids, t_ids, sigma, mode)
+    raw_best, raw_pos = dev
+    for i, r in enumerate(read_ids):
+        b = int(raw_best[i])
+        p = int(raw_pos[i])
+        qlen = len(r)
+        # The -1 end-location candidate (score exactly qlen; edlib 64-bit
+        # padding emulation) sorts before any real position.
+        if qlen % 64 != 0 and qlen <= b:
+            b = min(b, qlen)
+            p = -1
+        if k >= 0 and b > k:
+            continue
+        best[i] = b
+        pos[i] = p
+    return best, pos
+
+
+def _map_reads_host(read_ids, t_ids, sigma, mode):
+    from edlib_tpu.ops import host as host_engine
+    eq = np.eye(sigma, dtype=bool)
+    t8 = t_ids.astype(np.uint8)
+    best = np.empty(len(read_ids), np.int64)
+    pos = np.empty(len(read_ids), np.int64)
+    for i, r in enumerate(read_ids):
+        peq = encode.build_peq_bigint(r.astype(np.uint8), eq)
+        scores = host_engine.semiglobal_scores(peq, t8, len(r), mode)
+        best[i] = scores.min()
+        pos[i] = int(np.argmin(scores))
+    return best, pos
+
+
+def _map_reads_device(read_ids, t_ids, sigma, hin0):
+    """Shared-target Pallas reduction kernel; None when not applicable."""
+    import os
+
+    forced = os.environ.get("EDLIB_TPU_FORCE_PALLAS", "")
+    try:
+        import jax
+    except Exception:
+        return None
+    if not forced and jax.default_backend() != "tpu":
+        return None
+    from edlib_tpu.ops import pallas_kernel as pk
+
+    if sigma + 1 > pk.MAX_SIGMA_PALLAS:
+        return None
+    import jax.numpy as jnp
+
+    B = len(read_ids)
+    qmax = max(len(r) for r in read_ids)
+    n_words = encode.num_words(qmax)
+    # Uniform word count requirement: the kernel's column->position mapping
+    # uses one W per call; group lanes by per-read W on host afterwards.
+    # Simplest exact scheme: pad every read's PROFILE to n_words with
+    # wildcards and shift its own W; the kernel reduces over columns
+    # [w_min, w_min + tlen) ... to stay exact per read we run per distinct W
+    # when mixed.  Mixed-length batches are uncommon for mapping; group:
+    groups = {}
+    for i, r in enumerate(read_ids):
+        w = n_words * 32 - len(r)
+        groups.setdefault(w, []).append(i)
+
+    chunk = 256
+    tlen = len(t_ids)
+    best = np.empty(B, np.int64)
+    pos = np.empty(B, np.int64)
+    for w, idxs in groups.items():
+        t_scan = tlen + w
+        n_chunks = -(-t_scan // chunk)
+        tg = np.full(n_chunks * chunk, sigma, np.int32)
+        tg[:tlen] = t_ids
+        tg_chunks = tg.reshape(n_chunks, chunk, 1)
+        Bg = len(idxs)
+        B_pad = -(-Bg // pk.B_TILE) * pk.B_TILE
+        q_arr = np.full((B_pad, qmax), 0, np.int32)
+        qlens = np.zeros(B_pad, np.int32)
+        for row, i in enumerate(idxs):
+            q_arr[row, :len(read_ids[i])] = read_ids[i]
+            qlens[row] = len(read_ids[i])
+        peq = pk.build_peq_device(jnp.asarray(q_arr), jnp.asarray(qlens),
+                                  sigma, n_words)
+        tiles = pk.pack_tiles_device(peq)
+        b, p = pk.sweep_best_pallas_shared(
+            tiles, jnp.asarray(tg_chunks), hin0=hin0, col_lo=w,
+            col_hi=w + tlen, chunk=chunk,
+            interpret=(forced == "interpret"))
+        b = np.asarray(b).reshape(-1)[:Bg]
+        p = np.asarray(p).reshape(-1)[:Bg] - w
+        for row, i in enumerate(idxs):
+            best[i] = b[row]
+            pos[i] = p[row]
+    return best, pos
