@@ -1,0 +1,74 @@
+// Memory-safety smoke harness for the native library (run under valgrind by
+// `make check-memory`), covering FASTA, CIGAR, sweeps, path, and the full
+// align orchestrator — the counterpart of the reference's
+// check-memory-leaks target (Makefile:35-37).
+
+#include <cassert>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <vector>
+
+typedef uint64_t Word;
+
+extern "C" {
+int etn_fasta_stat(const char*, int64_t*, int64_t*);
+int etn_fasta_read(const char*, char*, int64_t*);
+int64_t etn_cigar_encode(const uint8_t*, int64_t, int, char*);
+void etn_build_peq(const uint8_t*, int64_t, const uint8_t*, int, Word*);
+void etn_sweep_scores(const Word*, int64_t, const uint8_t*, int64_t, int,
+                      int32_t*);
+void etn_sweep_scores_banded(const Word*, int64_t, const uint8_t*, int64_t,
+                             int, int64_t, int32_t*);
+int32_t etn_nw_distance_banded(const Word*, int64_t, const uint8_t*, int64_t,
+                               int64_t, int64_t);
+int64_t etn_nw_path(const uint8_t*, int64_t, const uint8_t*, int64_t,
+                    const uint8_t*, int, int32_t, uint8_t*);
+void etn_nw_cells_at(const Word*, int64_t, int64_t, const uint8_t*, int64_t,
+                     int32_t*);
+int etn_align(const uint8_t*, int64_t, const uint8_t*, int64_t, int, int,
+              int64_t, const uint8_t*, const uint8_t*, int64_t, int32_t*,
+              int32_t*, int32_t*, int64_t*, int32_t*);
+}
+
+int main() {
+    // CIGAR
+    uint8_t ops[] = {0, 0, 1, 2, 3, 3};
+    char cig[128];
+    assert(etn_cigar_encode(ops, 6, 1, cig) > 0);
+    assert(strcmp(cig, "2=1I1D2X") == 0);
+
+    // Sweeps + align
+    const uint8_t q[] = {0, 1, 2, 3, 0, 1, 2};
+    const uint8_t t[] = {1, 0, 1, 2, 3, 0, 1, 2, 2, 0};
+    uint8_t eq[16];
+    memset(eq, 0, 16);
+    for (int i = 0; i < 4; i++) eq[i * 4 + i] = 1;
+    std::vector<Word> peq(5);
+    etn_build_peq(q, 7, eq, 4, peq.data());
+    uint8_t t_ext[10 + 57];
+    memcpy(t_ext, t, 10);
+    memset(t_ext + 10, 4, 57);
+    std::vector<int32_t> scores(67);
+    etn_sweep_scores(peq.data(), 1, t_ext, 67, 0, scores.data());
+    etn_sweep_scores_banded(peq.data(), 1, t_ext, 67, 0, 3, scores.data());
+    int32_t d = etn_nw_distance_banded(peq.data(), 1, t, 10, 7, 10);
+    assert(d >= 0);
+
+    uint8_t path_ops[32];
+    int64_t n = etn_nw_path(q, 7, t, 10, eq, 4, d, path_ops);
+    assert(n > 0 && n <= 17);
+
+    std::vector<int32_t> cells(7);
+    etn_nw_cells_at(peq.data(), 1, 7, t, 4, cells.data());
+
+    int32_t dist, alpha, ends[11], starts[11];
+    int64_t nl;
+    int rc = etn_align((const uint8_t*)"ACT", 3, (const uint8_t*)"CGACTGAC",
+                       8, 2 /*HW*/, 1, -1, nullptr, nullptr, 0, &dist,
+                       &alpha, ends, &nl, starts);
+    assert(rc == 0 && dist == 0 && nl >= 1 && starts[0] == 2 && ends[0] == 4);
+
+    printf("native memcheck harness OK\n");
+    return 0;
+}

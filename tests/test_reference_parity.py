@@ -51,6 +51,25 @@ def test_random_parity(mode, task):
 
 
 @pytest.mark.parametrize("mode", MODES)
+def test_random_parity_reference_scale(mode):
+    """The reference suite's own size distribution (runTests.cpp:95-100):
+    Q in [50, 349], T in [500, 10499], alphabet 10."""
+    rng = np.random.RandomState(42)
+    for i in range(10):
+        qlen = 50 + rng.randint(300)
+        tlen = 500 + rng.randint(10000)
+        query = bytes(rng.randint(48, 58, qlen, dtype=np.uint8))
+        target = bytes(rng.randint(48, 58, tlen, dtype=np.uint8))
+        task = TASKS[i % 3]
+        assert_same(query, target, mode, task)
+        # Similar pairs stress the banded paths harder.
+        close = bytearray(target[:qlen + 50])
+        for j in range(0, len(close), 17):
+            close[j] = 48
+        assert_same(bytes(close[:qlen]), target, mode, task)
+
+
+@pytest.mark.parametrize("mode", MODES)
 def test_word_boundary_parity(mode):
     """Query lengths at/near 32 and 64-bit word boundaries, where padding
     artifacts (the -1 end location, final-column readout) live."""
