@@ -68,6 +68,10 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.etn_nw_cells_at.restype = None
     lib.etn_nw_cells_at.argtypes = [ctypes.c_void_p, c_i64, c_i64,
                                     ctypes.c_void_p, c_i64, ctypes.c_void_p]
+    lib.etn_nw_cells_at_banded.restype = None
+    lib.etn_nw_cells_at_banded.argtypes = [
+        ctypes.c_void_p, c_i64, c_i64, ctypes.c_void_p, c_i64, c_i64,
+        c_i64, ctypes.c_void_p]
     lib.etn_sweep_scores_banded.restype = None
     lib.etn_sweep_scores_banded.argtypes = [
         ctypes.c_void_p, c_i64, ctypes.c_void_p, c_i64, ctypes.c_int,
@@ -247,16 +251,25 @@ def nw_distance_banded_native(peq64: np.ndarray, t_ids: np.ndarray,
 
 
 def nw_cells_at_native(peq64: np.ndarray, qlen: int, t_ids: np.ndarray,
-                       stop: int) -> Optional[np.ndarray]:
-    """Cell values of NW column `stop` (the Hirschberg half-sweep)."""
+                       stop: int, k: Optional[int] = None
+                       ) -> Optional[np.ndarray]:
+    """Cell values of NW column `stop` (the Hirschberg half-sweep).
+
+    With k given, runs the bestScore-banded sweep; out-of-band cells come
+    back as SCORE_INF (provably > k)."""
     lib = get_lib()
     if lib is None:
         return None
     peq64 = np.ascontiguousarray(peq64, dtype=np.uint64)
     t = np.ascontiguousarray(t_ids, dtype=np.uint8)
     out = np.empty(qlen, dtype=np.int32)
-    lib.etn_nw_cells_at(peq64.ctypes.data, peq64.shape[1], qlen,
-                        t.ctypes.data, stop, out.ctypes.data)
+    if k is None:
+        lib.etn_nw_cells_at(peq64.ctypes.data, peq64.shape[1], qlen,
+                            t.ctypes.data, stop, out.ctypes.data)
+    else:
+        lib.etn_nw_cells_at_banded(peq64.ctypes.data, peq64.shape[1], qlen,
+                                   t.ctypes.data, len(t), stop, int(k),
+                                   out.ctypes.data)
     return out
 
 

@@ -41,19 +41,25 @@ _ONES = np.uint32(0xFFFFFFFF)
 
 
 def _advance_word(Pv, Mv, Eq, hin_neg_u, hin_pos_u):
-    """Myers block update on (8,128) uint32 tiles; hin encoded as two uint32
-    masks (1 where hin<0 / hin>0).  Returns (Pv', Mv', hout int32)."""
+    """Myers block update on (8,128) uint32 tiles.
+
+    hin/hout ride as two uint32 masks (1 where the horizontal delta is -1 /
+    +1) — extracting hout from the top bits BEFORE the shift avoids any
+    int<->uint round trip in the carry chain (~18 VPU ops per 32 cells).
+    Returns (Pv', Mv', hout_neg_u, hout_pos_u).
+    """
     Xv = Eq | Mv
     Eq = Eq | hin_neg_u
     Xh = (((Eq & Pv) + Pv) ^ Pv) | Eq
     Ph = Mv | ~(Xh | Pv)
     Mh = Pv & Xh
-    hout = ((Ph >> 31) & 1).astype(jnp.int32) - ((Mh >> 31) & 1).astype(jnp.int32)
+    hout_pos = Ph >> 31
+    hout_neg = Mh >> 31
     Ph = (Ph << 1) | hin_pos_u
     Mh = (Mh << 1) | hin_neg_u
     PvOut = Mh | ~(Xv | Ph)
     MvOut = Ph & Xv
-    return PvOut, MvOut, hout
+    return PvOut, MvOut, hout_neg, hout_pos
 
 
 def _sweep_kernel(targets_ref, peq_ref, scores_ref, pv_ref, mv_ref,
@@ -91,12 +97,10 @@ def _sweep_kernel(targets_ref, peq_ref, scores_ref, pv_ref, mv_ref,
             hin_neg = jnp.zeros((SUBLANES, LANES), jnp.uint32)
             hin_pos = jnp.ones((SUBLANES, LANES), jnp.uint32)
         for w in range(n_words):
-            pv, mv, hout = _advance_word(pv_ref[w], mv_ref[w], eqs[w],
-                                         hin_neg, hin_pos)
+            pv, mv, hin_neg, hin_pos = _advance_word(
+                pv_ref[w], mv_ref[w], eqs[w], hin_neg, hin_pos)
             pv_ref[w] = pv
             mv_ref[w] = mv
-            hin_neg = (hout < 0).astype(jnp.uint32)
-            hin_pos = (hout > 0).astype(jnp.uint32)
         score_ref[...] = score_ref[...] + hin_pos.astype(jnp.int32) \
             - hin_neg.astype(jnp.int32)
         scores_ref[c] = score_ref[...]
@@ -187,12 +191,10 @@ def _shared_kernel(targets_ref, peq_ref, best_ref, pos_ref, pv_ref, mv_ref,
             hin_neg = jnp.zeros((SUBLANES, LANES), jnp.uint32)
             hin_pos = jnp.ones((SUBLANES, LANES), jnp.uint32)
         for w in range(n_words):
-            pv, mv, hout = _advance_word(pv_ref[w], mv_ref[w],
-                                         peq_ref[sym, w], hin_neg, hin_pos)
+            pv, mv, hin_neg, hin_pos = _advance_word(
+                pv_ref[w], mv_ref[w], peq_ref[sym, w], hin_neg, hin_pos)
             pv_ref[w] = pv
             mv_ref[w] = mv
-            hin_neg = (hout < 0).astype(jnp.uint32)
-            hin_pos = (hout > 0).astype(jnp.uint32)
         score = score_ref[...] + hin_pos.astype(jnp.int32) \
             - hin_neg.astype(jnp.int32)
         score_ref[...] = score

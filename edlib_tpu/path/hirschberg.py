@@ -75,9 +75,11 @@ def _hirschberg(q_ids: np.ndarray, t_ids: np.ndarray,
             peq64 = build_peq_words(q_ids, eq, word_size=64, n_words=nw64)
             rpeq64 = build_peq_words(rq, eq, word_size=64, n_words=nw64)
             left = native_loader.nw_cells_at_native(peq64, qlen, t_ids,
-                                                    left_w - 1)
+                                                    left_w - 1,
+                                                    k=best_score)
             rev = native_loader.nw_cells_at_native(rpeq64, qlen, rt,
-                                                   right_w - 1)
+                                                   right_w - 1,
+                                                   k=best_score)
     if left is None:
         peq = build_peq_bigint(q_ids, eq)
         rpeq = build_peq_bigint(rq, eq)

@@ -370,25 +370,80 @@ void etn_nw_cells_at(const Word* peq, int64_t n_words, int64_t qlen,
     }
 }
 
+// Banded variant: bestScore-banded sweep to the stop column (like the
+// reference's Hirschberg half-sweeps, which run NW with k = bestScore,
+// edlib.cpp:1252-1260).  Out-of-band cells are reported as SCORE_INF —
+// they are provably > k and can never satisfy the crossing-row equation.
+// tlen is the FULL window width (the band geometry needs it, the sweep
+// stops at `stop`).
+void etn_nw_cells_at_banded(const Word* peq, int64_t n_words, int64_t qlen,
+                            const uint8_t* target, int64_t tlen,
+                            int64_t stop, int64_t k, int32_t* cells_out) {
+    const int64_t maxNB = n_words;
+    int64_t diff = qlen - tlen;
+    std::vector<Word> Pv(maxNB, ~(Word)0), Mv(maxNB, 0);
+    std::vector<int64_t> score(maxNB);
+    for (int64_t b = 0; b < maxNB; b++) score[b] = (b + 1) * WBITS;
+    auto band_rows = [&](int64_t c, int64_t& r_lo, int64_t& r_hi) {
+        int64_t ad = diff > 0 ? diff : -diff;
+        int64_t s = (k - ad) / 2;
+        if (s < 0) s = 0;
+        r_lo = c + (diff < 0 ? diff : 0) - s;
+        r_hi = c + (diff > 0 ? diff : 0) + s;
+    };
+    int64_t first = 0, last;
+    {
+        int64_t r_lo, r_hi;
+        band_rows(0, r_lo, r_hi);
+        last = r_hi >= qlen - 1 ? maxNB - 1 : r_hi / WBITS;
+        if (last < 0) last = 0;
+    }
+    for (int64_t c = 0; c <= stop; c++) {
+        const Word* eq_c = peq + (int64_t)target[c] * n_words;
+        int h = 1;
+        for (int64_t b = first; b <= last; b++) {
+            h = advance(Pv[b], Mv[b], eq_c[b], h);
+            score[b] += h;
+        }
+        while (last >= first && score[last] >= k + WBITS) last--;
+        while (first <= last && score[first] >= k + WBITS) first++;
+        if (first > last) break;  // everything beyond is > k
+        int64_t r_lo, r_hi;
+        band_rows(c + 1, r_lo, r_hi);
+        int64_t nf = r_lo <= 0 ? 0 : r_lo / WBITS;
+        int64_t nl = r_hi >= qlen - 1 ? maxNB - 1 : r_hi / WBITS;
+        if (nl < 0) nl = 0;
+        if (nl > maxNB - 1) nl = maxNB - 1;
+        if (nl > last) {
+            for (int64_t b = last + 1; b <= nl; b++) {
+                Pv[b] = ~(Word)0;
+                Mv[b] = 0;
+                score[b] = score[b - 1] + WBITS;
+            }
+        }
+        if (nf > first) first = nf <= nl ? nf : nl;
+        last = nl;
+    }
+    for (int64_t r = 0; r < qlen; r++) cells_out[r] = SCORE_INF;
+    if (first > last) return;
+    // Decode in-band cells: anchor at the bottom of the last band block.
+    int64_t rb = (last + 1) * WBITS - 1;
+    int64_t v = score[last];
+    for (int64_t r = rb; r >= first * WBITS; r--) {
+        if (r < qlen) cells_out[r] = (int32_t)v;
+        Word bit = (Word)1 << (r % WBITS);
+        int64_t b = r / WBITS;
+        v -= (int64_t)((Pv[b] & bit) != 0);
+        v += (int64_t)((Mv[b] & bit) != 0);
+    }
+}
+
 // ---------------------------------------------------------------------------
 // NW capture + traceback: run the sweep storing (Pv, Mv) per column, then
 // walk back over decoded cell values with the up -> left -> diagonal
 // preference.  ops_out must hold qlen + tlen bytes. Returns ops length,
 // or -1 if the walk is inconsistent with best_score.
 // ---------------------------------------------------------------------------
-
-static void decode_column(const Word* Ps, const Word* Ms, int64_t n_words,
-                          int64_t qlen, int64_t boundary, int32_t* cells) {
-    // cells[0] = boundary (row -1), cells[r+1] = cell(r).
-    cells[0] = (int32_t)boundary;
-    int32_t v = (int32_t)boundary;
-    for (int64_t r = 0; r < qlen; r++) {
-        Word bit = (Word)1 << (r % WBITS);
-        const Word p = Ps[r / WBITS], m = Ms[r / WBITS];
-        v += (int32_t)((p & bit) != 0) - (int32_t)((m & bit) != 0);
-        cells[r + 1] = v;
-    }
-}
 
 int64_t etn_nw_path(const uint8_t* q_ids, int64_t qlen,
                     const uint8_t* t_ids, int64_t tlen,
@@ -403,30 +458,83 @@ int64_t etn_nw_path(const uint8_t* q_ids, int64_t qlen,
     std::vector<Word> peq((int64_t)(sigma + 1) * n_words);
     etn_build_peq(q_ids, qlen, eq, sigma, peq.data());
 
-    // Sweep with column capture (no wildcard extension needed: the
-    // traceback decodes real rows only).
+    // bestScore-banded sweep with column capture (the reference's PATH
+    // capture is banded the same way, edlib.cpp:1194-1198; out-of-band
+    // cells never lie on an optimal path, so the walk never needs them).
+    const int64_t k = best_score;
+    const int64_t diff = qlen - tlen;
     std::vector<Word> colP((size_t)tlen * n_words), colM((size_t)tlen * n_words);
+    std::vector<int64_t> col_first(tlen), col_last(tlen), col_anchor(tlen);
     {
         std::vector<Word> Pv(n_words, ~(Word)0), Mv(n_words, 0);
+        std::vector<int64_t> score(n_words);
+        for (int64_t b = 0; b < n_words; b++) score[b] = (b + 1) * WBITS;
+        auto band_rows = [&](int64_t c, int64_t& r_lo, int64_t& r_hi) {
+            int64_t ad = diff > 0 ? diff : -diff;
+            int64_t s = (k - ad) / 2;
+            if (s < 0) s = 0;
+            r_lo = c + (diff < 0 ? diff : 0) - s;
+            r_hi = c + (diff > 0 ? diff : 0) + s;
+        };
+        int64_t first = 0, last;
+        {
+            int64_t r_lo, r_hi;
+            band_rows(0, r_lo, r_hi);
+            last = r_hi >= qlen - 1 ? n_words - 1 : r_hi / WBITS;
+            if (last < 0) last = 0;
+        }
         for (int64_t c = 0; c < tlen; c++) {
             const Word* eq_c = peq.data() + (int64_t)t_ids[c] * n_words;
             int h = 1;
-            for (int64_t w = 0; w < n_words; w++)
-                h = advance(Pv[w], Mv[w], eq_c[w], h);
-            memcpy(&colP[(size_t)c * n_words], Pv.data(), n_words * sizeof(Word));
-            memcpy(&colM[(size_t)c * n_words], Mv.data(), n_words * sizeof(Word));
+            for (int64_t b = first; b <= last; b++) {
+                h = advance(Pv[b], Mv[b], eq_c[b], h);
+                score[b] += h;
+            }
+            memcpy(&colP[(size_t)c * n_words + first], &Pv[first],
+                   (last - first + 1) * sizeof(Word));
+            memcpy(&colM[(size_t)c * n_words + first], &Mv[first],
+                   (last - first + 1) * sizeof(Word));
+            col_first[c] = first;
+            col_last[c] = last;
+            col_anchor[c] = score[last];
+            int64_t r_lo, r_hi;
+            band_rows(c + 1, r_lo, r_hi);
+            int64_t nf = r_lo <= 0 ? 0 : r_lo / WBITS;
+            int64_t nl = r_hi >= qlen - 1 ? n_words - 1 : r_hi / WBITS;
+            if (nl < 0) nl = 0;
+            if (nl > n_words - 1) nl = n_words - 1;
+            if (nl > last) {
+                for (int64_t b = last + 1; b <= nl; b++) {
+                    Pv[b] = ~(Word)0;
+                    Mv[b] = 0;
+                    score[b] = score[b - 1] + WBITS;
+                }
+            }
+            if (nf > first) first = nf <= nl ? nf : nl;
+            last = nl;
         }
     }
 
     // Value-space walk (same move preference as the reference traceback:
-    // up=INSERT, left=DELETE, then diagonal).
+    // up=INSERT, left=DELETE, then diagonal).  Out-of-band cells decode to
+    // SCORE_INF and never satisfy a move equation.
     std::vector<int32_t> cur(qlen + 1), left(qlen + 1);
     auto get_col = [&](int64_t c, int32_t* dst) {
         if (c < 0) {
             for (int64_t r = 0; r <= qlen; r++) dst[r] = (int32_t)r;
-        } else {
-            decode_column(&colP[(size_t)c * n_words], &colM[(size_t)c * n_words],
-                          n_words, qlen, c + 1, dst);
+            return;
+        }
+        const int64_t first = col_first[c], last = col_last[c];
+        for (int64_t r = 0; r <= qlen; r++) dst[r] = SCORE_INF;
+        if (first == 0) dst[0] = (int32_t)(c + 1);  // boundary row
+        int64_t v = col_anchor[c];
+        const Word* P = &colP[(size_t)c * n_words];
+        const Word* M = &colM[(size_t)c * n_words];
+        for (int64_t r = (last + 1) * WBITS - 1; r >= first * WBITS; r--) {
+            if (r < qlen) dst[r + 1] = (int32_t)v;
+            Word bit = (Word)1 << (r % WBITS);
+            v -= (int64_t)((P[r / WBITS] & bit) != 0);
+            v += (int64_t)((M[r / WBITS] & bit) != 0);
         }
     };
     int64_t r = qlen - 1, c = tlen - 1;
