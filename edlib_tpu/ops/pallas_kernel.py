@@ -182,32 +182,44 @@ def _shared_kernel(targets_ref, peq_ref, best_ref, pos_ref, pv_ref, mv_ref,
         run_best_ref[...] = jnp.full((SUBLANES, LANES), 0x3FFFFFFF, jnp.int32)
         run_pos_ref[...] = jnp.full((SUBLANES, LANES), -1, jnp.int32)
 
-    def column(c, _):
+    def column(c, carry):
+        # DP state rides in the fori carry (vector registers), not refs —
+        # no VMEM load/store per word per column.
+        pvs, mvs, score, run_best, run_pos = carry
         sym = targets_ref[c, 0]
+        hin_neg = jnp.zeros((SUBLANES, LANES), jnp.uint32)
         if hin0 == 0:
-            hin_neg = jnp.zeros((SUBLANES, LANES), jnp.uint32)
             hin_pos = jnp.zeros((SUBLANES, LANES), jnp.uint32)
         else:
-            hin_neg = jnp.zeros((SUBLANES, LANES), jnp.uint32)
             hin_pos = jnp.ones((SUBLANES, LANES), jnp.uint32)
+        new_pvs, new_mvs = [], []
         for w in range(n_words):
             pv, mv, hin_neg, hin_pos = _advance_word(
-                pv_ref[w], mv_ref[w], peq_ref[sym, w], hin_neg, hin_pos)
-            pv_ref[w] = pv
-            mv_ref[w] = mv
-        score = score_ref[...] + hin_pos.astype(jnp.int32) \
+                pvs[w], mvs[w], peq_ref[sym, w], hin_neg, hin_pos)
+            new_pvs.append(pv)
+            new_mvs.append(mv)
+        score = score + hin_pos.astype(jnp.int32) \
             - hin_neg.astype(jnp.int32)
-        score_ref[...] = score
         # Only columns mapping to real end positions participate in the
         # reduction: col in [W, W + tlen) (warm-up columns decode negative
         # positions; trailing wildcard filler drains upper cells down).
         col = t_step * chunk + c
-        upd = (score < run_best_ref[...]) & (col >= col_lo) & (col < col_hi)
-        run_best_ref[...] = jnp.where(upd, score, run_best_ref[...])
-        run_pos_ref[...] = jnp.where(upd, col, run_pos_ref[...])
-        return 0
+        upd = (score < run_best) & (col >= col_lo) & (col < col_hi)
+        run_best = jnp.where(upd, score, run_best)
+        run_pos = jnp.where(upd, col, run_pos)
+        return tuple(new_pvs), tuple(new_mvs), score, run_best, run_pos
 
-    jax.lax.fori_loop(0, chunk, column, 0)
+    carry0 = (tuple(pv_ref[w] for w in range(n_words)),
+              tuple(mv_ref[w] for w in range(n_words)),
+              score_ref[...], run_best_ref[...], run_pos_ref[...])
+    pvs, mvs, score, run_best, run_pos = jax.lax.fori_loop(
+        0, chunk, column, carry0)
+    for w in range(n_words):
+        pv_ref[w] = pvs[w]
+        mv_ref[w] = mvs[w]
+    score_ref[...] = score
+    run_best_ref[...] = run_best
+    run_pos_ref[...] = run_pos
 
     @pl.when(t_step == n_chunks - 1)
     def _emit():
