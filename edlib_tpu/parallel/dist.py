@@ -40,13 +40,15 @@ except AttributeError:  # pragma: no cover
 
 def make_alignment_mesh(n_devices: Optional[int] = None,
                         dp: Optional[int] = None,
-                        sp: Optional[int] = None) -> Mesh:
+                        sp: Optional[int] = None,
+                        devices=None) -> Mesh:
     """2D device mesh ("dp", "sp").
 
     Defaults: all devices, sp gets the larger factor (long targets are the
     scarcer resource; batch is easy to grow).
     """
-    devices = jax.devices()
+    if devices is None:
+        devices = jax.devices()
     n = n_devices if n_devices is not None else len(devices)
     if dp is None and sp is None:
         dp = 1
