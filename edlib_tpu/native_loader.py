@@ -23,6 +23,49 @@ _LIB_NAME = "libedlib_tpu_native.so"
 _lock = threading.Lock()
 _lib = None
 _tried = False
+_ext = None
+_ext_tried = False
+
+
+def _build_and_load_ext():
+    """CPython extension for the hot single-pair call (~0.5us FFI vs ~10us
+    ctypes); optional — everything works without it."""
+    import sysconfig
+    src = os.path.join(_NATIVE_DIR, "pyext.cpp")
+    core = os.path.join(_NATIVE_DIR, "edlib_tpu_native.cpp")
+    ext_path = os.path.join(_NATIVE_DIR, "_edlib_tpu_native_ext.so")
+    if not (os.path.exists(src) and os.path.exists(core)):
+        return None
+    newest_src = max(os.path.getmtime(src), os.path.getmtime(core))
+    if (not os.path.exists(ext_path)
+            or os.path.getmtime(ext_path) < newest_src):
+        inc = sysconfig.get_paths()["include"]
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-std=c++17", "-fPIC", "-march=native",
+                 "-shared", "-I", inc, src, core, "-o", ext_path],
+                check=True, capture_output=True, timeout=300)
+        except (subprocess.SubprocessError, FileNotFoundError, OSError):
+            return None
+    import importlib.util
+    spec = importlib.util.spec_from_file_location("_edlib_tpu_native_ext",
+                                                  ext_path)
+    try:
+        module = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(module)
+        return module
+    except Exception:
+        return None
+
+
+def get_ext():
+    global _ext, _ext_tried
+    with _lock:
+        if not _ext_tried:
+            _ext_tried = True
+            if not os.environ.get("EDLIB_TPU_NO_NATIVE"):
+                _ext = _build_and_load_ext()
+        return _ext
 
 
 def _build_and_load() -> Optional[ctypes.CDLL]:
@@ -189,6 +232,24 @@ def align_native(query: bytes, target: bytes, mode: str, want_starts: bool,
     with numpy arrays, or None when unavailable (no lib / >255 symbols).
     Empty sequences must be handled by the caller.
     """
+    ext = get_ext()
+    if ext is not None:
+        eq_a = eq_b = None
+        if eq_pairs:
+            eq_a = bytes(p[0] for p in eq_pairs)
+            eq_b = bytes(p[1] for p in eq_pairs)
+        out = ext.align(query, target, _MODE_CODE[mode], int(want_starts),
+                        int(k), eq_a, eq_b)
+        if out is None:
+            return None
+        dist, alpha, ends, starts = out
+        return {
+            "editDistance": dist,
+            "alphabetLength": alpha,
+            "endLocations": np.asarray(ends, dtype=np.int64),
+            "startLocations": (np.asarray(starts, dtype=np.int64)
+                               if want_starts else None),
+        }
     lib = get_lib()
     if lib is None:
         return None
