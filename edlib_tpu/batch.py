@@ -164,6 +164,16 @@ def align_batch_device(queries: Sequence, targets: Sequence,
     eq = encode.build_equality_matrix(bytes(glob.alphabet), eq_pairs)
     k_eff = _INF if k < 0 else k
 
+    # On TPU, alphabets beyond the Pallas select limit would fall to the
+    # XLA scan engine, which is latency-pathological there — the native
+    # host path is far faster for such (rare) batches.
+    from edlib_tpu.ops import pallas_kernel
+    if (_pallas_mode() == "tpu"
+            and sigma + 1 > pallas_kernel.MAX_SIGMA_PALLAS):
+        return [align(q, t, mode=mode, task=task, k=k,
+                      additionalEqualities=additionalEqualities)
+                for q, t in zip(queries, targets)]
+
     results: List[AlignResult] = []
     main_idx = []  # indices with non-empty sequences needing device sweeps
     for i, (q_ids, t_ids) in enumerate(id_pairs):
