@@ -81,32 +81,36 @@ def _sweep_kernel(targets_ref, peq_ref, scores_ref, pv_ref, mv_ref,
         mv_ref[...] = jnp.zeros((n_words, SUBLANES, LANES), jnp.uint32)
         score_ref[...] = jnp.full((SUBLANES, LANES), n_words * 32, jnp.int32)
 
-    def column(c, _):
+    def column(c, carry):
+        pvs, mvs, score = carry  # state in registers, not refs
         sym = targets_ref[c]
-        # S1-way select: Eq[w] = Peq[sym, w] per lane.
-        eqs = []
-        for w in range(n_words):
-            acc = jnp.zeros((SUBLANES, LANES), jnp.uint32)
-            for s in range(sigma1):
-                acc = jnp.where(sym == s, peq_ref[s, w], acc)
-            eqs.append(acc)
+        hin_neg = jnp.zeros((SUBLANES, LANES), jnp.uint32)
         if hin0 == 0:
-            hin_neg = jnp.zeros((SUBLANES, LANES), jnp.uint32)
             hin_pos = jnp.zeros((SUBLANES, LANES), jnp.uint32)
         else:
-            hin_neg = jnp.zeros((SUBLANES, LANES), jnp.uint32)
             hin_pos = jnp.ones((SUBLANES, LANES), jnp.uint32)
+        new_pvs, new_mvs = [], []
         for w in range(n_words):
+            # S1-way select: Eq[w] = Peq[sym, w] per lane.
+            eq = jnp.zeros((SUBLANES, LANES), jnp.uint32)
+            for s in range(sigma1):
+                eq = jnp.where(sym == s, peq_ref[s, w], eq)
             pv, mv, hin_neg, hin_pos = _advance_word(
-                pv_ref[w], mv_ref[w], eqs[w], hin_neg, hin_pos)
-            pv_ref[w] = pv
-            mv_ref[w] = mv
-        score_ref[...] = score_ref[...] + hin_pos.astype(jnp.int32) \
+                pvs[w], mvs[w], eq, hin_neg, hin_pos)
+            new_pvs.append(pv)
+            new_mvs.append(mv)
+        score = score + hin_pos.astype(jnp.int32) \
             - hin_neg.astype(jnp.int32)
-        scores_ref[c] = score_ref[...]
-        return 0
+        scores_ref[c] = score
+        return tuple(new_pvs), tuple(new_mvs), score
 
-    jax.lax.fori_loop(0, chunk, column, 0)
+    carry0 = (tuple(pv_ref[w] for w in range(n_words)),
+              tuple(mv_ref[w] for w in range(n_words)), score_ref[...])
+    pvs, mvs, score = jax.lax.fori_loop(0, chunk, column, carry0)
+    for w in range(n_words):
+        pv_ref[w] = pvs[w]
+        mv_ref[w] = mvs[w]
+    score_ref[...] = score
 
 
 @functools.partial(jax.jit,
