@@ -77,7 +77,13 @@ def map_reads(reads: Sequence, target, mode="HW", k: int = -1
         return best, pos
 
     hin0 = 0 if mode == AlignMode.HW else 1
-    dev = _map_reads_device(read_ids, t_ids, sigma, hin0)
+    dev = None
+    if mode == AlignMode.HW and B <= 64 and len(t_ids) >= 50_000:
+        # Few reads vs a huge target: lanes would sit idle in the batched
+        # kernel — segment the target instead (ops/segmented.py).
+        dev = _map_reads_segmented(read_ids, t_ids, sigma)
+    if dev is None:
+        dev = _map_reads_device(read_ids, t_ids, sigma, hin0)
     if dev is None:
         dev = _map_reads_host(read_ids, t_ids, sigma, mode)
     raw_best, raw_pos = dev
@@ -94,6 +100,21 @@ def map_reads(reads: Sequence, target, mode="HW", k: int = -1
             continue
         best[i] = b
         pos[i] = p
+    return best, pos
+
+
+def _map_reads_segmented(read_ids, t_ids, sigma):
+    """HW best/pos for few reads vs one long target via target segmentation."""
+    from edlib_tpu.ops.segmented import hw_stream_segmented
+    best = np.empty(len(read_ids), np.int64)
+    pos = np.empty(len(read_ids), np.int64)
+    for i, r in enumerate(read_ids):
+        stream = hw_stream_segmented(r.astype(np.uint8), t_ids, sigma,
+                                     k_eff=len(r))
+        if stream is None:
+            return None
+        best[i] = stream.min()
+        pos[i] = int(np.argmin(stream))
     return best, pos
 
 
