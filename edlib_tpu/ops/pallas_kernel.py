@@ -130,7 +130,6 @@ def sweep_scores_pallas(peq: jnp.ndarray, targets: jnp.ndarray, hin0: int,
     kernel = functools.partial(_sweep_kernel, n_words=n_words, sigma1=sigma1,
                                chunk=chunk, hin0=hin0)
     grid = (n_tiles, n_chunks)
-    flops_per_col = n_words * (17 + sigma1) * B_TILE
     return pl.pallas_call(
         kernel,
         grid=grid,
