@@ -1,0 +1,227 @@
+"""Anti-diagonal wavefront kernel: ONE long alignment on a whole TPU chip.
+
+The batched kernels parallelise over alignments; this kernel parallelises a
+single pair over its query words.  Word w (32 DP rows) processes column
+c = d - w at wavefront step d — every word on an anti-diagonal is
+independent, so the whole (padded) query advances as one (R, 128) uint32
+tile per step:
+
+* state is tiny: Pv, Mv are ONE uint32 per word → two (R, 128) tiles;
+* the inter-word hin/hout chain of the column formulation becomes a
+  *spatial* hand-off: hout emitted by word w-1 at step d-1 is hin of word w
+  at step d — a one-word-slot shift of the hout tiles per step;
+* the per-word target symbol shifts the same way: sym_w(d) = target[d - w],
+  maintained by inserting target[d] at word slot 0 each step;
+* word axis is row-major on (R, 128): a one-slot shift is a lanes-roll plus
+  a sublane-roll fix on lane 0 (2 rolls + 2 selects).
+
+v1 scope (experimental; exactness tested in interpreter mode and against
+the host engine):
+  * NW distance of one pair (the reference's headline Q=T benchmark),
+  * HW/SHW best score + first best end position,
+over the wildcard-extended target.  Unbanded: ~(T+W+NW) steps of ~45 VPU
+ops on ceil(NW/128)x128 lanes.  Banded sliding windows are round-2 work.
+
+Reference counterpart: the strictly sequential column loops of
+edlib.cpp:550-928, re-shaped so a single multi-Mbp alignment can use the
+whole VPU instead of one word at a time.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from edlib_tpu import encode
+
+LANES = 128
+SUB_MIN = 8
+_BIG = np.int32(0x3FFFFFFF)
+MAX_SIGMA_WAVEFRONT = 16
+
+
+def _shift_words(x, fill):
+    """out[w] = x[w-1] along row-major word order of (R, 128); out[0]=fill."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    tmp = pltpu.roll(x, 1, 1)       # [r, l] = x[r, l-1]; lane 0 gets x[r, 127]
+    fix = pltpu.roll(tmp, 1, 0)     # [r, 0] = x[r-1, 127]
+    out = jnp.where(lanes == 0, fix, tmp)
+    return jnp.where((lanes == 0) & (rows == 0),
+                     jnp.full_like(x, fill), out)
+
+
+def _wf_kernel(targets_ref, peq_ref, out_ref, pv_ref, mv_ref, sym_ref,
+               hn_ref, hp_ref, sc_ref, rmin_ref, rpos_ref, *, R: int,
+               sigma1: int, chunk: int, hin0: int, n_words: int,
+               col_lo: int, col_hi: int, t_scan: int):
+    t_step = pl.program_id(0)
+    n_chunks = pl.num_programs(0)
+    shape = (R, LANES)
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    word_idx = rows * LANES + lanes
+
+    @pl.when(t_step == 0)
+    def _init():
+        pv_ref[...] = jnp.full(shape, 0xFFFFFFFF, jnp.uint32)
+        mv_ref[...] = jnp.zeros(shape, jnp.uint32)
+        sym_ref[...] = jnp.zeros(shape, jnp.int32)
+        hn_ref[...] = jnp.zeros(shape, jnp.int32)
+        hp_ref[...] = jnp.zeros(shape, jnp.int32)
+        sc_ref[...] = (word_idx + 1) * 32
+        rmin_ref[...] = jnp.full(shape, _BIG, jnp.int32)
+        rpos_ref[...] = jnp.full(shape, -1, jnp.int32)
+
+    def step(i, carry):
+        Pv, Mv, symwin, hneg, hpos, scores, runmin, runpos = carry
+        d = t_step * chunk + i
+        symwin = _shift_words(symwin, targets_ref[i, 0])
+        hneg = _shift_words(hneg, 0)
+        hpos = _shift_words(hpos, hin0)
+        eq = jnp.zeros(shape, jnp.uint32)
+        for s in range(sigma1):
+            eq = jnp.where(symwin == s, peq_ref[s], eq)
+        hneg_u = hneg.astype(jnp.uint32)
+        hpos_u = hpos.astype(jnp.uint32)
+        Xv = eq | Mv
+        eq2 = eq | hneg_u
+        Xh = (((eq2 & Pv) + Pv) ^ Pv) | eq2
+        Ph = Mv | ~(Xh | Pv)
+        Mh = Pv & Xh
+        hout_pos = (Ph >> 31).astype(jnp.int32)
+        hout_neg = (Mh >> 31).astype(jnp.int32)
+        Ph = (Ph << 1) | hpos_u
+        Mh = (Mh << 1) | hneg_u
+        Pv_new = Mh | ~(Xv | Ph)
+        Mv_new = Ph & Xv
+        col = d - word_idx
+        active = (col >= 0) & (col < t_scan) & (word_idx < n_words)
+        Pv = jnp.where(active, Pv_new, Pv)
+        Mv = jnp.where(active, Mv_new, Mv)
+        scores = scores + jnp.where(active, hout_pos - hout_neg, 0)
+        hneg = jnp.where(active, hout_neg, 0)
+        hpos = jnp.where(active, hout_pos, 0)
+        upd = ((word_idx == n_words - 1) & active & (col >= col_lo)
+               & (col < col_hi) & (scores < runmin))
+        runmin = jnp.where(upd, scores, runmin)
+        runpos = jnp.where(upd, col, runpos)
+        return (Pv, Mv, symwin, hneg, hpos, scores, runmin, runpos)
+
+    carry0 = (pv_ref[...], mv_ref[...], sym_ref[...], hn_ref[...],
+              hp_ref[...], sc_ref[...], rmin_ref[...], rpos_ref[...])
+    Pv, Mv, symwin, hneg, hpos, scores, runmin, runpos = jax.lax.fori_loop(
+        0, chunk, step, carry0)
+    pv_ref[...] = Pv
+    mv_ref[...] = Mv
+    sym_ref[...] = symwin
+    hn_ref[...] = hneg
+    hp_ref[...] = hpos
+    sc_ref[...] = scores
+    rmin_ref[...] = runmin
+    rpos_ref[...] = runpos
+
+    @pl.when(t_step == n_chunks - 1)
+    def _emit():
+        out_ref[0] = scores
+        out_ref[1] = runmin
+        out_ref[2] = runpos
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "R", "sigma1", "chunk", "hin0", "n_words", "col_lo", "col_hi",
+    "t_scan", "interpret"))
+def _wavefront_call(targets, peq, *, R, sigma1, chunk, hin0, n_words,
+                    col_lo, col_hi, t_scan, interpret):
+    n_chunks = targets.shape[0]
+    kernel = functools.partial(_wf_kernel, R=R, sigma1=sigma1, chunk=chunk,
+                               hin0=hin0, n_words=n_words, col_lo=col_lo,
+                               col_hi=col_hi, t_scan=t_scan)
+    shape = (R, LANES)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((None, chunk, 1), lambda j: (j, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((sigma1,) + shape, lambda j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3,) + shape, lambda j: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3,) + shape, jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM(shape, jnp.uint32),   # Pv
+            pltpu.VMEM(shape, jnp.uint32),   # Mv
+            pltpu.VMEM(shape, jnp.int32),    # symbol window
+            pltpu.VMEM(shape, jnp.int32),    # hout_neg
+            pltpu.VMEM(shape, jnp.int32),    # hout_pos
+            pltpu.VMEM(shape, jnp.int32),    # per-word bottom scores
+            pltpu.VMEM(shape, jnp.int32),    # running min (bottom word)
+            pltpu.VMEM(shape, jnp.int32),    # running argmin
+        ],
+        interpret=interpret,
+    )(targets, peq)
+
+
+class Wavefront:
+    """Host-side driver for the wavefront kernel."""
+
+    def __init__(self, chunk: int = 512, interpret: bool = False):
+        self.chunk = chunk
+        self.interpret = interpret
+
+    def _prepare(self, q_ids: np.ndarray, t_ids: np.ndarray, sigma: int):
+        qlen = len(q_ids)
+        n_words = encode.num_words(qlen)
+        rows_needed = -(-n_words // LANES)
+        R = max(SUB_MIN, -(-rows_needed // SUB_MIN) * SUB_MIN)
+        w_pad = n_words * 32 - qlen
+        t_scan = len(t_ids) + w_pad
+        n_steps = t_scan + n_words - 1
+        n_chunks = -(-n_steps // self.chunk)
+        eq = np.eye(sigma, dtype=bool)
+        peq_words = encode.build_peq_words(np.asarray(q_ids, np.uint8), eq,
+                                           n_words=n_words)
+        peq = np.zeros((sigma + 1, R, LANES), np.uint32)
+        flat = peq.reshape(sigma + 1, R * LANES)
+        flat[:, :n_words] = peq_words
+        targets = np.full((n_chunks, self.chunk, 1), sigma, np.int32)
+        tflat = targets.reshape(-1)
+        tflat[:len(t_ids)] = t_ids
+        tflat[len(t_ids):t_scan] = sigma  # wildcard extension
+        return peq, targets, n_words, R, w_pad, t_scan
+
+    def run(self, q_ids: np.ndarray, t_ids: np.ndarray, sigma: int,
+            hin0: int, col_lo: int, col_hi: int):
+        peq, targets, n_words, R, w_pad, t_scan = self._prepare(
+            q_ids, t_ids, sigma)
+        out = np.asarray(_wavefront_call(
+            targets, peq, R=R, sigma1=sigma + 1, chunk=self.chunk,
+            hin0=hin0, n_words=n_words, col_lo=col_lo, col_hi=col_hi,
+            t_scan=t_scan, interpret=self.interpret))
+        flat = out.reshape(3, R * LANES)
+        return flat[:, n_words - 1], w_pad
+
+    def nw_distance(self, q_ids: np.ndarray, t_ids: np.ndarray,
+                    sigma: int) -> int:
+        """cell(Q-1, T-1): the bottom word's final padded-bottom score."""
+        col, _ = self.run(q_ids, t_ids, sigma, hin0=1, col_lo=0, col_hi=0)
+        return int(col[0])
+
+    def semiglobal_best(self, q_ids: np.ndarray, t_ids: np.ndarray,
+                        sigma: int, mode_is_hw: bool) -> Tuple[int, int]:
+        """(best, first best end position) over real end positions."""
+        qlen = len(q_ids)
+        n_words = encode.num_words(qlen)
+        w_pad = n_words * 32 - qlen
+        col, _ = self.run(q_ids, t_ids, sigma,
+                          hin0=0 if mode_is_hw else 1,
+                          col_lo=w_pad, col_hi=w_pad + len(t_ids))
+        return int(col[1]), int(col[2]) - w_pad

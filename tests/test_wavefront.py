@@ -1,0 +1,52 @@
+"""Wavefront (anti-diagonal) single-pair kernel vs the host engine."""
+
+import numpy as np
+import pytest
+
+from edlib_tpu import encode
+from edlib_tpu.ops import host as host_engine
+from edlib_tpu.ops.wavefront import Wavefront
+
+
+@pytest.fixture(scope="module")
+def wf():
+    return Wavefront(chunk=64, interpret=True)
+
+
+@pytest.mark.parametrize("qlen,tlen", [(1, 1), (5, 3), (40, 120), (64, 64),
+                                       (100, 333), (129, 64), (300, 500)])
+def test_wavefront_nw(qlen, tlen, wf, rng):
+    sigma = 4
+    q = rng.randint(0, sigma, qlen).astype(np.uint8)
+    t = rng.randint(0, sigma, tlen).astype(np.uint8)
+    hpeq = encode.build_peq_bigint(q, np.eye(sigma, dtype=bool))
+    state, _, _ = host_engine.nw_run(hpeq, t, qlen)
+    assert wf.nw_distance(q, t, sigma) == state.score
+
+
+@pytest.mark.parametrize("mode_is_hw", [True, False])
+def test_wavefront_semiglobal_best(mode_is_hw, wf, rng):
+    sigma = 4
+    for _ in range(6):
+        qlen = rng.randint(1, 200)
+        tlen = rng.randint(1, 400)
+        q = rng.randint(0, sigma, qlen).astype(np.uint8)
+        t = rng.randint(0, sigma, tlen).astype(np.uint8)
+        hpeq = encode.build_peq_bigint(q, np.eye(sigma, dtype=bool))
+        hs = host_engine.semiglobal_scores(
+            hpeq, t, qlen, "HW" if mode_is_hw else "SHW")
+        gb, gp = wf.semiglobal_best(q, t, sigma, mode_is_hw=mode_is_hw)
+        assert gb == hs.min()
+        assert gp == int(np.argmin(hs))
+
+
+def test_wavefront_similar_pair(wf, rng):
+    # The headline shape: one long ~90%-similar pair, exact NW distance.
+    sigma = 4
+    t = rng.randint(0, sigma, 800).astype(np.uint8)
+    q = t[:700].copy()
+    muts = rng.rand(700) < 0.1
+    q[muts] = rng.randint(0, sigma, muts.sum())
+    hpeq = encode.build_peq_bigint(q, np.eye(sigma, dtype=bool))
+    state, _, _ = host_engine.nw_run(hpeq, t, 700)
+    assert wf.nw_distance(q, t, sigma) == state.score
