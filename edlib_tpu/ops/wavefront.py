@@ -57,7 +57,8 @@ def _shift_words(x, fill):
                      jnp.full_like(x, fill), out)
 
 
-def _wf_kernel(targets_ref, peq_ref, out_ref, pv_ref, mv_ref, sym_ref,
+def _wf_kernel(d_base_ref, targets_ref, peq_ref, state_in_ref, out_ref,
+               state_out_ref, pv_ref, mv_ref, sym_ref,
                hn_ref, hp_ref, sc_ref, rmin_ref, rpos_ref, *, R: int,
                sigma1: int, chunk: int, hin0: int, n_words: int,
                col_lo: int, col_hi: int, t_scan: int):
@@ -70,18 +71,19 @@ def _wf_kernel(targets_ref, peq_ref, out_ref, pv_ref, mv_ref, sym_ref,
 
     @pl.when(t_step == 0)
     def _init():
-        pv_ref[...] = jnp.full(shape, 0xFFFFFFFF, jnp.uint32)
-        mv_ref[...] = jnp.zeros(shape, jnp.uint32)
-        sym_ref[...] = jnp.zeros(shape, jnp.int32)
-        hn_ref[...] = jnp.zeros(shape, jnp.int32)
-        hp_ref[...] = jnp.zeros(shape, jnp.int32)
-        sc_ref[...] = (word_idx + 1) * 32
-        rmin_ref[...] = jnp.full(shape, _BIG, jnp.int32)
-        rpos_ref[...] = jnp.full(shape, -1, jnp.int32)
+        # Resume from the carried state (int tiles ride bitcast as uint32).
+        pv_ref[...] = state_in_ref[0]
+        mv_ref[...] = state_in_ref[1]
+        sym_ref[...] = state_in_ref[2].astype(jnp.int32)
+        hn_ref[...] = state_in_ref[3].astype(jnp.int32)
+        hp_ref[...] = state_in_ref[4].astype(jnp.int32)
+        sc_ref[...] = state_in_ref[5].astype(jnp.int32)
+        rmin_ref[...] = state_in_ref[6].astype(jnp.int32)
+        rpos_ref[...] = state_in_ref[7].astype(jnp.int32)
 
     def step(i, carry):
         Pv, Mv, symwin, hneg, hpos, scores, runmin, runpos = carry
-        d = t_step * chunk + i
+        d = d_base_ref[0] + t_step * chunk + i
         symwin = _shift_words(symwin, targets_ref[i, 0])
         hneg = _shift_words(hneg, 0)
         hpos = _shift_words(hpos, hin0)
@@ -132,13 +134,24 @@ def _wf_kernel(targets_ref, peq_ref, out_ref, pv_ref, mv_ref, sym_ref,
         out_ref[0] = scores
         out_ref[1] = runmin
         out_ref[2] = runpos
+        state_out_ref[0] = Pv
+        state_out_ref[1] = Mv
+        state_out_ref[2] = symwin.astype(jnp.uint32)
+        state_out_ref[3] = hneg.astype(jnp.uint32)
+        state_out_ref[4] = hpos.astype(jnp.uint32)
+        state_out_ref[5] = scores.astype(jnp.uint32)
+        state_out_ref[6] = runmin.astype(jnp.uint32)
+        state_out_ref[7] = runpos.astype(jnp.uint32)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "R", "sigma1", "chunk", "hin0", "n_words", "col_lo", "col_hi",
     "t_scan", "interpret"))
-def _wavefront_call(targets, peq, *, R, sigma1, chunk, hin0, n_words,
-                    col_lo, col_hi, t_scan, interpret):
+def _wavefront_call(d_base, targets, peq, state, *, R, sigma1, chunk, hin0,
+                    n_words, col_lo, col_hi, t_scan, interpret):
+    """One resumable segment of the wavefront: runs targets.shape[0]*chunk
+    steps from absolute step d_base, returns (out (3,R,128) int32,
+    new state (8,R,128) uint32)."""
     n_chunks = targets.shape[0]
     kernel = functools.partial(_wf_kernel, R=R, sigma1=sigma1, chunk=chunk,
                                hin0=hin0, n_words=n_words, col_lo=col_lo,
@@ -148,14 +161,24 @@ def _wavefront_call(targets, peq, *, R, sigma1, chunk, hin0, n_words,
         kernel,
         grid=(n_chunks,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((None, chunk, 1), lambda j: (j, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((sigma1,) + shape, lambda j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((8,) + shape, lambda j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((3,) + shape, lambda j: (0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3,) + shape, jnp.int32),
+        out_specs=(
+            pl.BlockSpec((3,) + shape, lambda j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8,) + shape, lambda j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((3,) + shape, jnp.int32),
+            jax.ShapeDtypeStruct((8,) + shape, jnp.uint32),
+        ),
         scratch_shapes=[
             pltpu.VMEM(shape, jnp.uint32),   # Pv
             pltpu.VMEM(shape, jnp.uint32),   # Mv
@@ -167,15 +190,24 @@ def _wavefront_call(targets, peq, *, R, sigma1, chunk, hin0, n_words,
             pltpu.VMEM(shape, jnp.int32),    # running argmin
         ],
         interpret=interpret,
-    )(targets, peq)
+    )(d_base, targets, peq, state)
 
 
 class Wavefront:
-    """Host-side driver for the wavefront kernel."""
+    """Host-side driver for the wavefront kernel.
 
-    def __init__(self, chunk: int = 512, interpret: bool = False):
+    Long runs are split into bounded segments (seg_chunks grid steps per
+    pallas_call) with the full wavefront state carried between calls — this
+    keeps single kernel executions short (watchdog-safe) and makes the
+    state an explicit checkpoint (the device analogue of the reference's
+    targetStopPosition column snapshot).
+    """
+
+    def __init__(self, chunk: int = 512, interpret: bool = False,
+                 seg_chunks: int = 64):
         self.chunk = chunk
         self.interpret = interpret
+        self.seg_chunks = seg_chunks
 
     def _prepare(self, q_ids: np.ndarray, t_ids: np.ndarray, sigma: int):
         qlen = len(q_ids)
@@ -186,6 +218,9 @@ class Wavefront:
         t_scan = len(t_ids) + w_pad
         n_steps = t_scan + n_words - 1
         n_chunks = -(-n_steps // self.chunk)
+        # Pad to a whole number of segments; surplus steps are inactive.
+        seg = min(self.seg_chunks, n_chunks)
+        n_chunks = -(-n_chunks // seg) * seg
         eq = np.eye(sigma, dtype=bool)
         peq_words = encode.build_peq_words(np.asarray(q_ids, np.uint8), eq,
                                            n_words=n_words)
@@ -198,15 +233,34 @@ class Wavefront:
         tflat[len(t_ids):t_scan] = sigma  # wildcard extension
         return peq, targets, n_words, R, w_pad, t_scan
 
+    @staticmethod
+    def initial_state(R: int) -> np.ndarray:
+        shape = (R, LANES)
+        word_idx = (np.arange(R)[:, None] * LANES
+                    + np.arange(LANES)[None, :]).astype(np.int64)
+        state = np.zeros((8, R, LANES), np.uint32)
+        state[0] = 0xFFFFFFFF                      # Pv
+        state[5] = ((word_idx + 1) * 32).astype(np.uint32)  # scores
+        state[6] = np.uint32(_BIG)                 # running min
+        state[7] = 0xFFFFFFFF                      # running argmin (-1)
+        return state
+
     def run(self, q_ids: np.ndarray, t_ids: np.ndarray, sigma: int,
             hin0: int, col_lo: int, col_hi: int):
         peq, targets, n_words, R, w_pad, t_scan = self._prepare(
             q_ids, t_ids, sigma)
-        out = np.asarray(_wavefront_call(
-            targets, peq, R=R, sigma1=sigma + 1, chunk=self.chunk,
-            hin0=hin0, n_words=n_words, col_lo=col_lo, col_hi=col_hi,
-            t_scan=t_scan, interpret=self.interpret))
-        flat = out.reshape(3, R * LANES)
+        n_chunks = targets.shape[0]
+        seg = min(self.seg_chunks, n_chunks)
+        state = self.initial_state(R)
+        out = None
+        for s0 in range(0, n_chunks, seg):
+            d_base = np.array([s0 * self.chunk], np.int32)
+            out, state = _wavefront_call(
+                d_base, targets[s0:s0 + seg], peq, state,
+                R=R, sigma1=sigma + 1, chunk=self.chunk, hin0=hin0,
+                n_words=n_words, col_lo=col_lo, col_hi=col_hi,
+                t_scan=t_scan, interpret=self.interpret)
+        flat = np.asarray(out).reshape(3, R * LANES)
         return flat[:, n_words - 1], w_pad
 
     def nw_distance(self, q_ids: np.ndarray, t_ids: np.ndarray,

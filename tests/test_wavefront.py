@@ -40,6 +40,19 @@ def test_wavefront_semiglobal_best(mode_is_hw, wf, rng):
         assert gp == int(np.argmin(hs))
 
 
+def test_wavefront_multi_segment_resume(rng):
+    """Segmented execution (state carried between pallas calls) must be
+    bit-identical to a single-segment run."""
+    sigma = 4
+    q = rng.randint(0, sigma, 150).astype(np.uint8)
+    t = rng.randint(0, sigma, 400).astype(np.uint8)
+    one = Wavefront(chunk=32, interpret=True, seg_chunks=1024)
+    many = Wavefront(chunk=32, interpret=True, seg_chunks=2)
+    assert one.nw_distance(q, t, sigma) == many.nw_distance(q, t, sigma)
+    assert (one.semiglobal_best(q, t, sigma, True)
+            == many.semiglobal_best(q, t, sigma, True))
+
+
 def test_wavefront_similar_pair(wf, rng):
     # The headline shape: one long ~90%-similar pair, exact NW distance.
     sigma = 4
