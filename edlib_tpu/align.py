@@ -21,7 +21,7 @@ overall best equals Q).  We reproduce that rule word-size-independently.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 

@@ -21,7 +21,7 @@ word count and post-filtered on host).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 
