@@ -279,3 +279,261 @@ class Wavefront:
                           hin0=0 if mode_is_hw else 1,
                           col_lo=w_pad, col_hi=w_pad + len(t_ids))
         return int(col[1]), int(col[2]) - w_pad
+
+
+# ---------------------------------------------------------------------------
+# Banded wavefront (NW): a sliding window of WINW = R*128 word slots tracks
+# the Ukkonen band down the main diagonal.
+#
+# Word w's rows intersect the band [c+lo, c+hi] at its wavefront column
+# c = d - w iff 33w is in [d+lo-31, d+hi], so the window base advances one
+# word every ~33 steps (a deterministic schedule).  On a slide the slot
+# contents roll UP one slot; the entering bottom word is synthesized as
+# "cell above + 1 each" (Pv=ones, score = above's step-(d-2) score + 32 —
+# reconstructed as score - hout since the hout tiles still hold step d-1),
+# and the window-top word's successor receives the boundary hin=+1 fill —
+# both are the standard banded-Myers upper-bound approximations (cf. the
+# native banded engine): every value <= k is exact, so the result is the
+# true NW distance whenever it is <= k (host runs the dynamic-k doubling).
+#
+# Each pallas call runs a bounded number of steps with the target slice for
+# those steps resident in VMEM (the consumed column index drifts at ~32/33
+# per step, so block-streamed SMEM targets cannot follow it); the full
+# state (incl. the Peq window) is carried between calls.
+# ---------------------------------------------------------------------------
+
+
+def _wfb_kernel(params_ref, targets_ref, peq_ref, state_in_ref,
+                state_out_ref, *, R: int, sigma1: int, n_steps: int,
+                n_words: int, lo: int, t_scan: int, tgt_rows: int):
+    """One banded segment.
+
+    params_ref: SMEM int32 [d0, col0]  (absolute first step; first target
+        index held in targets_ref).
+    targets_ref: VMEM (tgt_rows, 128) int32 — target_ext[col0 : ...] row-major.
+    peq_ref: VMEM (sigma1, RW_ALL, 128) uint32 — full profile, word-major.
+    state: (6 + sigma1, R, 128) uint32:
+        [Pv, Mv, symwin, hneg, hpos, scores, peq window rows...].
+    """
+    shape = (R, LANES)
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    slot_idx = rows * LANES + lanes
+    WINW = R * LANES
+    base_cap = max(0, n_words - WINW)
+    d0 = params_ref[0]
+    col0 = params_ref[1]
+
+    def base_of(d):
+        b = jnp.maximum((d + lo - 31) // 33, 0)
+        return jnp.minimum(b, base_cap)
+
+    def slide_up(x, fill_val):
+        # pltpu.roll requires non-negative shifts: -1 == size-1.
+        tmp = pltpu.roll(x, LANES - 1, 1)  # [r, l] = x[r, l+1]; lane 127 wraps
+        fix = pltpu.roll(tmp, R - 1, 0)    # [r, 127] = x[r+1, 0... next row]
+        y = jnp.where(lanes == LANES - 1, fix, tmp)
+        return jnp.where((lanes == LANES - 1) & (rows == R - 1),
+                         jnp.full_like(x, fill_val), y)
+
+    def step(i, carry):
+        Pv, Mv, symwin, hneg, hpos, scores, peq_win = carry
+        d = d0 + i
+        base_prev = base_of(d - 1)
+        base = base_of(d)
+        do = base != base_prev
+
+        # --- window slide (base advanced by one word) ---
+        bottom_score = scores[R - 1, LANES - 1]
+        bottom_h = (hpos[R - 1, LANES - 1] - hneg[R - 1, LANES - 1])
+        enter_score = bottom_score - bottom_h + 32
+        Pv = jnp.where(do, slide_up(Pv, jnp.uint32(0xFFFFFFFF)), Pv)
+        Mv = jnp.where(do, slide_up(Mv, jnp.uint32(0)), Mv)
+        symwin = jnp.where(do, slide_up(symwin, 0), symwin)
+        hneg = jnp.where(do, slide_up(hneg, 0), hneg)
+        hpos = jnp.where(do, slide_up(hpos, 0), hpos)
+        scores = jnp.where(do, slide_up(scores, enter_score), scores)
+        w_new = base + WINW - 1
+        new_peq = []
+        for sidx in range(sigma1):
+            val = peq_ref[sidx, w_new // LANES, w_new % LANES]
+            new_peq.append(jnp.where(do, slide_up(peq_win[sidx], val),
+                                     peq_win[sidx]))
+        peq_win = tuple(new_peq)
+
+        # --- per-step word-slot shift + advance ---
+        tpos = d - base - col0
+        sym_fill = targets_ref[tpos // LANES, tpos % LANES]
+        symwin = _shift_words(symwin, sym_fill)
+        hneg = _shift_words(hneg, 0)
+        hpos = _shift_words(hpos, 1)
+
+        eq = jnp.zeros(shape, jnp.uint32)
+        for sidx in range(sigma1):
+            eq = jnp.where(symwin == sidx, peq_win[sidx], eq)
+        hneg_u = hneg.astype(jnp.uint32)
+        hpos_u = hpos.astype(jnp.uint32)
+        Xv = eq | Mv
+        eq2 = eq | hneg_u
+        Xh = (((eq2 & Pv) + Pv) ^ Pv) | eq2
+        Ph = Mv | ~(Xh | Pv)
+        Mh = Pv & Xh
+        hout_pos = (Ph >> 31).astype(jnp.int32)
+        hout_neg = (Mh >> 31).astype(jnp.int32)
+        Ph = (Ph << 1) | hpos_u
+        Mh = (Mh << 1) | hneg_u
+        Pv_new = Mh | ~(Xv | Ph)
+        Mv_new = Ph & Xv
+
+        word = base + slot_idx
+        col = d - word
+        active = (col >= 0) & (col < t_scan) & (word < n_words)
+        Pv = jnp.where(active, Pv_new, Pv)
+        Mv = jnp.where(active, Mv_new, Mv)
+        scores = scores + jnp.where(active, hout_pos - hout_neg, 0)
+        hneg = jnp.where(active, hout_neg, 0)
+        hpos = jnp.where(active, hout_pos, 0)
+        return (Pv, Mv, symwin, hneg, hpos, scores, peq_win)
+
+    carry0 = (state_in_ref[0], state_in_ref[1],
+              state_in_ref[2].astype(jnp.int32),
+              state_in_ref[3].astype(jnp.int32),
+              state_in_ref[4].astype(jnp.int32),
+              state_in_ref[5].astype(jnp.int32),
+              tuple(state_in_ref[6 + sidx] for sidx in range(sigma1)))
+    Pv, Mv, symwin, hneg, hpos, scores, peq_win = jax.lax.fori_loop(
+        0, n_steps, step, carry0)
+    state_out_ref[0] = Pv
+    state_out_ref[1] = Mv
+    state_out_ref[2] = symwin.astype(jnp.uint32)
+    state_out_ref[3] = hneg.astype(jnp.uint32)
+    state_out_ref[4] = hpos.astype(jnp.uint32)
+    state_out_ref[5] = scores.astype(jnp.uint32)
+    for sidx in range(sigma1):
+        state_out_ref[6 + sidx] = peq_win[sidx]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "R", "sigma1", "n_steps", "n_words", "lo", "t_scan", "tgt_rows",
+    "interpret"))
+def _wfb_call(params, targets, peq, state, *, R, sigma1, n_steps, n_words,
+              lo, t_scan, tgt_rows, interpret):
+    shape = (R, LANES)
+    kernel = functools.partial(_wfb_kernel, R=R, sigma1=sigma1,
+                               n_steps=n_steps, n_words=n_words, lo=lo,
+                               t_scan=t_scan, tgt_rows=tgt_rows)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((6 + sigma1,) + shape, jnp.uint32),
+        interpret=interpret,
+    )(params, targets, peq, state)
+
+
+class BandedWavefront:
+    """NW distance for one long pair with a sliding banded window.
+
+    Exact whenever the true distance is <= k; the public entry runs the
+    dynamic-k doubling loop.  Window word-capacity buckets are powers of
+    two so compiled kernels are reused across k's.
+    """
+
+    def __init__(self, seg_steps: int = 4096, interpret: bool = False,
+                 r_min: int = SUB_MIN):
+        self.seg_steps = seg_steps
+        self.interpret = interpret
+        self.r_min = r_min  # < SUB_MIN only for interpret-mode slide tests
+
+    def _band_geometry(self, qlen: int, tlen: int, k: int):
+        n_words = encode.num_words(qlen)
+        diff = qlen - tlen
+        s = max(0, (k - abs(diff)) // 2)
+        lo = min(0, diff) - s
+        hi = max(0, diff) + s
+        band_words = (hi - lo + 31) // 33 + 3
+        R = self.r_min
+        while R * LANES < band_words:
+            R *= 2
+        rows_all = -(-n_words // LANES)
+        R_full = max(SUB_MIN, -(-rows_all // SUB_MIN) * SUB_MIN)
+        R = min(R, R_full)
+        return n_words, lo, R
+
+    def distance_bounded(self, q_ids: np.ndarray, t_ids: np.ndarray,
+                         sigma: int, k: int):
+        """NW distance if <= k else None (value then unreliable)."""
+        qlen, tlen = len(q_ids), len(t_ids)
+        n_words, lo, R = self._band_geometry(qlen, tlen, k)
+        WINW = R * LANES
+        w_pad = n_words * 32 - qlen
+        t_scan = tlen + w_pad
+        n_steps_total = t_scan + n_words - 1
+
+        eq = np.eye(sigma, dtype=bool)
+        peq_words = encode.build_peq_words(np.asarray(q_ids, np.uint8), eq,
+                                           n_words=n_words)
+        # Allocate at least R rows: the entering-word gather computes its
+        # (unused) index even on non-slide steps and must stay in bounds.
+        rows_all = max(1, -(-n_words // LANES), R)
+        peq = np.zeros((sigma + 1, rows_all, LANES), np.uint32)
+        peq.reshape(sigma + 1, -1)[:, :n_words] = peq_words
+
+        t_ext = np.full(t_scan + self.seg_steps + WINW + LANES, sigma,
+                        np.int32)
+        t_ext[:tlen] = t_ids
+
+        state = np.zeros((6 + sigma + 1, R, LANES), np.uint32)
+        state[0] = 0xFFFFFFFF  # Pv
+        slot = (np.arange(R)[:, None] * LANES + np.arange(LANES)[None, :])
+        state[5] = ((slot + 1) * 32).astype(np.uint32)  # scores (base 0)
+        for sidx in range(sigma + 1):
+            w = np.minimum(slot, n_words - 1)
+            state[6 + sidx] = peq.reshape(sigma + 1, -1)[sidx][
+                np.minimum(slot.reshape(-1), rows_all * LANES - 1)
+            ].reshape(R, LANES)
+
+        def base_of(d):
+            return min(max((d + lo - 31) // 33, 0), max(0, n_words - WINW))
+
+        d = 0
+        tgt_rows = -(-(self.seg_steps + WINW + LANES) // LANES)
+        while d < n_steps_total:
+            col0 = max(0, d - base_of(d))
+            seg_t = t_ext[col0:col0 + tgt_rows * LANES]
+            params = np.array([d, col0], np.int32)
+            state = _wfb_call(
+                params, seg_t.reshape(tgt_rows, LANES), peq, state,
+                R=R, sigma1=sigma + 1, n_steps=self.seg_steps,
+                n_words=n_words, lo=lo, t_scan=t_scan, tgt_rows=tgt_rows,
+                interpret=self.interpret)
+            d += self.seg_steps  # fixed-size segments; overshoot is inert
+        state = np.asarray(state)
+        # The window kept sliding through the (inactive) overshoot steps;
+        # locate the bottom word by the base at the last EXECUTED step.
+        base_final = base_of(d - 1)
+        slot_idx = (n_words - 1) - base_final
+        score = int(np.int32(state[5].reshape(-1)[slot_idx]))
+        return score if score <= k else None
+
+    def nw_distance(self, q_ids: np.ndarray, t_ids: np.ndarray,
+                    sigma: int, k: int = -1) -> int:
+        qlen, tlen = len(q_ids), len(t_ids)
+        bound = max(qlen, tlen)
+        if k < 0:
+            kk = 64
+            while True:
+                d = self.distance_bounded(q_ids, t_ids, sigma,
+                                          min(kk, bound))
+                if d is not None:
+                    return d
+                if kk >= bound:
+                    raise RuntimeError("unreachable: NW <= max(Q,T)")
+                kk *= 2
+        d = self.distance_bounded(q_ids, t_ids, sigma, min(k, bound))
+        return -1 if d is None else d

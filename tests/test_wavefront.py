@@ -5,7 +5,7 @@ import pytest
 
 from edlib_tpu import encode
 from edlib_tpu.ops import host as host_engine
-from edlib_tpu.ops.wavefront import Wavefront
+from edlib_tpu.ops.wavefront import BandedWavefront, Wavefront
 
 
 @pytest.fixture(scope="module")
@@ -51,6 +51,44 @@ def test_wavefront_multi_segment_resume(rng):
     assert one.nw_distance(q, t, sigma) == many.nw_distance(q, t, sigma)
     assert (one.semiglobal_best(q, t, sigma, True)
             == many.semiglobal_best(q, t, sigma, True))
+
+
+def test_banded_wavefront_exact(rng):
+    wfb = BandedWavefront(seg_steps=256, interpret=True)
+    for qlen, tlen, mut in ((40, 120, 0.1), (200, 300, 0.1), (300, 280, 0.3),
+                            (500, 500, 0.05)):
+        t = rng.randint(0, 4, tlen).astype(np.uint8)
+        q = t[:min(qlen, tlen)].copy()
+        if len(q) < qlen:
+            q = np.concatenate([q, rng.randint(0, 4, qlen - len(q))
+                                .astype(np.uint8)])
+        m = rng.rand(qlen) < mut
+        q[m] = rng.randint(0, 4, m.sum())
+        hpeq = encode.build_peq_bigint(q, np.eye(4, dtype=bool))
+        state, _, _ = host_engine.nw_run(hpeq, t, qlen)
+        truth = int(state.score)
+        assert wfb.nw_distance(q, t, 4) == truth
+        assert wfb.nw_distance(q, t, 4, k=truth) == truth
+        if truth > 0:
+            assert wfb.nw_distance(q, t, 4, k=truth - 1) == -1
+
+
+def test_banded_wavefront_sliding_window(rng):
+    """Force window slides: r_min=1 gives a 128-word window against a
+    157-word query; the band must track the diagonal through ~30 slides."""
+    wfb = BandedWavefront(seg_steps=512, interpret=True, r_min=1)
+    qlen, tlen = 5000, 5200
+    t = rng.randint(0, 4, tlen).astype(np.uint8)
+    q = t[:qlen].copy()
+    m = rng.rand(qlen) < 0.05
+    q[m] = rng.randint(0, 4, m.sum())
+    from edlib_tpu import native_loader
+    nw64 = encode.num_words(qlen, 64)
+    peq64 = encode.build_peq_words(q, np.eye(4, dtype=bool), word_size=64,
+                                   n_words=nw64)
+    truth = native_loader.nw_distance_banded_native(peq64, t, qlen,
+                                                    max(qlen, tlen))
+    assert wfb.nw_distance(q, t, 4) == truth
 
 
 def test_wavefront_similar_pair(wf, rng):
