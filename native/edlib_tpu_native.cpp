@@ -660,10 +660,12 @@ int etn_align(const uint8_t* query, int64_t qlen,
     // --- equality matrix ---
     std::vector<uint8_t> eq((size_t)sigma * sigma, 0);
     for (int s = 0; s < sigma; s++) eq[(size_t)s * sigma + s] = 1;
-    for (int64_t i = 0; i < n_eq; i++) {
-        int a = letter_idx[eq_first[i]], b = letter_idx[eq_second[i]];
-        if (a >= 0 && b >= 0) {
-            eq[(size_t)a * sigma + b] = eq[(size_t)b * sigma + a] = 1;
+    if (eq_first != nullptr && eq_second != nullptr) {
+        for (int64_t i = 0; i < n_eq; i++) {
+            int a = letter_idx[eq_first[i]], b = letter_idx[eq_second[i]];
+            if (a >= 0 && b >= 0) {
+                eq[(size_t)a * sigma + b] = eq[(size_t)b * sigma + a] = 1;
+            }
         }
     }
 
