@@ -204,7 +204,7 @@ class Wavefront:
     """
 
     def __init__(self, chunk: int = 512, interpret: bool = False,
-                 seg_chunks: int = 64):
+                 seg_chunks: int = 32):
         self.chunk = chunk
         self.interpret = interpret
         self.seg_chunks = seg_chunks
@@ -303,15 +303,20 @@ class Wavefront:
 # ---------------------------------------------------------------------------
 
 
-def _wfb_kernel(params_ref, targets_ref, peq_ref, state_in_ref,
+def _wfb_kernel(params_ref, enter_ref, targets_ref, state_in_ref,
                 state_out_ref, *, R: int, sigma1: int, n_steps: int,
                 n_words: int, lo: int, t_scan: int, tgt_rows: int):
     """One banded segment.
 
-    params_ref: SMEM int32 [d0, col0]  (absolute first step; first target
-        index held in targets_ref).
-    targets_ref: VMEM (tgt_rows, 128) int32 — target_ext[col0 : ...] row-major.
-    peq_ref: VMEM (sigma1, RW_ALL, 128) uint32 — full profile, word-major.
+    params_ref: SMEM int32 [d0, col0, base0]  (absolute first step; first
+        target index held in targets_ref; window base at segment entry).
+    enter_ref: SMEM int32 (1, max_slides*sigma1) — Peq values (bit-identical
+        int32 views) of the words that will enter the window during this
+        segment, indexed by slide count.  Mosaic cannot do unaligned VMEM
+        scalar reads, and the entering schedule is deterministic, so the
+        host precomputes it.
+    targets_ref: SMEM (1, tgt_len) int32 — target_ext[col0 : col0+tgt_len]
+        (single-row layout: SMEM pads every row to a full lane stripe).
     state: (6 + sigma1, R, 128) uint32:
         [Pv, Mv, symwin, hneg, hpos, scores, peq window rows...].
     """
@@ -323,6 +328,7 @@ def _wfb_kernel(params_ref, targets_ref, peq_ref, state_in_ref,
     base_cap = max(0, n_words - WINW)
     d0 = params_ref[0]
     col0 = params_ref[1]
+    base0 = params_ref[2]
 
     def base_of(d):
         b = jnp.maximum((d + lo - 31) // 33, 0)
@@ -353,17 +359,17 @@ def _wfb_kernel(params_ref, targets_ref, peq_ref, state_in_ref,
         hneg = jnp.where(do, slide_up(hneg, 0), hneg)
         hpos = jnp.where(do, slide_up(hpos, 0), hpos)
         scores = jnp.where(do, slide_up(scores, enter_score), scores)
-        w_new = base + WINW - 1
+        slide_idx = base - base0
         new_peq = []
         for sidx in range(sigma1):
-            val = peq_ref[sidx, w_new // LANES, w_new % LANES]
+            val = enter_ref[0, slide_idx * sigma1 + sidx].astype(jnp.uint32)
             new_peq.append(jnp.where(do, slide_up(peq_win[sidx], val),
                                      peq_win[sidx]))
         peq_win = tuple(new_peq)
 
         # --- per-step word-slot shift + advance ---
         tpos = d - base - col0
-        sym_fill = targets_ref[tpos // LANES, tpos % LANES]
+        sym_fill = targets_ref[0, tpos]
         symwin = _shift_words(symwin, sym_fill)
         hneg = _shift_words(hneg, 0)
         hpos = _shift_words(hpos, 1)
@@ -416,7 +422,7 @@ def _wfb_kernel(params_ref, targets_ref, peq_ref, state_in_ref,
 @functools.partial(jax.jit, static_argnames=(
     "R", "sigma1", "n_steps", "n_words", "lo", "t_scan", "tgt_rows",
     "interpret"))
-def _wfb_call(params, targets, peq, state, *, R, sigma1, n_steps, n_words,
+def _wfb_call(params, enter, targets, state, *, R, sigma1, n_steps, n_words,
               lo, t_scan, tgt_rows, interpret):
     shape = (R, LANES)
     kernel = functools.partial(_wfb_kernel, R=R, sigma1=sigma1,
@@ -426,14 +432,14 @@ def _wfb_call(params, targets, peq, state, *, R, sigma1, n_steps, n_words,
         kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((6 + sigma1,) + shape, jnp.uint32),
         interpret=interpret,
-    )(params, targets, peq, state)
+    )(params, enter, targets, state)
 
 
 class BandedWavefront:
@@ -444,7 +450,7 @@ class BandedWavefront:
     two so compiled kernels are reused across k's.
     """
 
-    def __init__(self, seg_steps: int = 4096, interpret: bool = False,
+    def __init__(self, seg_steps: int = 16384, interpret: bool = False,
                  r_min: int = SUB_MIN):
         self.seg_steps = seg_steps
         self.interpret = interpret
@@ -503,12 +509,21 @@ class BandedWavefront:
 
         d = 0
         tgt_rows = -(-(self.seg_steps + WINW + LANES) // LANES)
+        max_slides = self.seg_steps // 33 + 3
+        peq_flat = peq.reshape(sigma + 1, -1)
         while d < n_steps_total:
-            col0 = max(0, d - base_of(d))
-            seg_t = t_ext[col0:col0 + tgt_rows * LANES]
-            params = np.array([d, col0], np.int32)
+            base0 = base_of(d)
+            col0 = max(0, d - base0)
+            seg_t = t_ext[col0:col0 + tgt_rows * LANES][None, :]
+            params = np.array([d, col0, base0], np.int32)
+            # Entering-word Peq schedule: slide s brings word
+            # (base0 + s) + WINW - 1 into the window bottom.
+            ent_words = np.minimum(base0 + np.arange(max_slides) + WINW - 1,
+                                   rows_all * LANES - 1)
+            enter = (peq_flat[:, ent_words].T.astype(np.uint32)
+                     .view(np.int32).reshape(1, -1))
             state = _wfb_call(
-                params, seg_t.reshape(tgt_rows, LANES), peq, state,
+                params, np.ascontiguousarray(enter), seg_t, state,
                 R=R, sigma1=sigma + 1, n_steps=self.seg_steps,
                 n_words=n_words, lo=lo, t_scan=t_scan, tgt_rows=tgt_rows,
                 interpret=self.interpret)
