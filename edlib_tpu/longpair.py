@@ -1,0 +1,58 @@
+"""Long single-pair alignment helpers (wavefront-accelerated).
+
+``nw_distance_long`` computes the global edit distance of ONE long pair,
+using the banded wavefront TPU kernel when a TPU is present and the native
+banded CPU engine otherwise.  Results are exactly edlib-compatible NW
+distances (the -1-above-k convention applies when k >= 0).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from edlib_tpu import encode
+
+
+def _to_ids(query, target):
+    qb = query.encode() if isinstance(query, str) else bytes(query)
+    tb = target.encode() if isinstance(target, str) else bytes(target)
+    q_ids, t_ids, alphabet = encode.transform_sequences(qb, tb)
+    return q_ids, t_ids, len(alphabet)
+
+
+def nw_distance_long(query, target, k: int = -1,
+                     backend: str = "auto") -> int:
+    """NW edit distance of one (possibly multi-Mbp) pair.
+
+    backend: "auto" (wavefront on TPU, native otherwise), "wavefront",
+    "native".  Returns -1 when k >= 0 and the distance exceeds k.
+    """
+    q_ids, t_ids, sigma = _to_ids(query, target)
+    qlen, tlen = len(q_ids), len(t_ids)
+    if qlen == 0 or tlen == 0:
+        d = max(qlen, tlen)
+        return d if k < 0 or d <= k else -1
+
+    use_wavefront = backend == "wavefront"
+    if backend == "auto":
+        forced = os.environ.get("EDLIB_TPU_FORCE_PALLAS", "")
+        try:
+            import jax
+            use_wavefront = (forced or jax.default_backend() == "tpu") \
+                and qlen * tlen >= 10_000_000_000 and sigma <= 15
+        except Exception:
+            use_wavefront = False
+
+    if use_wavefront:
+        from edlib_tpu.ops.wavefront import BandedWavefront
+        forced = os.environ.get("EDLIB_TPU_FORCE_PALLAS", "")
+        wfb = BandedWavefront(interpret=(forced == "interpret"))
+        return wfb.nw_distance(q_ids.astype(np.uint8), t_ids.astype(np.uint8),
+                               sigma, k=k)
+
+    from edlib_tpu.align import _nw_score_host, _INF
+    eq = np.eye(sigma, dtype=bool)
+    return _nw_score_host(q_ids, t_ids, eq, _INF if k < 0 else k)

@@ -450,7 +450,7 @@ class BandedWavefront:
     two so compiled kernels are reused across k's.
     """
 
-    def __init__(self, seg_steps: int = 16384, interpret: bool = False,
+    def __init__(self, seg_steps: int = 65536, interpret: bool = False,
                  r_min: int = SUB_MIN):
         self.seg_steps = seg_steps
         self.interpret = interpret

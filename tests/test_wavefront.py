@@ -101,3 +101,16 @@ def test_wavefront_similar_pair(wf, rng):
     hpeq = encode.build_peq_bigint(q, np.eye(sigma, dtype=bool))
     state, _, _ = host_engine.nw_run(hpeq, t, 700)
     assert wf.nw_distance(q, t, sigma) == state.score
+
+
+def test_nw_distance_long_api(rng, monkeypatch):
+    import edlib_tpu
+    q = bytes(rng.choice(list(b"ACGT"), 300).tolist())
+    t = bytes(rng.choice(list(b"ACGT"), 400).tolist())
+    want = edlib_tpu.align(q, t)["editDistance"]
+    assert edlib_tpu.nw_distance_long(q, t) == want          # native path
+    monkeypatch.setenv("EDLIB_TPU_FORCE_PALLAS", "interpret")
+    got = edlib_tpu.nw_distance_long(q, t, backend="wavefront")
+    assert got == want
+    assert edlib_tpu.nw_distance_long(q, t, k=want - 1) == -1
+    assert edlib_tpu.nw_distance_long(b"", t) == 400
