@@ -22,6 +22,7 @@ import os
 import subprocess
 import sys
 import tempfile
+import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_GCUPS = 80.0
@@ -33,7 +34,7 @@ SIGMA = 4
 CHUNK = 512
 
 _CHILD_CODE = r"""
-import json, sys, time
+import json, os, sys, time
 import numpy as np
 backend = sys.argv[1]
 out_path = sys.argv[2]
@@ -49,6 +50,9 @@ def report(seconds, note, reps):
                    "note": note}, f)
 
 if backend == "native":
+    # ctypes releases the GIL during the C sweep, so threads scale.
+    from multiprocessing.dummy import Pool
+
     from edlib_tpu import native_loader
     assert native_loader.available()
     rng = np.random.RandomState(0)
@@ -58,15 +62,23 @@ if backend == "native":
     w64 = nw64 * 64 - QLEN
     t_ext = np.concatenate([target.astype(np.uint8),
                             np.full(w64, SIGMA, np.uint8)])
-    n_reads = 64  # sample; native is the fallback path
-    peqs = [encode.build_peq_words(
-        rng.randint(0, SIGMA, QLEN).astype(np.uint8), eq, word_size=64,
-        n_words=nw64) for _ in range(n_reads)]
+    n_reads = 128  # sample; native is the fallback path
+    reads = [rng.randint(0, SIGMA, QLEN).astype(np.uint8)
+             for _ in range(n_reads)]
+
+    def chunk_work(chunk_reads):
+        for r in chunk_reads:
+            p = encode.build_peq_words(r, eq, word_size=64, n_words=nw64)
+            native_loader.sweep_scores_native(p, t_ext, 0)
+        return len(chunk_reads)
+
+    n_proc = min(4, os.cpu_count() or 1)
     t0 = time.time()
-    for p in peqs:
-        native_loader.sweep_scores_native(p, t_ext, 0)
+    with Pool(n_proc) as pool:
+        pool.map(chunk_work,
+                 [reads[i::n_proc] for i in range(n_proc)])
     dt = (time.time() - t0) * (B / n_reads)
-    report(dt, "native-cpu", 1)
+    report(dt, f"native-cpu-x{n_proc}", 1)
     sys.exit(0)
 
 import jax
@@ -174,11 +186,17 @@ def try_backend(backend: str, timeout: int):
 
 
 def main():
+    # The tunneled TPU in this environment wedges transiently; retry the
+    # device backend with cool-down gaps before accepting the CPU fallback.
+    attempts = [("pallas", 420), ("pallas", 420), ("pallas", 300),
+                ("native", 300)]
     result = None
-    for backend, timeout in (("pallas", 420), ("native", 300)):
+    for i, (backend, timeout) in enumerate(attempts):
         result = try_backend(backend, timeout)
         if result is not None:
             break
+        if backend == "pallas" and i + 1 < len(attempts):
+            time.sleep(90)
     if result is None:
         print(json.dumps({"metric": "batched_hw_gcups", "value": 0.0,
                           "unit": "GCUPS", "vs_baseline": 0.0,
