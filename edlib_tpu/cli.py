@@ -133,6 +133,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     print("\nComparing queries to target...")
     start_time = time.process_time()
     results = []
+    if not args.find_alignment or args.silent:
+        print(f"0/{len(queries)}", end="", flush=True)
     if backend == "jax":
         batch = align_batch(queries, [target] * len(queries), mode=args.mode,
                             task=task, k=args.k)
