@@ -266,9 +266,10 @@ void etn_sweep_scores_banded(const Word* peq, int64_t n_words,
     }
 }
 
-// NW banded distance: static diagonal band from the feasibility bound
-// |r-c| + |(Q-1-r)-(T-1-c)| <= k, tightened per column by the corner upper
-// bound.  Returns the distance, or -1 when it exceeds k.
+// NW banded distance: dynamic Ukkonen band (value- and position-adaptive
+// edges, one-block growth, per-column k tightening from the band bottom
+// plus a periodic near-diagonal probe).  Pruning-only: exact whenever the
+// distance is <= k, else returns -1.
 int32_t etn_nw_distance_banded(const Word* peq, int64_t n_words,
                                const uint8_t* target, int64_t tlen,
                                int64_t qlen, int64_t k) {
@@ -276,65 +277,84 @@ int32_t etn_nw_distance_banded(const Word* peq, int64_t n_words,
     int64_t diff = qlen - tlen;
     if ((diff > 0 ? diff : -diff) > k) return -1;
     const int64_t maxNB = n_words;
+    const int64_t W = maxNB * WBITS - qlen;
     std::vector<Word> Pv(maxNB, ~(Word)0), Mv(maxNB, 0);
     std::vector<int64_t> score(maxNB);
     for (int64_t b = 0; b < maxNB; b++) score[b] = (b + 1) * WBITS;
-    // Row band at column c: r in [c + lo, c + hi],
-    // lo = min(0, Q-T) - s, hi = max(0, Q-T) + s, s = (k - |Q-T|) / 2.
-    auto band_blocks = [&](int64_t c, int64_t kk, int64_t& bf, int64_t& bl) {
-        int64_t s = (kk - (diff > 0 ? diff : -diff)) / 2;
-        int64_t lo = (diff < 0 ? diff : 0) - s;
-        int64_t hi = (diff > 0 ? diff : 0) + s;
-        int64_t r_lo = c + lo, r_hi = c + hi;
-        bf = r_lo <= 0 ? 0 : r_lo / WBITS;
-        bl = r_hi >= qlen - 1 ? maxNB - 1 : r_hi / WBITS;
-        if (bf > maxNB - 1) bf = maxNB - 1;
-        if (bl < 0) bl = 0;
-    };
-    int64_t first, last;
-    band_blocks(0, k, first, last);
-    first = 0;  // initial column state covers all rows from the top
+    int64_t first = 0;
+    int64_t half = (k < (k + diff) / 2 ? k : (k + qlen - tlen) / 2);
+    if (half < 0) half = 0;
+    int64_t last = std::min((half + 1 + WBITS - 1) / WBITS, maxNB) - 1;
+    if (last < 0) last = 0;
+
     for (int64_t c = 0; c < tlen; c++) {
-        const Word* eq = peq + (int64_t)target[c] * n_words;
+        const Word* eq_c = peq + (int64_t)target[c] * n_words;
         int h = 1;
         for (int64_t b = first; b <= last; b++) {
-            h = advance(Pv[b], Mv[b], eq[b], h);
+            h = advance(Pv[b], Mv[b], eq_c[b], h);
             score[b] += h;
         }
-        // Tighten k: the corner is reachable from the band bottom cell in
-        // at most max(row-distance, col-distance) further edits; when the
-        // bottom block is the padded last block, its bottom cell is W rows
-        // and W columns away from the real corner diagonal, so add W.
-        int64_t rb = (last + 1) * WBITS - 1;
-        int64_t row_rem = qlen - rb - 1;  // may be negative
-        int64_t col_rem = tlen - c - 1;
-        int64_t rem = (row_rem > col_rem ? row_rem : col_rem)
-            + (last == maxNB - 1 ? maxNB * WBITS - qlen : 0);
-        if (score[last] + rem < k) k = score[last] + rem;
-        if ((diff > 0 ? diff : -diff) > k) return -1;
-        // Cheap value-based shrink: a block whose bottom score is >= k+64
-        // has every cell > k (cells within a block differ by < 64).
-        while (last >= first && score[last] >= k + WBITS) last--;
-        while (first <= last && score[first] >= k + WBITS) first++;
-        if (first > last) return -1;
-        // Static band for the next column.
-        int64_t nf, nl;
-        band_blocks(c + 1, k, nf, nl);
-        if (nl > last) {
-            // Band bottom crossed into a new block: synthesize its state at
-            // this column as "cell above + 1 each" (upper bounds; cells <= k
-            // are never synthesized, so exactness within k is preserved).
-            for (int64_t b = last + 1; b <= nl; b++) {
-                Pv[b] = ~(Word)0;
-                Mv[b] = 0;
-                score[b] = score[b - 1] + WBITS;
+        // k tightening from the band-bottom corner bound (+W when the
+        // padded last block is in play).
+        {
+            int64_t rb = (last + 1) * WBITS - 1;
+            int64_t row_rem = qlen - rb - 1;
+            int64_t col_rem = tlen - c - 1;
+            int64_t rem = (row_rem > col_rem ? row_rem : col_rem)
+                + (last == maxNB - 1 ? W : 0);
+            if (score[last] + rem < k) k = score[last] + rem;
+        }
+        // Periodic near-diagonal probe: a far tighter corner bound than the
+        // band bottom once the path locks onto the diagonal.
+        if ((c & 63) == 0) {
+            int64_t rd = c + diff / 2;
+            if (rd > qlen - 1) rd = qlen - 1;
+            if (rd < 0) rd = 0;
+            int64_t bd = rd / WBITS;
+            if (bd >= first && bd <= last) {
+                int64_t v = score[bd];
+                for (int64_t r = (bd + 1) * WBITS - 1; r > rd; r--) {
+                    Word bit = (Word)1 << (r % WBITS);
+                    v -= (int64_t)((Pv[bd] & bit) != 0);
+                    v += (int64_t)((Mv[bd] & bit) != 0);
+                }
+                int64_t rr = qlen - 1 - rd;
+                int64_t cr = tlen - 1 - c;
+                int64_t bound = v + (rr > cr ? rr : cr);
+                if (bound < k) k = bound;
             }
         }
-        if (nf > first) first = nf <= nl ? nf : nl;
-        last = nl;
+        if ((diff > 0 ? diff : -diff) > k) return -1;
+        // Grow the bottom edge by one block when its cells may still be
+        // feasible (value+position test on the would-be bottom row).
+        if (last + 1 < maxNB
+            && !((last + 2) * WBITS - 1
+                 > k - score[last] + 2 * WBITS - 2 - tlen + c + qlen)) {
+            last++;
+            Pv[last] = ~(Word)0;
+            Mv[last] = 0;
+            score[last] = score[last - 1] - h + WBITS;
+            int h2 = advance(Pv[last], Mv[last], eq_c[last], h);
+            score[last] += h2;
+            h = h2;
+        }
+        // Shrink the bottom edge: blocks whose best cell is provably > k or
+        // positionally unable to reach the corner within k.
+        while (last >= first
+               && (score[last] >= k + WBITS
+                   || ((last + 1) * WBITS - 1 >
+                       k - score[last] + 2 * WBITS - 2 - tlen + c + qlen + 1))) {
+            last--;
+        }
+        // Advance the top edge symmetrically.
+        while (first <= last
+               && (score[first] >= k + WBITS
+                   || ((first + 1) * WBITS - 1 <
+                       score[first] - k - tlen + qlen + c))) {
+            first++;
+        }
         if (first > last) return -1;
     }
-    // Decode cell (qlen-1, tlen-1) from its block.
     int64_t bq = (qlen - 1) / WBITS;
     if (bq < first || bq > last) return -1;
     int64_t v = score[bq];
