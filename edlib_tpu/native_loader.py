@@ -115,7 +115,7 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.etn_nw_cells_at_banded.argtypes = [
         ctypes.c_void_p, c_i64, c_i64, ctypes.c_void_p, c_i64, c_i64,
         c_i64, ctypes.c_void_p]
-    lib.etn_sweep_scores_banded.restype = None
+    lib.etn_sweep_scores_banded.restype = c_i64
     lib.etn_sweep_scores_banded.argtypes = [
         ctypes.c_void_p, c_i64, ctypes.c_void_p, c_i64, ctypes.c_int,
         c_i64, ctypes.c_void_p]
@@ -292,7 +292,7 @@ def sweep_scores_banded_native(peq64: np.ndarray, target_ext: np.ndarray,
         return None
     peq64 = np.ascontiguousarray(peq64, dtype=np.uint64)
     target_ext = np.ascontiguousarray(target_ext, dtype=np.uint8)
-    out = np.empty(len(target_ext), dtype=np.int32)
+    out = np.full(len(target_ext), SCORE_INF, dtype=np.int32)
     lib.etn_sweep_scores_banded(peq64.ctypes.data, peq64.shape[1],
                                 target_ext.ctypes.data, len(target_ext),
                                 hin0, int(k), out.ctypes.data)

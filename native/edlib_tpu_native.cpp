@@ -199,11 +199,14 @@ static inline bool all_cells_above_k(Word P, Word M, int64_t bottom,
 }
 
 // Semiglobal banded sweep over the wildcard-extended target.
-// Emits bottom score per column, SCORE_INF where the band excludes the
-// bottom block (true score > k there).  k tightens to the running best.
-void etn_sweep_scores_banded(const Word* peq, int64_t n_words,
-                             const uint8_t* target, int64_t t_scan,
-                             int hin0, int64_t k, int32_t* scores_out) {
+// Emits bottom score per column where the band reaches the bottom block;
+// OTHER ENTRIES ARE NOT WRITTEN (callers prefill with SCORE_INF) — in the
+// k-tightened steady state the band sits near the top and per-column INF
+// stores would dominate.  k tightens to the running best.  Returns the
+// number of columns processed (band-vanish early exit for SHW).
+int64_t etn_sweep_scores_banded(const Word* peq, int64_t n_words,
+                                const uint8_t* target, int64_t t_scan,
+                                int hin0, int64_t k, int32_t* scores_out) {
     const int64_t maxNB = n_words;
     std::vector<Word> Pv(maxNB, ~(Word)0), Mv(maxNB, 0);
     std::vector<int64_t> score(maxNB);
@@ -252,18 +255,15 @@ void etn_sweep_scores_banded(const Word* peq, int64_t n_words,
                     first++;
             }
             if (last < first) {  // band vanished: all later scores > k
-                for (int64_t cc = c; cc < t_scan; cc++)
-                    scores_out[cc] = SCORE_INF;
-                return;
+                return c;
             }
         }
         if (last == maxNB - 1) {
             scores_out[c] = (int32_t)score[last];
             if (score[last] < k) k = score[last];  // equal-or-better search
-        } else {
-            scores_out[c] = SCORE_INF;
         }
     }
+    return t_scan;
 }
 
 // NW banded distance: dynamic Ukkonen band (value- and position-adaptive
@@ -610,13 +610,14 @@ int64_t etn_nw_path(const uint8_t* q_ids, int64_t qlen,
 // when want_starts). edit_distance = -1 when above k.
 // ---------------------------------------------------------------------------
 
-static int64_t filter_positions(const int32_t* stream, int64_t tlen,
+static int64_t filter_positions(const int32_t* stream, int64_t n_valid,
                                 int64_t qlen, int64_t k_eff,
                                 int32_t* locs_out, int32_t* best_out) {
-    // All minimal end positions, ascending; emulates the reference's
+    // All minimal end positions, ascending, over the first n_valid stream
+    // entries (later columns are implicitly > k); emulates the reference's
     // 64-bit-padding -1 candidate (score exactly qlen iff qlen % 64 != 0).
     int64_t best = SCORE_INF;
-    for (int64_t c = 0; c < tlen; c++)
+    for (int64_t c = 0; c < n_valid; c++)
         if (stream[c] < best) best = stream[c];
     bool neg1 = (qlen % 64) != 0;
     if (neg1 && qlen < best) best = qlen;
@@ -626,7 +627,7 @@ static int64_t filter_positions(const int32_t* stream, int64_t tlen,
     }
     int64_t n = 0;
     if (neg1 && qlen == best) locs_out[n++] = -1;
-    for (int64_t c = 0; c < tlen; c++)
+    for (int64_t c = 0; c < n_valid; c++)
         if (stream[c] == best) locs_out[n++] = (int32_t)c;
     *best_out = (int32_t)best;
     return n;
@@ -643,10 +644,15 @@ static void semiglobal_best(const Word* peq, int64_t n_words,
     int64_t kk = dynamic ? 64 : k;
     for (;;) {
         int64_t k_run = kk < qlen ? kk : qlen;
-        etn_sweep_scores_banded(peq, n_words, t_ext, t_scan, hin0, k_run,
-                                stream.data());
-        *n_locs = filter_positions(stream.data() + w_pad, tlen, qlen, k_run,
-                                   locs, best);
+        // Prefill: the sweep writes only bottom-reaching columns.
+        memset(stream.data(), 0x3F, (size_t)t_scan * sizeof(int32_t));
+        int64_t n_emitted = etn_sweep_scores_banded(
+            peq, n_words, t_ext, t_scan, hin0, k_run, stream.data());
+        int64_t n_valid = n_emitted - w_pad;
+        if (n_valid < 0) n_valid = 0;
+        if (n_valid > tlen) n_valid = tlen;
+        *n_locs = filter_positions(stream.data() + w_pad, n_valid, qlen,
+                                   k_run, locs, best);
         if (*best >= 0 || !dynamic || k_run >= qlen) return;
         kk *= 2;
     }
@@ -670,10 +676,30 @@ int etn_align(const uint8_t* query, int64_t qlen,
         if (sigma > 255) return 1;
         q_ids[i] = (uint8_t)letter_idx[query[i]];
     }
-    for (int64_t i = 0; i < tlen; i++) {
-        if (letter_idx[target[i]] < 0) letter_idx[target[i]] = (int16_t)sigma++;
-        if (sigma > 255) return 1;
-        t_ids[i] = (uint8_t)letter_idx[target[i]];
+    // Target: branchless table pass (auto-vectorizable); the rare unseen
+    // symbol is detected via the sign bit and handled by a scalar redo
+    // from that point (alphabets saturate within the first few hundred
+    // chars in practice).
+    {
+        int64_t i = 0;
+        while (i < tlen) {
+            int64_t bad = -1;
+            for (; i < tlen; i++) {
+                int16_t v = letter_idx[target[i]];
+                t_ids[i] = (uint8_t)v;
+                if (v < 0) { bad = i; break; }
+            }
+            if (bad < 0) break;
+            // discover symbols scalar-style until the table stabilises
+            int64_t stop = bad + 4096 < tlen ? bad + 4096 : tlen;
+            for (i = bad; i < stop; i++) {
+                if (letter_idx[target[i]] < 0) {
+                    letter_idx[target[i]] = (int16_t)sigma++;
+                    if (sigma > 255) return 1;
+                }
+                t_ids[i] = (uint8_t)letter_idx[target[i]];
+            }
+        }
     }
     *alphabet_len_out = sigma;
 

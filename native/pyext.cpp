@@ -9,6 +9,7 @@
 #include <Python.h>
 
 #include <cstdint>
+#include <memory>
 #include <vector>
 
 extern "C" int etn_align(const uint8_t*, int64_t, const uint8_t*, int64_t,
@@ -56,13 +57,14 @@ static PyObject* py_align(PyObject* self, PyObject* const* args,
 
     int32_t dist = -1, alpha = 0;
     int64_t n_locs = 0;
-    // Stack buffers for the common case; heap for long targets.
-    std::vector<int32_t> ends((size_t)t.len + 1), starts((size_t)t.len + 1);
+    // Uninitialized buffers (value-init would memset ~8MB/Mbp per call).
+    std::unique_ptr<int32_t[]> ends(new int32_t[(size_t)t.len + 1]);
+    std::unique_ptr<int32_t[]> starts(new int32_t[(size_t)t.len + 1]);
     int rc;
     Py_BEGIN_ALLOW_THREADS
     rc = etn_align((const uint8_t*)q.buf, q.len, (const uint8_t*)t.buf,
                    t.len, (int)mode, (int)want_starts, k, eq_a, eq_b, n_eq,
-                   &dist, &alpha, ends.data(), &n_locs, starts.data());
+                   &dist, &alpha, ends.get(), &n_locs, starts.get());
     Py_END_ALLOW_THREADS
 
     PyBuffer_Release(&q);
