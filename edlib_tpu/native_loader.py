@@ -292,10 +292,11 @@ def sweep_scores_banded_native(peq64: np.ndarray, target_ext: np.ndarray,
         return None
     peq64 = np.ascontiguousarray(peq64, dtype=np.uint64)
     target_ext = np.ascontiguousarray(target_ext, dtype=np.uint8)
-    out = np.full(len(target_ext), SCORE_INF, dtype=np.int32)
-    lib.etn_sweep_scores_banded(peq64.ctypes.data, peq64.shape[1],
-                                target_ext.ctypes.data, len(target_ext),
-                                hin0, int(k), out.ctypes.data)
+    out = np.empty(len(target_ext), dtype=np.int32)
+    n = lib.etn_sweep_scores_banded(peq64.ctypes.data, peq64.shape[1],
+                                    target_ext.ctypes.data, len(target_ext),
+                                    hin0, int(k), out.ctypes.data)
+    out[n:] = SCORE_INF  # band vanished: remaining columns are > k
     return out
 
 

@@ -21,6 +21,8 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <memory>
+#include <algorithm>
 #include <vector>
 
 typedef uint64_t Word;
@@ -120,16 +122,17 @@ int64_t etn_cigar_encode(const uint8_t* ops, int64_t n, int extended,
 // ---------------------------------------------------------------------------
 
 static inline int advance(Word& Pv, Word& Mv, Word Eq, int hin) {
+    // Fully branchless: hout and the hin injections are data-dependent and
+    // unpredictable pre-hit — branches here cost ~2x in the column loop.
+    Word hin_neg = (Word)(hin < 0);
     Word Xv = Eq | Mv;
-    if (hin < 0) Eq |= 1;
+    Eq |= hin_neg;
     Word Xh = (((Eq & Pv) + Pv) ^ Pv) | Eq;
     Word Ph = Mv | ~(Xh | Pv);
     Word Mh = Pv & Xh;
-    int hout = 0;
-    if (Ph >> (WBITS - 1)) hout = 1;
-    else if (Mh >> (WBITS - 1)) hout = -1;
+    int hout = (int)(Ph >> (WBITS - 1)) - (int)(Mh >> (WBITS - 1));
     Ph = (Ph << 1) | (Word)(hin > 0);
-    Mh = (Mh << 1) | (Word)(hin < 0);
+    Mh = (Mh << 1) | hin_neg;
     Pv = Mh | ~(Xv | Ph);
     Mv = Ph & Xv;
     return hout;
@@ -200,10 +203,11 @@ static inline bool all_cells_above_k(Word P, Word M, int64_t bottom,
 
 // Semiglobal banded sweep over the wildcard-extended target.
 // Emits bottom score per column where the band reaches the bottom block;
-// OTHER ENTRIES ARE NOT WRITTEN (callers prefill with SCORE_INF) — in the
-// k-tightened steady state the band sits near the top and per-column INF
-// stores would dominate.  k tightens to the running best.  Returns the
-// number of columns processed (band-vanish early exit for SHW).
+// gap columns inside [0, n_processed) are bulk-filled with SCORE_INF (one
+// vectorised fill per gap run instead of a per-column store — the
+// k-tightened steady state sits near the top for long stretches).
+// Returns the number of columns processed; entries beyond it are NOT
+// written (band-vanish early exit for SHW).
 int64_t etn_sweep_scores_banded(const Word* peq, int64_t n_words,
                                 const uint8_t* target, int64_t t_scan,
                                 int hin0, int64_t k, int32_t* scores_out) {
@@ -215,8 +219,54 @@ int64_t etn_sweep_scores_banded(const Word* peq, int64_t n_words,
     int64_t last = std::min((k + 1 + WBITS - 1) / WBITS, maxNB) - 1;
     if (last < 0) last = 0;
     const int64_t STRONG_EVERY = 2048;
+    int64_t gap_start = 0;  // first column not yet written to scores_out
 
     for (int64_t c = 0; c < t_scan; c++) {
+        // Steady-state fast path: with k tightened the band often sits at
+        // block 0 for long stretches (HW read mapping on Mbp targets) —
+        // run a tight single-block loop until the band wants to grow.
+        if (first == 0 && last == 0 && maxNB > 1) {
+            Word P0 = Pv[0], M0 = Mv[0];
+            int64_t s0 = score[0];
+            bool grew = false;
+            for (; c < t_scan; c++) {
+                if ((c & (STRONG_EVERY - 1)) == 0 && hin0 != 0)
+                    break;  // hand SHW top-edge reduction to the slow path
+                const Word* eqf = peq + (int64_t)target[c] * n_words;
+                int h2 = advance(P0, M0, eqf[0], hin0);
+                s0 += h2;
+                if (s0 - h2 <= k && ((eqf[1] & (Word)1) || h2 < 0)) {
+                    // Grow to block 1 for THIS column (mirrors the general
+                    // path's growth), then resume the general loop.
+                    Pv[1] = ~(Word)0;
+                    Mv[1] = 0;
+                    int64_t s1 = s0 - h2 + WBITS;
+                    int h3 = advance(Pv[1], Mv[1], eqf[1], h2);
+                    s1 += h3;
+                    score[1] = s1;
+                    last = 1;
+                    while (last >= first && score[last] >= k + WBITS) last--;
+                    if (hin0 == 0 && last < first) last = first;
+                    grew = true;
+                    break;
+                }
+            }
+            Pv[0] = P0;
+            Mv[0] = M0;
+            score[0] = s0;
+            if (c >= t_scan) break;
+            if (grew) {
+                if (last == maxNB - 1) {
+                    std::fill(scores_out + gap_start, scores_out + c,
+                              SCORE_INF);
+                    scores_out[c] = (int32_t)score[last];
+                    gap_start = c + 1;
+                    if (score[last] < k) k = score[last];
+                }
+                continue;  // column c fully processed in the fast path
+            }
+            // else: strong-reduce column — fall through unprocessed.
+        }
         const Word* eq = peq + (int64_t)target[c] * n_words;
         int h = hin0;
         for (int64_t b = first; b <= last; b++) {
@@ -255,14 +305,18 @@ int64_t etn_sweep_scores_banded(const Word* peq, int64_t n_words,
                     first++;
             }
             if (last < first) {  // band vanished: all later scores > k
+                std::fill(scores_out + gap_start, scores_out + c, SCORE_INF);
                 return c;
             }
         }
         if (last == maxNB - 1) {
+            std::fill(scores_out + gap_start, scores_out + c, SCORE_INF);
             scores_out[c] = (int32_t)score[last];
+            gap_start = c + 1;
             if (score[last] < k) k = score[last];  // equal-or-better search
         }
     }
+    std::fill(scores_out + gap_start, scores_out + t_scan, SCORE_INF);
     return t_scan;
 }
 
@@ -637,21 +691,18 @@ static void semiglobal_best(const Word* peq, int64_t n_words,
                             const uint8_t* t_ext, int64_t t_scan,
                             int64_t w_pad, int64_t qlen, int64_t tlen,
                             int hin0, int64_t k, bool dynamic,
-                            std::vector<int32_t>& stream,
+                            int32_t* stream,
                             int32_t* best, int32_t* locs, int64_t* n_locs) {
     // Semiglobal best is always <= qlen, so the doubling loop caps there.
-    stream.resize(t_scan);
     int64_t kk = dynamic ? 64 : k;
     for (;;) {
         int64_t k_run = kk < qlen ? kk : qlen;
-        // Prefill: the sweep writes only bottom-reaching columns.
-        memset(stream.data(), 0x3F, (size_t)t_scan * sizeof(int32_t));
         int64_t n_emitted = etn_sweep_scores_banded(
-            peq, n_words, t_ext, t_scan, hin0, k_run, stream.data());
+            peq, n_words, t_ext, t_scan, hin0, k_run, stream);
         int64_t n_valid = n_emitted - w_pad;
         if (n_valid < 0) n_valid = 0;
         if (n_valid > tlen) n_valid = tlen;
-        *n_locs = filter_positions(stream.data() + w_pad, n_valid, qlen,
+        *n_locs = filter_positions(stream + w_pad, n_valid, qlen,
                                    k_run, locs, best);
         if (*best >= 0 || !dynamic || k_run >= qlen) return;
         kk *= 2;
@@ -670,7 +721,11 @@ int etn_align(const uint8_t* query, int64_t qlen,
     int16_t letter_idx[256];
     for (int i = 0; i < 256; i++) letter_idx[i] = -1;
     int sigma = 0;
-    std::vector<uint8_t> q_ids(qlen), t_ids(tlen);
+    // Uninitialized buffers: value-init memsets cost ~1ms/Mbp per call.
+    std::unique_ptr<uint8_t[]> q_ids_b(new uint8_t[qlen ? qlen : 1]);
+    std::unique_ptr<uint8_t[]> t_ids_b(new uint8_t[tlen ? tlen : 1]);
+    uint8_t* q_ids = q_ids_b.get();
+    uint8_t* t_ids = t_ids_b.get();
     for (int64_t i = 0; i < qlen; i++) {
         if (letter_idx[query[i]] < 0) letter_idx[query[i]] = (int16_t)sigma++;
         if (sigma > 255) return 1;
@@ -719,7 +774,7 @@ int etn_align(const uint8_t* query, int64_t qlen,
     int64_t n_words = (qlen + WBITS - 1) / WBITS;
     if (n_words == 0) n_words = 1;
     std::vector<Word> peq((size_t)(sigma + 1) * n_words);
-    etn_build_peq(q_ids.data(), qlen, eq.data(), sigma, peq.data());
+    etn_build_peq(q_ids, qlen, eq.data(), sigma, peq.data());
 
     const bool dynamic = k < 0;
     *edit_distance_out = -1;
@@ -731,12 +786,12 @@ int etn_align(const uint8_t* query, int64_t qlen,
         if (dynamic) {
             for (int64_t kk = 64;; kk *= 2) {
                 int64_t k_run = kk < bound ? kk : bound;
-                d = etn_nw_distance_banded(peq.data(), n_words, t_ids.data(),
+                    d = etn_nw_distance_banded(peq.data(), n_words, t_ids,
                                            tlen, qlen, k_run);
                 if (d >= 0 || k_run >= bound) break;
             }
         } else {
-            d = etn_nw_distance_banded(peq.data(), n_words, t_ids.data(),
+            d = etn_nw_distance_banded(peq.data(), n_words, t_ids,
                                        tlen, qlen, k < bound ? k : bound);
         }
         if (d < 0) return 0;
@@ -749,14 +804,16 @@ int etn_align(const uint8_t* query, int64_t qlen,
 
     // --- HW / SHW ---
     int64_t w_pad = n_words * WBITS - qlen;
-    std::vector<uint8_t> t_ext(tlen + w_pad);
-    memcpy(t_ext.data(), t_ids.data(), tlen);
+    std::unique_ptr<uint8_t[]> t_ext_b(new uint8_t[tlen + w_pad]);
+    uint8_t* t_ext = t_ext_b.get();
+    memcpy(t_ext, t_ids, tlen);
     for (int64_t i = 0; i < w_pad; i++) t_ext[tlen + i] = (uint8_t)sigma;
     int hin0 = mode == 2 ? 0 : 1;
-    std::vector<int32_t> stream;
+    std::unique_ptr<int32_t[]> stream_b(new int32_t[tlen + w_pad]);
+    int32_t* stream = stream_b.get();
     int32_t best;
     int64_t n_locs;
-    semiglobal_best(peq.data(), n_words, t_ext.data(), tlen + w_pad, w_pad,
+    semiglobal_best(peq.data(), n_words, t_ext, tlen + w_pad, w_pad,
                     qlen, tlen, hin0, k, dynamic, stream, &best,
                     end_locs_out, &n_locs);
     if (best < 0) return 0;
@@ -770,11 +827,11 @@ int etn_align(const uint8_t* query, int64_t qlen,
     }
     // HW: reversed-SHW per end location, take the LAST minimal position
     // (edlib.cpp:230-266).
-    std::vector<uint8_t> rq_ids(q_ids.rbegin(), q_ids.rend());
+    std::vector<uint8_t> rq_ids(q_ids, q_ids + qlen);
+    std::reverse(rq_ids.begin(), rq_ids.end());
     std::vector<Word> rpeq((size_t)(sigma + 1) * n_words);
     etn_build_peq(rq_ids.data(), qlen, eq.data(), sigma, rpeq.data());
     std::vector<uint8_t> rt_ext;
-    std::vector<int32_t> sub_stream;
     std::vector<int32_t> sub_locs;
     for (int64_t i = 0; i < n_locs; i++) {
         int64_t e = end_locs_out[i];
@@ -791,7 +848,7 @@ int etn_align(const uint8_t* query, int64_t qlen,
         int64_t sub_n;
         semiglobal_best(rpeq.data(), n_words, rt_ext.data(), plen + w_pad,
                         w_pad, qlen, plen, 1, *edit_distance_out, false,
-                        sub_stream, &sub_best, sub_locs.data(), &sub_n);
+                        stream, &sub_best, sub_locs.data(), &sub_n);
         start_locs_out[i] = (int32_t)(e - sub_locs[sub_n - 1]);
     }
     return 0;
