@@ -122,6 +122,10 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.etn_nw_distance_banded.restype = ctypes.c_int32
     lib.etn_nw_distance_banded.argtypes = [
         ctypes.c_void_p, c_i64, ctypes.c_void_p, c_i64, c_i64, c_i64]
+    lib.etn_obtain_alignment.restype = c_i64
+    lib.etn_obtain_alignment.argtypes = [
+        ctypes.c_void_p, c_i64, ctypes.c_void_p, c_i64, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int32, ctypes.c_void_p]
     lib.etn_align.restype = ctypes.c_int
     lib.etn_align.argtypes = [
         ctypes.c_char_p, c_i64, ctypes.c_char_p, c_i64,
@@ -333,6 +337,26 @@ def nw_cells_at_native(peq64: np.ndarray, qlen: int, t_ids: np.ndarray,
                                    t.ctypes.data, len(t), stop, int(k),
                                    out.ctypes.data)
     return out
+
+
+def obtain_alignment_native(q_ids: np.ndarray, t_ids: np.ndarray,
+                            eq: np.ndarray, best_score: int
+                            ) -> Optional[np.ndarray]:
+    """Full PATH reconstruction (dispatch + Hirschberg + traceback) in C."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    q = np.ascontiguousarray(q_ids, dtype=np.uint8)
+    t = np.ascontiguousarray(t_ids, dtype=np.uint8)
+    eqb = np.ascontiguousarray(eq, dtype=np.uint8)
+    ops = np.empty(len(q) + len(t) or 1, dtype=np.uint8)
+    n = lib.etn_obtain_alignment(q.ctypes.data, len(q), t.ctypes.data,
+                                 len(t), eqb.ctypes.data, eq.shape[0],
+                                 best_score, ops.ctypes.data)
+    if n < 0:
+        raise RuntimeError("native path reconstruction inconsistent with "
+                           "best_score")
+    return ops[:n]
 
 
 def nw_path_native(q_ids: np.ndarray, t_ids: np.ndarray, eq: np.ndarray,

@@ -42,6 +42,16 @@ def obtain_alignment(q_ids: np.ndarray, t_ids: np.ndarray,
         op = EDOP_DELETE if qlen == 0 else EDOP_INSERT
         return np.full(qlen + tlen, op, dtype=np.uint8)
 
+    if eq.shape[0] <= 255:
+        # Full native reconstruction (dispatch + Hirschberg + traceback):
+        # the Python recursion spends most of its time rebuilding profiles.
+        from edlib_tpu import native_loader
+        if native_loader.available():
+            ops = native_loader.obtain_alignment_native(q_ids, t_ids, eq,
+                                                        best_score)
+            if ops is not None:
+                return ops
+
     if _traceback_mem_estimate(qlen, tlen) < _TRACEBACK_MEM_LIMIT:
         if eq.shape[0] <= 255:
             from edlib_tpu import native_loader

@@ -446,9 +446,10 @@ void etn_nw_cells_at(const Word* peq, int64_t n_words, int64_t qlen,
 
 // Banded variant: bestScore-banded sweep to the stop column (like the
 // reference's Hirschberg half-sweeps, which run NW with k = bestScore,
-// edlib.cpp:1252-1260).  Out-of-band cells are reported as SCORE_INF —
+// edlib.cpp:1252-1260).  Uses the same dynamic value+position band as
+// etn_nw_distance_banded.  Out-of-band cells are reported as SCORE_INF —
 // they are provably > k and can never satisfy the crossing-row equation.
-// tlen is the FULL window width (the band geometry needs it, the sweep
+// tlen is the FULL window width (the positional tests need it; the sweep
 // stops at `stop`).
 void etn_nw_cells_at_banded(const Word* peq, int64_t n_words, int64_t qlen,
                             const uint8_t* target, int64_t tlen,
@@ -458,20 +459,11 @@ void etn_nw_cells_at_banded(const Word* peq, int64_t n_words, int64_t qlen,
     std::vector<Word> Pv(maxNB, ~(Word)0), Mv(maxNB, 0);
     std::vector<int64_t> score(maxNB);
     for (int64_t b = 0; b < maxNB; b++) score[b] = (b + 1) * WBITS;
-    auto band_rows = [&](int64_t c, int64_t& r_lo, int64_t& r_hi) {
-        int64_t ad = diff > 0 ? diff : -diff;
-        int64_t s = (k - ad) / 2;
-        if (s < 0) s = 0;
-        r_lo = c + (diff < 0 ? diff : 0) - s;
-        r_hi = c + (diff > 0 ? diff : 0) + s;
-    };
-    int64_t first = 0, last;
-    {
-        int64_t r_lo, r_hi;
-        band_rows(0, r_lo, r_hi);
-        last = r_hi >= qlen - 1 ? maxNB - 1 : r_hi / WBITS;
-        if (last < 0) last = 0;
-    }
+    int64_t first = 0;
+    int64_t half = (k < (k + diff) / 2 ? k : (k + qlen - tlen) / 2);
+    if (half < 0) half = 0;
+    int64_t last = std::min((half + 1 + WBITS - 1) / WBITS, maxNB) - 1;
+    if (last < 0) last = 0;
     for (int64_t c = 0; c <= stop; c++) {
         const Word* eq_c = peq + (int64_t)target[c] * n_words;
         int h = 1;
@@ -479,24 +471,30 @@ void etn_nw_cells_at_banded(const Word* peq, int64_t n_words, int64_t qlen,
             h = advance(Pv[b], Mv[b], eq_c[b], h);
             score[b] += h;
         }
-        while (last >= first && score[last] >= k + WBITS) last--;
-        while (first <= last && score[first] >= k + WBITS) first++;
-        if (first > last) break;  // everything beyond is > k
-        int64_t r_lo, r_hi;
-        band_rows(c + 1, r_lo, r_hi);
-        int64_t nf = r_lo <= 0 ? 0 : r_lo / WBITS;
-        int64_t nl = r_hi >= qlen - 1 ? maxNB - 1 : r_hi / WBITS;
-        if (nl < 0) nl = 0;
-        if (nl > maxNB - 1) nl = maxNB - 1;
-        if (nl > last) {
-            for (int64_t b = last + 1; b <= nl; b++) {
-                Pv[b] = ~(Word)0;
-                Mv[b] = 0;
-                score[b] = score[b - 1] + WBITS;
-            }
+        if (last + 1 < maxNB
+            && !((last + 2) * WBITS - 1
+                 > k - score[last] + 2 * WBITS - 2 - tlen + c + qlen)) {
+            last++;
+            Pv[last] = ~(Word)0;
+            Mv[last] = 0;
+            score[last] = score[last - 1] - h + WBITS;
+            int h2 = advance(Pv[last], Mv[last], eq_c[last], h);
+            score[last] += h2;
+            h = h2;
         }
-        if (nf > first) first = nf <= nl ? nf : nl;
-        last = nl;
+        while (last >= first
+               && (score[last] >= k + WBITS
+                   || ((last + 1) * WBITS - 1 >
+                       k - score[last] + 2 * WBITS - 2 - tlen + c + qlen + 1))) {
+            last--;
+        }
+        while (first <= last
+               && (score[first] >= k + WBITS
+                   || ((first + 1) * WBITS - 1 <
+                       score[first] - k - tlen + qlen + c))) {
+            first++;
+        }
+        if (first > last) break;  // everything beyond is > k
     }
     for (int64_t r = 0; r < qlen; r++) cells_out[r] = SCORE_INF;
     if (first > last) return;
@@ -852,6 +850,80 @@ int etn_align(const uint8_t* query, int64_t qlen,
         start_locs_out[i] = (int32_t)(e - sub_locs[sub_n - 1]);
     }
     return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Full alignment-path reconstruction: the traceback-vs-Hirschberg dispatch
+// (same 1MB estimate as the reference, edlib.cpp:1186-1211) and the
+// Hirschberg recursion (edlib.cpp:1231-1396: same halving, same
+// crossing-row search order) entirely in C — the Python recursion spent
+// most of its time rebuilding query profiles per node in numpy.
+// ---------------------------------------------------------------------------
+
+static int64_t obtain_alignment_rec(const uint8_t* q, int64_t qlen,
+                                    const uint8_t* t, int64_t tlen,
+                                    const uint8_t* eq, int sigma,
+                                    int64_t best, uint8_t* ops_out) {
+    if (qlen == 0 || tlen == 0) {
+        uint8_t op = qlen == 0 ? 2 /*DELETE*/ : 1 /*INSERT*/;
+        for (int64_t i = 0; i < qlen + tlen; i++) ops_out[i] = op;
+        return qlen + tlen;
+    }
+    int64_t max_blocks = (qlen + WBITS - 1) / WBITS;
+    int64_t mem = (2 * 8 + 4) * max_blocks * tlen + 2 * 4 * tlen;
+    if (mem < 1024 * 1024) {
+        return etn_nw_path(q, qlen, t, tlen, eq, sigma, (int32_t)best,
+                           ops_out);
+    }
+    // Hirschberg split.
+    int64_t n_words = max_blocks;
+    std::vector<Word> peq((size_t)(sigma + 1) * n_words);
+    etn_build_peq(q, qlen, eq, sigma, peq.data());
+    std::vector<uint8_t> rq(q, q + qlen), rt(t, t + tlen);
+    std::reverse(rq.begin(), rq.end());
+    std::reverse(rt.begin(), rt.end());
+    std::vector<Word> rpeq((size_t)(sigma + 1) * n_words);
+    etn_build_peq(rq.data(), qlen, eq, sigma, rpeq.data());
+
+    int64_t left_w = tlen / 2;
+    int64_t right_w = tlen - left_w;
+    std::vector<int32_t> left(qlen), rev(qlen);
+    etn_nw_cells_at_banded(peq.data(), n_words, qlen, t, tlen,
+                           left_w - 1, best, left.data());
+    etn_nw_cells_at_banded(rpeq.data(), n_words, qlen, rt.data(), tlen,
+                           right_w - 1, best, rev.data());
+    // right_suffix[i] = rev[qlen-1-i]; search rows 0..qlen-2 first, then
+    // the -1 and qlen-1 boundary rows (the reference's tie order,
+    // edlib.cpp:1327-1353).
+    int64_t row = -2;
+    int64_t l_score = 0, r_score = 0;
+    for (int64_t r = 0; r <= qlen - 2; r++) {
+        int64_t ls = left[r], rs = rev[qlen - 1 - (r + 1)];
+        if (ls + rs == best) { row = r; l_score = ls; r_score = rs; break; }
+    }
+    if (row == -2 && left_w + (int64_t)rev[qlen - 1] == best) {
+        row = -1; l_score = left_w; r_score = rev[qlen - 1];
+    }
+    if (row == -2 && (int64_t)left[qlen - 1] + right_w == best) {
+        row = qlen - 1; l_score = left[qlen - 1]; r_score = right_w;
+    }
+    if (row == -2) return -1;  // bestScore inconsistent
+    int64_t n1 = obtain_alignment_rec(q, row + 1, t, left_w, eq, sigma,
+                                      l_score, ops_out);
+    if (n1 < 0) return -1;
+    int64_t n2 = obtain_alignment_rec(q + row + 1, qlen - row - 1,
+                                      t + left_w, tlen - left_w, eq, sigma,
+                                      r_score, ops_out + n1);
+    if (n2 < 0) return -1;
+    return n1 + n2;
+}
+
+int64_t etn_obtain_alignment(const uint8_t* q_ids, int64_t qlen,
+                             const uint8_t* t_ids, int64_t tlen,
+                             const uint8_t* eq, int sigma,
+                             int32_t best_score, uint8_t* ops_out) {
+    return obtain_alignment_rec(q_ids, qlen, t_ids, tlen, eq, sigma,
+                                best_score, ops_out);
 }
 
 }  // extern "C"
