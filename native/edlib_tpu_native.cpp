@@ -533,6 +533,7 @@ int64_t etn_nw_path(const uint8_t* q_ids, int64_t qlen,
     // bestScore-banded sweep with column capture (the reference's PATH
     // capture is banded the same way, edlib.cpp:1194-1198; out-of-band
     // cells never lie on an optimal path, so the walk never needs them).
+    // Dynamic value+position band edges, same as etn_nw_distance_banded.
     const int64_t k = best_score;
     const int64_t diff = qlen - tlen;
     std::vector<Word> colP((size_t)tlen * n_words), colM((size_t)tlen * n_words);
@@ -541,20 +542,11 @@ int64_t etn_nw_path(const uint8_t* q_ids, int64_t qlen,
         std::vector<Word> Pv(n_words, ~(Word)0), Mv(n_words, 0);
         std::vector<int64_t> score(n_words);
         for (int64_t b = 0; b < n_words; b++) score[b] = (b + 1) * WBITS;
-        auto band_rows = [&](int64_t c, int64_t& r_lo, int64_t& r_hi) {
-            int64_t ad = diff > 0 ? diff : -diff;
-            int64_t s = (k - ad) / 2;
-            if (s < 0) s = 0;
-            r_lo = c + (diff < 0 ? diff : 0) - s;
-            r_hi = c + (diff > 0 ? diff : 0) + s;
-        };
-        int64_t first = 0, last;
-        {
-            int64_t r_lo, r_hi;
-            band_rows(0, r_lo, r_hi);
-            last = r_hi >= qlen - 1 ? n_words - 1 : r_hi / WBITS;
-            if (last < 0) last = 0;
-        }
+        int64_t first = 0;
+        int64_t half = (k < (k + diff) / 2 ? k : (k + qlen - tlen) / 2);
+        if (half < 0) half = 0;
+        int64_t last = std::min((half + 1 + WBITS - 1) / WBITS, n_words) - 1;
+        if (last < 0) last = 0;
         for (int64_t c = 0; c < tlen; c++) {
             const Word* eq_c = peq.data() + (int64_t)t_ids[c] * n_words;
             int h = 1;
@@ -562,6 +554,31 @@ int64_t etn_nw_path(const uint8_t* q_ids, int64_t qlen,
                 h = advance(Pv[b], Mv[b], eq_c[b], h);
                 score[b] += h;
             }
+            if (last + 1 < n_words
+                && !((last + 2) * WBITS - 1
+                     > k - score[last] + 2 * WBITS - 2 - tlen + c + qlen)) {
+                last++;
+                Pv[last] = ~(Word)0;
+                Mv[last] = 0;
+                score[last] = score[last - 1] - h + WBITS;
+                int h2 = advance(Pv[last], Mv[last], eq_c[last], h);
+                score[last] += h2;
+                h = h2;
+            }
+            while (last >= first
+                   && (score[last] >= k + WBITS
+                       || ((last + 1) * WBITS - 1 >
+                           k - score[last] + 2 * WBITS - 2 - tlen + c + qlen
+                           + 1))) {
+                last--;
+            }
+            while (first <= last
+                   && (score[first] >= k + WBITS
+                       || ((first + 1) * WBITS - 1 <
+                           score[first] - k - tlen + qlen + c))) {
+                first++;
+            }
+            if (first > last) return -1;  // bestScore inconsistent
             memcpy(&colP[(size_t)c * n_words + first], &Pv[first],
                    (last - first + 1) * sizeof(Word));
             memcpy(&colM[(size_t)c * n_words + first], &Mv[first],
@@ -569,21 +586,6 @@ int64_t etn_nw_path(const uint8_t* q_ids, int64_t qlen,
             col_first[c] = first;
             col_last[c] = last;
             col_anchor[c] = score[last];
-            int64_t r_lo, r_hi;
-            band_rows(c + 1, r_lo, r_hi);
-            int64_t nf = r_lo <= 0 ? 0 : r_lo / WBITS;
-            int64_t nl = r_hi >= qlen - 1 ? n_words - 1 : r_hi / WBITS;
-            if (nl < 0) nl = 0;
-            if (nl > n_words - 1) nl = n_words - 1;
-            if (nl > last) {
-                for (int64_t b = last + 1; b <= nl; b++) {
-                    Pv[b] = ~(Word)0;
-                    Mv[b] = 0;
-                    score[b] = score[b - 1] + WBITS;
-                }
-            }
-            if (nf > first) first = nf <= nl ? nf : nl;
-            last = nl;
         }
     }
 
