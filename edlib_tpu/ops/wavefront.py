@@ -15,12 +15,13 @@ tile per step:
 * word axis is row-major on (R, 128): a one-slot shift is a lanes-roll plus
   a sublane-roll fix on lane 0 (2 rolls + 2 selects).
 
-v1 scope (experimental; exactness tested in interpreter mode and against
-the host engine):
-  * NW distance of one pair (the reference's headline Q=T benchmark),
-  * HW/SHW best score + first best end position,
-over the wildcard-extended target.  Unbanded: ~(T+W+NW) steps of ~45 VPU
-ops on ceil(NW/128)x128 lanes.  Banded sliding windows are round-2 work.
+Scope (exactness tested in interpreter mode, against the host engine, and
+on hardware up to 1Mbp pairs):
+  * ``Wavefront`` — unbanded: NW distance + HW/SHW best score / first best
+    end position, ~(T+W+NW) steps of ~45 VPU ops on ceil(NW/128)x128 lanes;
+  * ``BandedWavefront`` — NW with a sliding banded window (exact within k,
+    dynamic-k doubling on the host), ~8-30x less work on similar pairs.
+Both run in bounded resumable segments (state = explicit checkpoint).
 
 Reference counterpart: the strictly sequential column loops of
 edlib.cpp:550-928, re-shaped so a single multi-Mbp alignment can use the
