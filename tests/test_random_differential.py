@@ -9,8 +9,9 @@ Mirrors runRandomTests (test/runTests.cpp:86-213): fixed seed, suites per
   * alignment validity invariants (checkAlignment, runTests.cpp:592-641),
   * start-location consistency (getAlignmentStart, runTests.cpp:649-661).
 
-Sizes are scaled down from the reference's (Q 50-349, T 500-10499, 100 tests)
-to keep CI fast; the heavy configuration runs in the perf harness.
+Sizes match the reference's distribution (Q 50-349, T 500-10499) at 40
+tests per suite (the byte-exact differential suite against the compiled
+reference library adds thousands more trials).
 """
 
 import numpy as np
@@ -27,7 +28,7 @@ from edlib_tpu.types import (
     AlignMode,
 )
 
-NUM_TESTS = 12
+NUM_TESTS = 40
 ALPHABET = b"0123456789"
 
 
@@ -74,8 +75,9 @@ def get_alignment_start(ops, end):
 def run_suite(mode, task, num_tests=NUM_TESTS, seed=42):
     rng = np.random.RandomState(seed)
     for _ in range(num_tests):
-        qlen = 20 + rng.randint(120)
-        tlen = 100 + rng.randint(1200)
+        # Reference size distribution (runTests.cpp:95-100).
+        qlen = 50 + rng.randint(300)
+        tlen = 500 + rng.randint(10000)
         query = bytes(rng.choice(list(ALPHABET), qlen).tolist())
         target = bytes(rng.choice(list(ALPHABET), tlen).tolist())
         res = align(query, target, mode=mode, task=task)
