@@ -85,7 +85,9 @@ def map_reads(reads: Sequence, target, mode="HW", k: int = -1
     if dev is None:
         dev = _map_reads_device(read_ids, t_ids, sigma, hin0)
     if dev is None:
-        dev = _map_reads_host(read_ids, t_ids, sigma, mode)
+        # Host path: per-read native align() already applies the -1
+        # candidate and k filtering — its results are final.
+        return _map_reads_host(reads_b, target, mode, k)
     raw_best, raw_pos = dev
     for i, r in enumerate(read_ids):
         b = int(raw_best[i])
@@ -118,17 +120,18 @@ def _map_reads_segmented(read_ids, t_ids, sigma):
     return best, pos
 
 
-def _map_reads_host(read_ids, t_ids, sigma, mode):
-    from edlib_tpu.ops import host as host_engine
-    eq = np.eye(sigma, dtype=bool)
-    t8 = t_ids.astype(np.uint8)
-    best = np.empty(len(read_ids), np.int64)
-    pos = np.empty(len(read_ids), np.int64)
-    for i, r in enumerate(read_ids):
-        peq = encode.build_peq_bigint(r.astype(np.uint8), eq)
-        scores = host_engine.semiglobal_scores(peq, t8, len(r), mode)
-        best[i] = scores.min()
-        pos[i] = int(np.argmin(scores))
+def _map_reads_host(reads_b, target, mode, k):
+    """Per-read single-pair alignment on the host (native banded engine via
+    align()); returns FINAL (best, pos) including -1/k conventions."""
+    from edlib_tpu.align import align
+    B = len(reads_b)
+    best = np.full(B, -1, dtype=np.int64)
+    pos = np.full(B, -1, dtype=np.int64)
+    for i, r in enumerate(reads_b):
+        res = align(r, target, mode=mode, k=k)
+        if res["editDistance"] >= 0:
+            best[i] = res["editDistance"]
+            pos[i] = res["locations"][0][1]
     return best, pos
 
 
