@@ -246,10 +246,30 @@ def align(query, target, mode="NW", task="distance", k=-1,
     qb, tb, eq_pairs = encode.map_to_bytes(query, target, additionalEqualities)
 
     # Latency fast path: full DISTANCE/LOC orchestration in one native call
-    # (no numpy/Python in the loop).  PATH and empty sequences take the
-    # general route.
+    # through the CPython extension (no numpy in the loop).  PATH and empty
+    # sequences take the general route.
     if task != AlignTask.PATH and len(qb) and len(tb):
         from edlib_tpu import native_loader
+        ext = native_loader.get_ext()
+        if ext is not None:
+            eq_a = eq_b = None
+            if eq_pairs:
+                eq_a = bytes(p[0] for p in eq_pairs)
+                eq_b = bytes(p[1] for p in eq_pairs)
+            out = ext.align(qb, tb, int(mode), int(task == AlignTask.LOC),
+                            int(k), eq_a, eq_b)
+            if out is not None:
+                dist, alpha, ends, starts = out
+                if starts is None:
+                    locations = [(None, e) for e in ends]
+                else:
+                    locations = list(zip(starts, ends))
+                return {
+                    "editDistance": dist,
+                    "alphabetLength": alpha,
+                    "locations": locations,
+                    "cigar": None,
+                }
         res = native_loader.align_native(qb, tb, mode.name,
                                          task == AlignTask.LOC, k, eq_pairs)
         if res is not None:
