@@ -80,6 +80,8 @@ def _sweep_bucket(q_ids_list, t_ids_list, sigma: int, eq: np.ndarray,
 def _pallas_mode() -> str:
     """'tpu' to use the Pallas kernel, 'interpret' to force the interpreter
     (tests), '' to use the XLA scan engine."""
+    if os.environ.get("EDLIB_TPU_DISABLE_DEVICE"):
+        return ""
     forced = os.environ.get("EDLIB_TPU_FORCE_PALLAS", "")
     if forced:
         return forced

@@ -37,7 +37,9 @@ def nw_distance_long(query, target, k: int = -1,
         return d if k < 0 or d <= k else -1
 
     use_wavefront = backend == "wavefront"
-    if backend == "auto":
+    if os.environ.get("EDLIB_TPU_DISABLE_DEVICE"):
+        use_wavefront = False
+    elif backend == "auto":
         forced = os.environ.get("EDLIB_TPU_FORCE_PALLAS", "")
         try:
             import jax

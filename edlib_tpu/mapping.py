@@ -78,7 +78,9 @@ def map_reads(reads: Sequence, target, mode="HW", k: int = -1
 
     hin0 = 0 if mode == AlignMode.HW else 1
     dev = None
-    if mode == AlignMode.HW and B <= 64 and len(t_ids) >= 50_000:
+    import os as _os
+    if (mode == AlignMode.HW and B <= 64 and len(t_ids) >= 50_000
+            and not _os.environ.get("EDLIB_TPU_DISABLE_DEVICE")):
         # Few reads vs a huge target: lanes would sit idle in the batched
         # kernel — segment the target instead (ops/segmented.py).
         dev = _map_reads_segmented(read_ids, t_ids, sigma)
@@ -139,7 +141,14 @@ def _map_reads_device(read_ids, t_ids, sigma, hin0):
     """Shared-target Pallas reduction kernel; None when not applicable."""
     import os
 
+    if os.environ.get("EDLIB_TPU_DISABLE_DEVICE"):
+        return None
     forced = os.environ.get("EDLIB_TPU_FORCE_PALLAS", "")
+    # Tiny workloads are faster on the host (and must not block on a sick
+    # accelerator): require enough cells to amortise compile/dispatch.
+    cells = sum(len(r) for r in read_ids) * len(t_ids)
+    if not forced and cells < 50_000_000:
+        return None
     try:
         import jax
     except Exception:

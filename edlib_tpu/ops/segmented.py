@@ -69,6 +69,8 @@ def hw_stream_segmented(q_ids: np.ndarray, t_ids: np.ndarray, sigma: int,
     Returns None when the device path is unavailable.
     """
     import os
+    if os.environ.get("EDLIB_TPU_DISABLE_DEVICE"):
+        return None
     forced = os.environ.get("EDLIB_TPU_FORCE_PALLAS", "")
     try:
         import jax
