@@ -42,7 +42,7 @@ from edlib_tpu.types import (
 )
 from edlib_tpu.align import align, align_batch
 from edlib_tpu.cigar import alignment_to_cigar, cigar_to_alignment
-from edlib_tpu.longpair import nw_distance_long
+from edlib_tpu.longpair import nw_distance_long, shw_best_long
 from edlib_tpu.mapping import map_reads
 from edlib_tpu.nice import getNiceAlignment
 
@@ -53,6 +53,7 @@ __all__ = [
     "align_batch",
     "map_reads",
     "nw_distance_long",
+    "shw_best_long",
     "getNiceAlignment",
     "alignment_to_cigar",
     "cigar_to_alignment",

@@ -58,3 +58,52 @@ def nw_distance_long(query, target, k: int = -1,
     from edlib_tpu.align import _nw_score_host, _INF
     eq = np.eye(sigma, dtype=bool)
     return _nw_score_host(q_ids, t_ids, eq, _INF if k < 0 else k)
+
+
+def shw_best_long(query, target, k: int = -1,
+                  backend: str = "auto"):
+    """SHW (prefix) best score and FIRST best end location for one long
+    pair: ``(editDistance, endLocation)``; ``(-1, -1)`` when k >= 0 and
+    the best exceeds k.
+
+    The first location matches the head of edlib's endLocations list,
+    including the -1 "query ends before the target" padding artifact
+    (edlib.cpp:550-704; see align._filter_locations).  backend as in
+    :func:`nw_distance_long`.
+    """
+    q_ids, t_ids, sigma = _to_ids(query, target)
+    qlen, tlen = len(q_ids), len(t_ids)
+    if qlen == 0 or tlen == 0:
+        # edlib's empty-sequence early return (edlib.cpp:166-184).
+        return (qlen, -1) if k < 0 or qlen <= k else (-1, -1)
+
+    use_wavefront = backend == "wavefront"
+    if os.environ.get("EDLIB_TPU_DISABLE_DEVICE"):
+        use_wavefront = False
+    elif backend == "auto":
+        forced = os.environ.get("EDLIB_TPU_FORCE_PALLAS", "")
+        try:
+            import jax
+            use_wavefront = (forced or jax.default_backend() == "tpu") \
+                and qlen * tlen >= 10_000_000_000 and sigma <= 15
+        except Exception:
+            use_wavefront = False
+
+    if use_wavefront:
+        from edlib_tpu.ops.wavefront import BandedWavefront
+        forced = os.environ.get("EDLIB_TPU_FORCE_PALLAS", "")
+        wfb = BandedWavefront(interpret=(forced == "interpret"))
+        best, pos = wfb.shw_best(q_ids.astype(np.uint8),
+                                 t_ids.astype(np.uint8), sigma, k=k)
+    else:
+        from edlib_tpu.align import _semiglobal_best_positions, _INF
+        eq = np.eye(sigma, dtype=bool)
+        best, positions = _semiglobal_best_positions(
+            q_ids, t_ids, eq, "SHW", _INF if k < 0 else k)
+        return (best, positions[0]) if best >= 0 else (-1, -1)
+
+    if best < 0:
+        return (-1, -1)
+    if best == qlen and qlen % 64 != 0:
+        return best, -1   # the 64-bit padding artifact precedes column 0
+    return best, pos

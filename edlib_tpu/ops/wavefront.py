@@ -19,8 +19,9 @@ Scope (exactness tested in interpreter mode, against the host engine, and
 on hardware up to 1Mbp pairs):
   * ``Wavefront`` — unbanded: NW distance + HW/SHW best score / first best
     end position, ~(T+W+NW) steps of ~45 VPU ops on ceil(NW/128)x128 lanes;
-  * ``BandedWavefront`` — NW with a sliding banded window (exact within k,
-    dynamic-k doubling on the host), ~8-30x less work on similar pairs.
+  * ``BandedWavefront`` — NW distance and SHW best-end search with a
+    sliding banded window (exact within k, dynamic-k doubling on the
+    host), ~8-30x less work on similar pairs.
 Both run in bounded resumable segments (state = explicit checkpoint).
 
 Reference counterpart: the strictly sequential column loops of
@@ -306,7 +307,8 @@ class Wavefront:
 
 def _wfb_kernel(params_ref, enter_ref, targets_ref, state_in_ref,
                 state_out_ref, *, R: int, sigma1: int, n_steps: int,
-                n_words: int, lo: int, t_scan: int, tgt_rows: int):
+                n_words: int, lo: int, t_scan: int, tgt_rows: int,
+                col_lo: int, col_hi: int):
     """One banded segment.
 
     params_ref: SMEM int32 [d0, col0, base0]  (absolute first step; first
@@ -318,8 +320,12 @@ def _wfb_kernel(params_ref, enter_ref, targets_ref, state_in_ref,
         host precomputes it.
     targets_ref: SMEM (1, tgt_len) int32 — target_ext[col0 : col0+tgt_len]
         (single-row layout: SMEM pads every row to a full lane stripe).
-    state: (6 + sigma1, R, 128) uint32:
-        [Pv, Mv, symwin, hneg, hpos, scores, peq window rows...].
+    state: (8 + sigma1, R, 128) uint32:
+        [Pv, Mv, symwin, hneg, hpos, scores, runmin, runpos,
+         peq window rows...].
+    col_lo/col_hi: when col_hi > col_lo, track the running (min, first
+        argmin) of the bottom word's padded-bottom score over wavefront
+        columns [col_lo, col_hi) — the semiglobal end-position search.
     """
     shape = (R, LANES)
     rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -344,7 +350,7 @@ def _wfb_kernel(params_ref, enter_ref, targets_ref, state_in_ref,
                          jnp.full_like(x, fill_val), y)
 
     def step(i, carry):
-        Pv, Mv, symwin, hneg, hpos, scores, peq_win = carry
+        Pv, Mv, symwin, hneg, hpos, scores, runmin, runpos, peq_win = carry
         d = d0 + i
         base_prev = base_of(d - 1)
         base = base_of(d)
@@ -360,6 +366,9 @@ def _wfb_kernel(params_ref, enter_ref, targets_ref, state_in_ref,
         hneg = jnp.where(do, slide_up(hneg, 0), hneg)
         hpos = jnp.where(do, slide_up(hpos, 0), hpos)
         scores = jnp.where(do, slide_up(scores, enter_score), scores)
+        if col_hi > col_lo:
+            runmin = jnp.where(do, slide_up(runmin, _BIG), runmin)
+            runpos = jnp.where(do, slide_up(runpos, -1), runpos)
         slide_idx = base - base0
         new_peq = []
         for sidx in range(sigma1):
@@ -400,35 +409,45 @@ def _wfb_kernel(params_ref, enter_ref, targets_ref, state_in_ref,
         scores = scores + jnp.where(active, hout_pos - hout_neg, 0)
         hneg = jnp.where(active, hout_neg, 0)
         hpos = jnp.where(active, hout_pos, 0)
-        return (Pv, Mv, symwin, hneg, hpos, scores, peq_win)
+        if col_hi > col_lo:
+            upd = ((word == n_words - 1) & active & (col >= col_lo)
+                   & (col < col_hi) & (scores < runmin))
+            runmin = jnp.where(upd, scores, runmin)
+            runpos = jnp.where(upd, col, runpos)
+        return (Pv, Mv, symwin, hneg, hpos, scores, runmin, runpos, peq_win)
 
     carry0 = (state_in_ref[0], state_in_ref[1],
               state_in_ref[2].astype(jnp.int32),
               state_in_ref[3].astype(jnp.int32),
               state_in_ref[4].astype(jnp.int32),
               state_in_ref[5].astype(jnp.int32),
-              tuple(state_in_ref[6 + sidx] for sidx in range(sigma1)))
-    Pv, Mv, symwin, hneg, hpos, scores, peq_win = jax.lax.fori_loop(
-        0, n_steps, step, carry0)
+              state_in_ref[6].astype(jnp.int32),
+              state_in_ref[7].astype(jnp.int32),
+              tuple(state_in_ref[8 + sidx] for sidx in range(sigma1)))
+    (Pv, Mv, symwin, hneg, hpos, scores, runmin, runpos,
+     peq_win) = jax.lax.fori_loop(0, n_steps, step, carry0)
     state_out_ref[0] = Pv
     state_out_ref[1] = Mv
     state_out_ref[2] = symwin.astype(jnp.uint32)
     state_out_ref[3] = hneg.astype(jnp.uint32)
     state_out_ref[4] = hpos.astype(jnp.uint32)
     state_out_ref[5] = scores.astype(jnp.uint32)
+    state_out_ref[6] = runmin.astype(jnp.uint32)
+    state_out_ref[7] = runpos.astype(jnp.uint32)
     for sidx in range(sigma1):
-        state_out_ref[6 + sidx] = peq_win[sidx]
+        state_out_ref[8 + sidx] = peq_win[sidx]
 
 
 @functools.partial(jax.jit, static_argnames=(
     "R", "sigma1", "n_steps", "n_words", "lo", "t_scan", "tgt_rows",
-    "interpret"))
+    "col_lo", "col_hi", "interpret"))
 def _wfb_call(params, enter, targets, state, *, R, sigma1, n_steps, n_words,
-              lo, t_scan, tgt_rows, interpret):
+              lo, t_scan, tgt_rows, col_lo, col_hi, interpret):
     shape = (R, LANES)
     kernel = functools.partial(_wfb_kernel, R=R, sigma1=sigma1,
                                n_steps=n_steps, n_words=n_words, lo=lo,
-                               t_scan=t_scan, tgt_rows=tgt_rows)
+                               t_scan=t_scan, tgt_rows=tgt_rows,
+                               col_lo=col_lo, col_hi=col_hi)
     return pl.pallas_call(
         kernel,
         in_specs=[
@@ -438,17 +457,20 @@ def _wfb_call(params, enter, targets, state, *, R, sigma1, n_steps, n_words,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((6 + sigma1,) + shape, jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((8 + sigma1,) + shape, jnp.uint32),
         interpret=interpret,
     )(params, enter, targets, state)
 
 
 class BandedWavefront:
-    """NW distance for one long pair with a sliding banded window.
+    """NW distance / SHW best-end search for one long pair with a sliding
+    banded window.
 
-    Exact whenever the true distance is <= k; the public entry runs the
+    Exact whenever the true result is <= k; the public entries run the
     dynamic-k doubling loop.  Window word-capacity buckets are powers of
-    two so compiled kernels are reused across k's.
+    two so compiled kernels are reused across k's.  (HW has no static
+    band — free starts at every column defeat the |r-c| bound — so long
+    HW goes through the unbanded wavefront or the segmented batch path.)
     """
 
     def __init__(self, seg_steps: int = 65536, interpret: bool = False,
@@ -472,11 +494,11 @@ class BandedWavefront:
         R = min(R, R_full)
         return n_words, lo, R
 
-    def distance_bounded(self, q_ids: np.ndarray, t_ids: np.ndarray,
-                         sigma: int, k: int):
-        """NW distance if <= k else None (value then unreliable)."""
+    def _run_banded(self, q_ids: np.ndarray, t_ids: np.ndarray, sigma: int,
+                    n_words: int, lo: int, R: int, col_lo: int, col_hi: int):
+        """Run the banded sweep; return the final bottom-word slot of the
+        (scores, runmin, runpos) planes as python ints."""
         qlen, tlen = len(q_ids), len(t_ids)
-        n_words, lo, R = self._band_geometry(qlen, tlen, k)
         WINW = R * LANES
         w_pad = n_words * 32 - qlen
         t_scan = tlen + w_pad
@@ -495,13 +517,14 @@ class BandedWavefront:
                         np.int32)
         t_ext[:tlen] = t_ids
 
-        state = np.zeros((6 + sigma + 1, R, LANES), np.uint32)
+        state = np.zeros((8 + sigma + 1, R, LANES), np.uint32)
         state[0] = 0xFFFFFFFF  # Pv
         slot = (np.arange(R)[:, None] * LANES + np.arange(LANES)[None, :])
         state[5] = ((slot + 1) * 32).astype(np.uint32)  # scores (base 0)
+        state[6] = np.uint32(_BIG)   # running min
+        state[7] = 0xFFFFFFFF        # running argmin (-1)
         for sidx in range(sigma + 1):
-            w = np.minimum(slot, n_words - 1)
-            state[6 + sidx] = peq.reshape(sigma + 1, -1)[sidx][
+            state[8 + sidx] = peq.reshape(sigma + 1, -1)[sidx][
                 np.minimum(slot.reshape(-1), rows_all * LANES - 1)
             ].reshape(R, LANES)
 
@@ -527,15 +550,56 @@ class BandedWavefront:
                 params, np.ascontiguousarray(enter), seg_t, state,
                 R=R, sigma1=sigma + 1, n_steps=self.seg_steps,
                 n_words=n_words, lo=lo, t_scan=t_scan, tgt_rows=tgt_rows,
-                interpret=self.interpret)
+                col_lo=col_lo, col_hi=col_hi, interpret=self.interpret)
             d += self.seg_steps  # fixed-size segments; overshoot is inert
         state = np.asarray(state)
         # The window kept sliding through the (inactive) overshoot steps;
         # locate the bottom word by the base at the last EXECUTED step.
         base_final = base_of(d - 1)
         slot_idx = (n_words - 1) - base_final
-        score = int(np.int32(state[5].reshape(-1)[slot_idx]))
+        flat = state.reshape(8 + sigma + 1, -1)[:, slot_idx]
+        return (int(np.int32(flat[5])), int(np.int32(flat[6])),
+                int(np.int32(flat[7])))
+
+    def distance_bounded(self, q_ids: np.ndarray, t_ids: np.ndarray,
+                         sigma: int, k: int):
+        """NW distance if <= k else None (value then unreliable)."""
+        qlen, tlen = len(q_ids), len(t_ids)
+        n_words, lo, R = self._band_geometry(qlen, tlen, k)
+        score, _, _ = self._run_banded(q_ids, t_ids, sigma, n_words, lo, R,
+                                       col_lo=0, col_hi=0)
         return score if score <= k else None
+
+    def shw_best_bounded(self, q_ids: np.ndarray, t_ids: np.ndarray,
+                         sigma: int, k: int):
+        """SHW (prefix mode) (best score, first best end position) if the
+        best is <= k, else None.
+
+        SHW cells are prefix-vs-prefix global distances, so
+        cell(r, c) >= |r - c|: the diagonal band lo=-k..hi=+k covers every
+        cell of value <= k, and end columns beyond qlen-1+k cannot hold a
+        value <= k — the target is truncated there (pruning-only).
+        Reference counterpart: edlib.cpp:550-704 with the SHW start/stop
+        block bounds.
+        """
+        qlen, tlen = len(q_ids), len(t_ids)
+        k = min(k, max(qlen, tlen))
+        tlen_eff = min(tlen, qlen + k)
+        t_eff = np.asarray(t_ids)[:tlen_eff]
+        n_words = encode.num_words(qlen)
+        lo, hi = -k, k
+        band_words = (hi - lo + 31) // 33 + 3
+        R = self.r_min
+        while R * LANES < band_words:
+            R *= 2
+        rows_all = -(-n_words // LANES)
+        R_full = max(SUB_MIN, -(-rows_all // SUB_MIN) * SUB_MIN)
+        R = min(R, R_full)
+        w_pad = n_words * 32 - qlen
+        _, best, pos = self._run_banded(
+            q_ids, t_eff, sigma, n_words, lo, R,
+            col_lo=w_pad, col_hi=w_pad + tlen_eff)
+        return (best, pos - w_pad) if best <= k else None
 
     def nw_distance(self, q_ids: np.ndarray, t_ids: np.ndarray,
                     sigma: int, k: int = -1) -> int:
@@ -553,3 +617,22 @@ class BandedWavefront:
                 kk *= 2
         d = self.distance_bounded(q_ids, t_ids, sigma, min(k, bound))
         return -1 if d is None else d
+
+    def shw_best(self, q_ids: np.ndarray, t_ids: np.ndarray, sigma: int,
+                 k: int = -1) -> Tuple[int, int]:
+        """SHW (best score, first best end position); (-1, -1) when k >= 0
+        and the best exceeds k.  Dynamic-k doubling when k < 0 (the bottom
+        row always holds a value <= qlen, so the loop terminates)."""
+        qlen = len(q_ids)
+        if k < 0:
+            kk = 64
+            while True:
+                r = self.shw_best_bounded(q_ids, t_ids, sigma,
+                                          min(kk, qlen))
+                if r is not None:
+                    return r
+                if kk >= qlen:
+                    raise RuntimeError("unreachable: SHW best <= Q")
+                kk *= 2
+        r = self.shw_best_bounded(q_ids, t_ids, sigma, k)
+        return (-1, -1) if r is None else r

@@ -91,6 +91,42 @@ def test_banded_wavefront_sliding_window(rng):
     assert wfb.nw_distance(q, t, 4) == truth
 
 
+def test_banded_wavefront_shw(rng):
+    """Banded SHW (best, first best end) vs the host full sweep."""
+    wfb = BandedWavefront(seg_steps=256, interpret=True)
+    for qlen, tlen, mut in ((40, 120, 0.1), (200, 300, 0.1),
+                            (120, 80, 0.2), (300, 290, 0.3),
+                            (64, 500, 0.05), (500, 450, 0.05)):
+        t = rng.randint(0, 4, tlen).astype(np.uint8)
+        q = t[:min(qlen, tlen)].copy()
+        if len(q) < qlen:
+            q = np.concatenate([q, rng.randint(0, 4, qlen - len(q))
+                                .astype(np.uint8)])
+        m = rng.rand(qlen) < mut
+        q[m] = rng.randint(0, 4, m.sum())
+        hpeq = encode.build_peq_bigint(q, np.eye(4, dtype=bool))
+        hs = host_engine.semiglobal_scores(hpeq, t, qlen, "SHW")
+        best, pos = int(hs.min()), int(np.argmin(hs))
+        assert wfb.shw_best(q, t, 4) == (best, pos)
+        assert wfb.shw_best(q, t, 4, k=best) == (best, pos)
+        if best > 0:
+            assert wfb.shw_best(q, t, 4, k=best - 1) == (-1, -1)
+
+
+def test_banded_wavefront_shw_sliding_window(rng):
+    """r_min=1 forces ~30 window slides over a 5000bp query; banded SHW
+    must match the host sweep through every slide."""
+    wfb = BandedWavefront(seg_steps=512, interpret=True, r_min=1)
+    qlen, tlen = 5000, 5300
+    t = rng.randint(0, 4, tlen).astype(np.uint8)
+    q = t[100:100 + qlen].copy()   # best end ~ qlen+100, off-corner
+    m = rng.rand(qlen) < 0.05
+    q[m] = rng.randint(0, 4, m.sum())
+    hpeq = encode.build_peq_bigint(q, np.eye(4, dtype=bool))
+    hs = host_engine.semiglobal_scores(hpeq, t, qlen, "SHW")
+    assert wfb.shw_best(q, t, 4) == (int(hs.min()), int(np.argmin(hs)))
+
+
 def test_wavefront_similar_pair(wf, rng):
     # The headline shape: one long ~90%-similar pair, exact NW distance.
     sigma = 4
@@ -114,3 +150,24 @@ def test_nw_distance_long_api(rng, monkeypatch):
     assert got == want
     assert edlib_tpu.nw_distance_long(q, t, k=want - 1) == -1
     assert edlib_tpu.nw_distance_long(b"", t) == 400
+
+
+def test_shw_best_long_api(rng, monkeypatch):
+    import edlib_tpu
+    t = bytes(rng.choice(list(b"ACGT"), 600).tolist())
+    q = bytearray(t[:300])
+    for i in rng.choice(300, 20, replace=False):
+        q[i] = rng.choice(list(b"ACGT"))
+    q = bytes(q)
+    ref = edlib_tpu.align(q, t, mode="SHW")
+    want = (ref["editDistance"], ref["locations"][0][1])
+    assert edlib_tpu.shw_best_long(q, t) == want            # native path
+    monkeypatch.setenv("EDLIB_TPU_FORCE_PALLAS", "interpret")
+    assert edlib_tpu.shw_best_long(q, t, backend="wavefront") == want
+    assert edlib_tpu.shw_best_long(q, t, k=want[0] - 1) == (-1, -1)
+    assert edlib_tpu.shw_best_long(b"", t) == (0, -1)
+    # -1 padding-artifact head of the locations list (Q % 64 != 0, best==Q)
+    q2, t2 = b"AAA", b"CCCCCC"
+    ref2 = edlib_tpu.align(q2, t2, mode="SHW")
+    want2 = (ref2["editDistance"], ref2["locations"][0][1])
+    assert edlib_tpu.shw_best_long(q2, t2, backend="wavefront") == want2
