@@ -21,6 +21,7 @@ overall best equals Q).  We reproduce that rule word-size-independently.
 
 from __future__ import annotations
 
+import os
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -120,10 +121,38 @@ def _semiglobal_best_positions(q_ids, t_ids, eq, mode, k_eff
     return _filter_locations(scores, qlen, k_eff)
 
 
+# Huge-pair NW distances route to the banded wavefront TPU kernel above
+# this many DP cells (one long pair spread across the whole VPU beats the
+# single-core banded CPU loop there; below it, dispatch latency dominates).
+_WAVEFRONT_MIN_CELLS = 10_000_000_000
+
+
+def _nw_wavefront_enabled(qlen: int, tlen: int, sigma: int) -> bool:
+    if os.environ.get("EDLIB_TPU_DISABLE_DEVICE"):
+        return False
+    if qlen * tlen < _WAVEFRONT_MIN_CELLS or sigma > 15:
+        return False
+    forced = os.environ.get("EDLIB_TPU_FORCE_PALLAS", "")
+    try:
+        import jax
+        return bool(forced) or jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def _nw_score_host(q_ids, t_ids, eq, k_eff) -> int:
     """NW distance, or -1 if above k_eff.  Banded native path with the
-    dynamic-k doubling loop for unbounded k."""
+    dynamic-k doubling loop for unbounded k; multi-Gcell pairs go to the
+    banded wavefront kernel when a TPU is attached."""
     qlen, tlen = len(q_ids), len(t_ids)
+    if _nw_wavefront_enabled(qlen, tlen, eq.shape[0]):
+        from edlib_tpu.ops.wavefront import BandedWavefront
+        forced = os.environ.get("EDLIB_TPU_FORCE_PALLAS", "")
+        wfb = BandedWavefront(interpret=(forced == "interpret"))
+        k = -1 if (k_eff is _INF or k_eff >= (1 << 40)) else int(k_eff)
+        return wfb.nw_distance(np.asarray(q_ids, np.uint8),
+                               np.asarray(t_ids, np.uint8),
+                               eq.shape[0], k=k, eq=eq)
     ctx = _native_ctx(q_ids, t_ids, eq)
     if ctx is not None:
         from edlib_tpu import native_loader
@@ -246,9 +275,12 @@ def align(query, target, mode="NW", task="distance", k=-1,
     qb, tb, eq_pairs = encode.map_to_bytes(query, target, additionalEqualities)
 
     # Latency fast path: full DISTANCE/LOC orchestration in one native call
-    # through the CPython extension (no numpy in the loop).  PATH and empty
-    # sequences take the general route.
-    if task != AlignTask.PATH and len(qb) and len(tb):
+    # through the CPython extension (no numpy in the loop).  PATH, empty
+    # sequences, and huge NW pairs (wavefront TPU kernel) take the general
+    # route.
+    nw_huge = (mode == AlignMode.NW
+               and _nw_wavefront_enabled(len(qb), len(tb), 0))
+    if task != AlignTask.PATH and len(qb) and len(tb) and not nw_huge:
         from edlib_tpu import native_loader
         ext = native_loader.get_ext()
         if ext is not None:

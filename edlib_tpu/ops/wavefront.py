@@ -495,7 +495,8 @@ class BandedWavefront:
         return n_words, lo, R
 
     def _run_banded(self, q_ids: np.ndarray, t_ids: np.ndarray, sigma: int,
-                    n_words: int, lo: int, R: int, col_lo: int, col_hi: int):
+                    n_words: int, lo: int, R: int, col_lo: int, col_hi: int,
+                    eq=None):
         """Run the banded sweep; return the final bottom-word slot of the
         (scores, runmin, runpos) planes as python ints."""
         qlen, tlen = len(q_ids), len(t_ids)
@@ -504,7 +505,8 @@ class BandedWavefront:
         t_scan = tlen + w_pad
         n_steps_total = t_scan + n_words - 1
 
-        eq = np.eye(sigma, dtype=bool)
+        if eq is None:
+            eq = np.eye(sigma, dtype=bool)
         peq_words = encode.build_peq_words(np.asarray(q_ids, np.uint8), eq,
                                            n_words=n_words)
         # Allocate at least R rows: the entering-word gather computes its
@@ -562,16 +564,16 @@ class BandedWavefront:
                 int(np.int32(flat[7])))
 
     def distance_bounded(self, q_ids: np.ndarray, t_ids: np.ndarray,
-                         sigma: int, k: int):
+                         sigma: int, k: int, eq=None):
         """NW distance if <= k else None (value then unreliable)."""
         qlen, tlen = len(q_ids), len(t_ids)
         n_words, lo, R = self._band_geometry(qlen, tlen, k)
         score, _, _ = self._run_banded(q_ids, t_ids, sigma, n_words, lo, R,
-                                       col_lo=0, col_hi=0)
+                                       col_lo=0, col_hi=0, eq=eq)
         return score if score <= k else None
 
     def shw_best_bounded(self, q_ids: np.ndarray, t_ids: np.ndarray,
-                         sigma: int, k: int):
+                         sigma: int, k: int, eq=None):
         """SHW (prefix mode) (best score, first best end position) if the
         best is <= k, else None.
 
@@ -598,28 +600,28 @@ class BandedWavefront:
         w_pad = n_words * 32 - qlen
         _, best, pos = self._run_banded(
             q_ids, t_eff, sigma, n_words, lo, R,
-            col_lo=w_pad, col_hi=w_pad + tlen_eff)
+            col_lo=w_pad, col_hi=w_pad + tlen_eff, eq=eq)
         return (best, pos - w_pad) if best <= k else None
 
     def nw_distance(self, q_ids: np.ndarray, t_ids: np.ndarray,
-                    sigma: int, k: int = -1) -> int:
+                    sigma: int, k: int = -1, eq=None) -> int:
         qlen, tlen = len(q_ids), len(t_ids)
         bound = max(qlen, tlen)
         if k < 0:
             kk = 64
             while True:
                 d = self.distance_bounded(q_ids, t_ids, sigma,
-                                          min(kk, bound))
+                                          min(kk, bound), eq=eq)
                 if d is not None:
                     return d
                 if kk >= bound:
                     raise RuntimeError("unreachable: NW <= max(Q,T)")
                 kk *= 2
-        d = self.distance_bounded(q_ids, t_ids, sigma, min(k, bound))
+        d = self.distance_bounded(q_ids, t_ids, sigma, min(k, bound), eq=eq)
         return -1 if d is None else d
 
     def shw_best(self, q_ids: np.ndarray, t_ids: np.ndarray, sigma: int,
-                 k: int = -1) -> Tuple[int, int]:
+                 k: int = -1, eq=None) -> Tuple[int, int]:
         """SHW (best score, first best end position); (-1, -1) when k >= 0
         and the best exceeds k.  Dynamic-k doubling when k < 0 (the bottom
         row always holds a value <= qlen, so the loop terminates)."""
@@ -628,11 +630,11 @@ class BandedWavefront:
             kk = 64
             while True:
                 r = self.shw_best_bounded(q_ids, t_ids, sigma,
-                                          min(kk, qlen))
+                                          min(kk, qlen), eq=eq)
                 if r is not None:
                     return r
                 if kk >= qlen:
                     raise RuntimeError("unreachable: SHW best <= Q")
                 kk *= 2
-        r = self.shw_best_bounded(q_ids, t_ids, sigma, k)
+        r = self.shw_best_bounded(q_ids, t_ids, sigma, k, eq=eq)
         return (-1, -1) if r is None else r

@@ -152,6 +152,40 @@ def test_nw_distance_long_api(rng, monkeypatch):
     assert edlib_tpu.nw_distance_long(b"", t) == 400
 
 
+def test_align_nw_wavefront_route(rng, monkeypatch):
+    """align() routes huge NW pairs to the banded wavefront; with the
+    threshold lowered the two routes must agree exactly (incl. k and
+    additionalEqualities)."""
+    import edlib_tpu
+    import importlib
+    align_mod = importlib.import_module("edlib_tpu.align")
+    t = bytes(rng.choice(list(b"ACGT"), 900).tolist())
+    q = bytearray(t[:800])
+    for i in rng.choice(800, 40, replace=False):
+        q[i] = rng.choice(list(b"ACGTN"))
+    q = bytes(q)
+    eqs = [("N", "A"), ("N", "C"), ("N", "G"), ("N", "T")]
+    want = edlib_tpu.align(q, t, additionalEqualities=eqs)
+    want_k = edlib_tpu.align(q, t, k=want["editDistance"] - 1,
+                             additionalEqualities=eqs)
+    monkeypatch.setattr(align_mod, "_WAVEFRONT_MIN_CELLS", 1)
+    monkeypatch.setenv("EDLIB_TPU_FORCE_PALLAS", "interpret")
+    calls = []
+    from edlib_tpu.ops import wavefront as wf_mod
+    orig = wf_mod.BandedWavefront.nw_distance
+
+    def spy(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(wf_mod.BandedWavefront, "nw_distance", spy)
+    got = edlib_tpu.align(q, t, additionalEqualities=eqs)
+    assert got == want and calls
+    got_k = edlib_tpu.align(q, t, k=want["editDistance"] - 1,
+                            additionalEqualities=eqs)
+    assert got_k == want_k
+
+
 def test_shw_best_long_api(rng, monkeypatch):
     import edlib_tpu
     t = bytes(rng.choice(list(b"ACGT"), 600).tolist())
