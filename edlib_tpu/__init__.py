@@ -42,7 +42,11 @@ from edlib_tpu.types import (
 )
 from edlib_tpu.align import align, align_batch
 from edlib_tpu.cigar import alignment_to_cigar, cigar_to_alignment
-from edlib_tpu.longpair import nw_distance_long, shw_best_long
+from edlib_tpu.longpair import (
+    nw_distance_long,
+    semiglobal_locations_long,
+    shw_best_long,
+)
 from edlib_tpu.mapping import map_reads
 from edlib_tpu.nice import getNiceAlignment
 
@@ -54,6 +58,7 @@ __all__ = [
     "map_reads",
     "nw_distance_long",
     "shw_best_long",
+    "semiglobal_locations_long",
     "getNiceAlignment",
     "alignment_to_cigar",
     "cigar_to_alignment",

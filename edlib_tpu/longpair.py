@@ -107,3 +107,50 @@ def shw_best_long(query, target, k: int = -1,
     if best == qlen and qlen % 64 != 0:
         return best, -1   # the 64-bit padding artifact precedes column 0
     return best, pos
+
+
+def semiglobal_locations_long(query, target, mode: str = "HW", k: int = -1,
+                              backend: str = "auto"):
+    """ALL minimal end locations of one long semiglobal pair:
+    ``(editDistance, [endLocations])`` — the list identical to
+    edlib's order (edlib.cpp:657-693), ``(-1, [])`` above ``k``.
+
+    On TPU the stream-emitting unbanded wavefront produces the full
+    bottom-row score stream on device (full sweep + host filter is
+    output-equivalent to the reference's banded engine); otherwise the
+    native banded sweep runs.  backend as in :func:`nw_distance_long`.
+    """
+    q_ids, t_ids, sigma = _to_ids(query, target)
+    qlen, tlen = len(q_ids), len(t_ids)
+    if qlen == 0 or tlen == 0:
+        # edlib's empty-sequence early return (edlib.cpp:166-184).
+        return (qlen, [-1]) if k < 0 or qlen <= k else (-1, [])
+    mode = mode.upper()
+    if mode not in ("HW", "SHW"):
+        raise ValueError("mode must be HW or SHW")
+
+    use_wavefront = backend == "wavefront"
+    if os.environ.get("EDLIB_TPU_DISABLE_DEVICE"):
+        use_wavefront = False
+    elif backend == "auto":
+        forced = os.environ.get("EDLIB_TPU_FORCE_PALLAS", "")
+        try:
+            import jax
+            use_wavefront = (forced or jax.default_backend() == "tpu") \
+                and qlen * tlen >= 10_000_000_000 and sigma <= 15
+        except Exception:
+            use_wavefront = False
+
+    from edlib_tpu.align import _filter_locations, \
+        _semiglobal_best_positions, _INF
+    k_eff = _INF if k < 0 else k
+    if use_wavefront:
+        from edlib_tpu.ops.wavefront import Wavefront
+        forced = os.environ.get("EDLIB_TPU_FORCE_PALLAS", "")
+        wf = Wavefront(interpret=(forced == "interpret"))
+        scores = wf.semiglobal_scores(q_ids.astype(np.uint8),
+                                      t_ids.astype(np.uint8), sigma,
+                                      mode_is_hw=(mode == "HW"))
+        return _filter_locations(scores, qlen, k_eff)
+    eq = np.eye(sigma, dtype=bool)
+    return _semiglobal_best_positions(q_ids, t_ids, eq, mode, k_eff)

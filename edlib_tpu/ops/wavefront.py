@@ -60,16 +60,21 @@ def _shift_words(x, fill):
 
 
 def _wf_kernel(d_base_ref, targets_ref, peq_ref, state_in_ref, out_ref,
-               state_out_ref, pv_ref, mv_ref, sym_ref,
+               state_out_ref, stream_ref, pv_ref, mv_ref, sym_ref,
                hn_ref, hp_ref, sc_ref, rmin_ref, rpos_ref, *, R: int,
                sigma1: int, chunk: int, hin0: int, n_words: int,
-               col_lo: int, col_hi: int, t_scan: int):
+               col_lo: int, col_hi: int, t_scan: int, emit_stream: bool):
     t_step = pl.program_id(0)
     n_chunks = pl.num_programs(0)
     shape = (R, LANES)
     rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     lanes = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     word_idx = rows * LANES + lanes
+    # Bottom word's fixed tile slot (static): its score is sampled each
+    # step into a collector tile that shifts one slot per step, flushed to
+    # the HBM stream once per chunk — the spatial analogue of a per-step
+    # dynamic scalar store, which Mosaic cannot do.
+    row_b, lane_b = (n_words - 1) // LANES, (n_words - 1) % LANES
 
     @pl.when(t_step == 0)
     def _init():
@@ -84,7 +89,7 @@ def _wf_kernel(d_base_ref, targets_ref, peq_ref, state_in_ref, out_ref,
         rpos_ref[...] = state_in_ref[7].astype(jnp.int32)
 
     def step(i, carry):
-        Pv, Mv, symwin, hneg, hpos, scores, runmin, runpos = carry
+        Pv, Mv, symwin, hneg, hpos, scores, runmin, runpos, coll = carry
         d = d_base_ref[0] + t_step * chunk + i
         symwin = _shift_words(symwin, targets_ref[i, 0])
         hneg = _shift_words(hneg, 0)
@@ -116,12 +121,19 @@ def _wf_kernel(d_base_ref, targets_ref, peq_ref, state_in_ref, out_ref,
                & (col < col_hi) & (scores < runmin))
         runmin = jnp.where(upd, scores, runmin)
         runpos = jnp.where(upd, col, runpos)
-        return (Pv, Mv, symwin, hneg, hpos, scores, runmin, runpos)
+        if emit_stream:
+            coll = _shift_words(coll, scores[row_b, lane_b])
+        return (Pv, Mv, symwin, hneg, hpos, scores, runmin, runpos, coll)
 
     carry0 = (pv_ref[...], mv_ref[...], sym_ref[...], hn_ref[...],
-              hp_ref[...], sc_ref[...], rmin_ref[...], rpos_ref[...])
-    Pv, Mv, symwin, hneg, hpos, scores, runmin, runpos = jax.lax.fori_loop(
-        0, chunk, step, carry0)
+              hp_ref[...], sc_ref[...], rmin_ref[...], rpos_ref[...],
+              jnp.zeros(shape, jnp.int32))
+    (Pv, Mv, symwin, hneg, hpos, scores, runmin, runpos,
+     coll) = jax.lax.fori_loop(0, chunk, step, carry0)
+    if emit_stream:
+        # Slot j of this chunk's flushed tile = the bottom word's score
+        # after step (chunk-1-j) of the chunk (newest sample at slot 0).
+        stream_ref[...] = coll
     pv_ref[...] = Pv
     mv_ref[...] = Mv
     sym_ref[...] = symwin
@@ -148,17 +160,27 @@ def _wf_kernel(d_base_ref, targets_ref, peq_ref, state_in_ref, out_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "R", "sigma1", "chunk", "hin0", "n_words", "col_lo", "col_hi",
-    "t_scan", "interpret"))
+    "t_scan", "emit_stream", "interpret"))
 def _wavefront_call(d_base, targets, peq, state, *, R, sigma1, chunk, hin0,
-                    n_words, col_lo, col_hi, t_scan, interpret):
+                    n_words, col_lo, col_hi, t_scan, emit_stream=False,
+                    interpret=False):
     """One resumable segment of the wavefront: runs targets.shape[0]*chunk
     steps from absolute step d_base, returns (out (3,R,128) int32,
-    new state (8,R,128) uint32)."""
+    new state (8,R,128) uint32, stream (n_chunks|1, R, 128) int32)."""
     n_chunks = targets.shape[0]
     kernel = functools.partial(_wf_kernel, R=R, sigma1=sigma1, chunk=chunk,
                                hin0=hin0, n_words=n_words, col_lo=col_lo,
-                               col_hi=col_hi, t_scan=t_scan)
+                               col_hi=col_hi, t_scan=t_scan,
+                               emit_stream=emit_stream)
     shape = (R, LANES)
+    if emit_stream:
+        stream_spec = pl.BlockSpec((None,) + shape, lambda j: (j, 0, 0),
+                                   memory_space=pltpu.VMEM)
+        stream_shape = jax.ShapeDtypeStruct((n_chunks,) + shape, jnp.int32)
+    else:
+        stream_spec = pl.BlockSpec((None,) + shape, lambda j: (0, 0, 0),
+                                   memory_space=pltpu.VMEM)
+        stream_shape = jax.ShapeDtypeStruct((1,) + shape, jnp.int32)
     return pl.pallas_call(
         kernel,
         grid=(n_chunks,),
@@ -176,10 +198,12 @@ def _wavefront_call(d_base, targets, peq, state, *, R, sigma1, chunk, hin0,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8,) + shape, lambda j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
+            stream_spec,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((3,) + shape, jnp.int32),
             jax.ShapeDtypeStruct((8,) + shape, jnp.uint32),
+            stream_shape,
         ),
         scratch_shapes=[
             pltpu.VMEM(shape, jnp.uint32),   # Pv
@@ -248,22 +272,51 @@ class Wavefront:
         return state
 
     def run(self, q_ids: np.ndarray, t_ids: np.ndarray, sigma: int,
-            hin0: int, col_lo: int, col_hi: int):
+            hin0: int, col_lo: int, col_hi: int, emit_stream: bool = False):
         peq, targets, n_words, R, w_pad, t_scan = self._prepare(
             q_ids, t_ids, sigma)
+        if emit_stream and self.chunk > R * LANES:
+            raise ValueError("stream emission needs chunk <= R*128 "
+                             "(collector capacity)")
         n_chunks = targets.shape[0]
         seg = min(self.seg_chunks, n_chunks)
         state = self.initial_state(R)
         out = None
+        stream_tiles = []
         for s0 in range(0, n_chunks, seg):
             d_base = np.array([s0 * self.chunk], np.int32)
-            out, state = _wavefront_call(
+            out, state, stream = _wavefront_call(
                 d_base, targets[s0:s0 + seg], peq, state,
                 R=R, sigma1=sigma + 1, chunk=self.chunk, hin0=hin0,
                 n_words=n_words, col_lo=col_lo, col_hi=col_hi,
-                t_scan=t_scan, interpret=self.interpret)
+                t_scan=t_scan, emit_stream=emit_stream,
+                interpret=self.interpret)
+            if emit_stream:
+                stream_tiles.append(np.asarray(stream))
         flat = np.asarray(out).reshape(3, R * LANES)
-        return flat[:, n_words - 1], w_pad
+        if not emit_stream:
+            return flat[:, n_words - 1], w_pad
+        # Decode: chunk t's tile slot j = bottom-word score after step
+        # (t*chunk + chunk-1-j); col c of word n_words-1 runs at step
+        # c + n_words - 1.
+        tiles = np.concatenate(stream_tiles)  # (n_chunks, R, 128)
+        by_step = tiles.reshape(n_chunks, R * LANES)[:, :self.chunk][:, ::-1]
+        by_step = by_step.reshape(-1)
+        stream = by_step[n_words - 1:n_words - 1 + t_scan]
+        return flat[:, n_words - 1], w_pad, stream
+
+    def semiglobal_scores(self, q_ids: np.ndarray, t_ids: np.ndarray,
+                          sigma: int, mode_is_hw: bool) -> np.ndarray:
+        """Full bottom-row score stream cell(Q-1, c), c in [0, tlen) —
+        the device analogue of ops/host.semiglobal_scores (the input to
+        align._filter_locations for all-locations lists)."""
+        qlen = len(q_ids)
+        n_words = encode.num_words(qlen)
+        w_pad = n_words * 32 - qlen
+        _, _, stream = self.run(q_ids, t_ids, sigma,
+                                hin0=0 if mode_is_hw else 1,
+                                col_lo=0, col_hi=0, emit_stream=True)
+        return stream[w_pad:w_pad + len(t_ids)]
 
     def nw_distance(self, q_ids: np.ndarray, t_ids: np.ndarray,
                     sigma: int) -> int:

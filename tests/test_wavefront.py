@@ -152,6 +152,51 @@ def test_nw_distance_long_api(rng, monkeypatch):
     assert edlib_tpu.nw_distance_long(b"", t) == 400
 
 
+@pytest.mark.parametrize("mode_is_hw", [True, False])
+def test_wavefront_full_streams(mode_is_hw, rng):
+    """Stream-emitting wavefront: full bottom-row score stream equals the
+    host engine sweep, across segments and word-row boundaries."""
+    wf = Wavefront(chunk=64, interpret=True, seg_chunks=2)
+    for qlen, tlen in ((1, 1), (40, 120), (64, 64), (200, 333), (129, 64),
+                       (4200, 600)):
+        q = rng.randint(0, 4, qlen).astype(np.uint8)
+        t = rng.randint(0, 4, tlen).astype(np.uint8)
+        hpeq = encode.build_peq_bigint(q, np.eye(4, dtype=bool))
+        hs = host_engine.semiglobal_scores(
+            hpeq, t, qlen, "HW" if mode_is_hw else "SHW")
+        got = wf.semiglobal_scores(q, t, 4, mode_is_hw=mode_is_hw)
+        assert np.array_equal(got, hs), (qlen, tlen)
+
+
+def test_semiglobal_locations_long_api(rng, monkeypatch):
+    import edlib_tpu
+    t = bytes(rng.choice(list(b"ACGT"), 700).tolist())
+    q = bytearray(t[200:500])
+    for i in rng.choice(300, 15, replace=False):
+        q[i] = rng.choice(list(b"ACGT"))
+    q = bytes(q)
+    for mode in ("HW", "SHW"):
+        ref = edlib_tpu.align(q, t, mode=mode)
+        want = (ref["editDistance"], [e for _, e in ref["locations"]])
+        got = edlib_tpu.semiglobal_locations_long(q, t, mode=mode)
+        assert got == want, (mode, got, want)
+        monkeypatch.setenv("EDLIB_TPU_FORCE_PALLAS", "interpret")
+        got_wf = edlib_tpu.semiglobal_locations_long(q, t, mode=mode,
+                                                     backend="wavefront")
+        assert got_wf == want, mode
+        assert edlib_tpu.semiglobal_locations_long(
+            q, t, mode=mode, k=want[0] - 1, backend="wavefront") == (-1, [])
+        monkeypatch.delenv("EDLIB_TPU_FORCE_PALLAS")
+    # -1 artifact head: unmatched 33bp query, best == Q (Q % 64 != 0)
+    q2 = b"Z" * 33
+    ref2 = edlib_tpu.align(q2, t, mode="HW")
+    monkeypatch.setenv("EDLIB_TPU_FORCE_PALLAS", "interpret")
+    got2 = edlib_tpu.semiglobal_locations_long(q2, t, mode="HW",
+                                               backend="wavefront")
+    assert got2 == (ref2["editDistance"], [e for _, e in ref2["locations"]])
+    assert edlib_tpu.semiglobal_locations_long(b"", t) == (0, [-1])
+
+
 def test_align_nw_wavefront_route(rng, monkeypatch):
     """align() routes huge NW pairs to the banded wavefront; with the
     threshold lowered the two routes must agree exactly (incl. k and
