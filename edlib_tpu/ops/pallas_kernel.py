@@ -216,15 +216,15 @@ def _shared_kernel(targets_ref, peq_ref, best_ref, pos_ref, pv_ref, mv_ref,
               tuple(mv_ref[w] for w in range(n_words)),
               score_ref[...], run_best_ref[...], run_pos_ref[...])
 
-    # Mosaic supports only full or no unroll in fori_loop; unroll eight
-    # columns manually to amortise loop overhead (chunk % 8 == 0).
-    def eight_columns(i, carry):
-        for j in range(8):
-            carry = column(i * 8 + j, carry)
+    # Mosaic supports only full or no unroll in fori_loop; unroll sixteen
+    # columns manually to amortise loop overhead (chunk % 16 == 0).
+    def sixteen_columns(i, carry):
+        for j in range(16):
+            carry = column(i * 16 + j, carry)
         return carry
 
     pvs, mvs, score, run_best, run_pos = jax.lax.fori_loop(
-        0, chunk // 8, eight_columns, carry0)
+        0, chunk // 16, sixteen_columns, carry0)
     for w in range(n_words):
         pv_ref[w] = pvs[w]
         mv_ref[w] = mvs[w]
