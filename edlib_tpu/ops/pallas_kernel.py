@@ -106,7 +106,16 @@ def _sweep_kernel(targets_ref, peq_ref, scores_ref, pv_ref, mv_ref,
 
     carry0 = (tuple(pv_ref[w] for w in range(n_words)),
               tuple(mv_ref[w] for w in range(n_words)), score_ref[...])
-    pvs, mvs, score = jax.lax.fori_loop(0, chunk, column, carry0)
+    # Mosaic supports only full or no unroll in fori_loop; unroll manually
+    # to amortise loop overhead (same trick as the shared kernel).
+    unroll = 8 if chunk % 8 == 0 else 1
+
+    def columns(i, carry):
+        for j in range(unroll):
+            carry = column(i * unroll + j, carry)
+        return carry
+
+    pvs, mvs, score = jax.lax.fori_loop(0, chunk // unroll, columns, carry0)
     for w in range(n_words):
         pv_ref[w] = pvs[w]
         mv_ref[w] = mvs[w]
@@ -217,7 +226,8 @@ def _shared_kernel(targets_ref, peq_ref, best_ref, pos_ref, pv_ref, mv_ref,
               score_ref[...], run_best_ref[...], run_pos_ref[...])
 
     # Mosaic supports only full or no unroll in fori_loop; unroll sixteen
-    # columns manually to amortise loop overhead (chunk % 16 == 0).
+    # columns manually to amortise loop overhead (chunk % 16 == 0; 32 was
+    # measured at parity with a much slower compile).
     def sixteen_columns(i, carry):
         for j in range(16):
             carry = column(i * 16 + j, carry)

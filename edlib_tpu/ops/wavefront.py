@@ -128,8 +128,16 @@ def _wf_kernel(d_base_ref, targets_ref, peq_ref, state_in_ref, out_ref,
     carry0 = (pv_ref[...], mv_ref[...], sym_ref[...], hn_ref[...],
               hp_ref[...], sc_ref[...], rmin_ref[...], rpos_ref[...],
               jnp.zeros(shape, jnp.int32))
+    # Manual unroll (Mosaic fori_loop is full-or-no unroll only).
+    unroll = 4 if chunk % 4 == 0 else 1
+
+    def steps(i, carry):
+        for j in range(unroll):
+            carry = step(i * unroll + j, carry)
+        return carry
+
     (Pv, Mv, symwin, hneg, hpos, scores, runmin, runpos,
-     coll) = jax.lax.fori_loop(0, chunk, step, carry0)
+     coll) = jax.lax.fori_loop(0, chunk // unroll, steps, carry0)
     if emit_stream:
         # Slot j of this chunk's flushed tile = the bottom word's score
         # after step (chunk-1-j) of the chunk (newest sample at slot 0).
@@ -477,8 +485,16 @@ def _wfb_kernel(params_ref, enter_ref, targets_ref, state_in_ref,
               state_in_ref[6].astype(jnp.int32),
               state_in_ref[7].astype(jnp.int32),
               tuple(state_in_ref[8 + sidx] for sidx in range(sigma1)))
+    # Manual unroll (Mosaic fori_loop is full-or-no unroll only).
+    unroll = 4 if n_steps % 4 == 0 else 1
+
+    def steps(i, carry):
+        for j in range(unroll):
+            carry = step(i * unroll + j, carry)
+        return carry
+
     (Pv, Mv, symwin, hneg, hpos, scores, runmin, runpos,
-     peq_win) = jax.lax.fori_loop(0, n_steps, step, carry0)
+     peq_win) = jax.lax.fori_loop(0, n_steps // unroll, steps, carry0)
     state_out_ref[0] = Pv
     state_out_ref[1] = Mv
     state_out_ref[2] = symwin.astype(jnp.uint32)
