@@ -140,12 +140,14 @@ def _nw_wavefront_enabled(qlen: int, tlen: int, sigma: int) -> bool:
         return False
 
 
-def _nw_score_host(q_ids, t_ids, eq, k_eff) -> int:
+def _nw_score_host(q_ids, t_ids, eq, k_eff, allow_device: bool = True) -> int:
     """NW distance, or -1 if above k_eff.  Banded native path with the
     dynamic-k doubling loop for unbounded k; multi-Gcell pairs go to the
-    banded wavefront kernel when a TPU is attached."""
+    banded wavefront kernel when a TPU is attached (allow_device) — the
+    PATH pipeline keeps the distance native, where it is a small fraction
+    of the Hirschberg work and device dispatch would only add latency."""
     qlen, tlen = len(q_ids), len(t_ids)
-    if _nw_wavefront_enabled(qlen, tlen, eq.shape[0]):
+    if allow_device and _nw_wavefront_enabled(qlen, tlen, eq.shape[0]):
         from edlib_tpu.ops.wavefront import BandedWavefront
         forced = os.environ.get("EDLIB_TPU_FORCE_PALLAS", "")
         wfb = BandedWavefront(interpret=(forced == "interpret"))
@@ -229,7 +231,8 @@ def align_ids(q_ids: np.ndarray, t_ids: np.ndarray, eq: np.ndarray,
             result.end_locations = np.array(positions, dtype=np.int64)
             result.num_locations = len(positions)
     else:  # NW
-        score = _nw_score_host(q_ids, t_ids, eq, k_eff)
+        score = _nw_score_host(q_ids, t_ids, eq, k_eff,
+                               allow_device=(task != AlignTask.PATH))
         if score >= 0:
             result.edit_distance = score
             result.end_locations = np.array([tlen - 1], dtype=np.int64)

@@ -57,7 +57,8 @@ def nw_distance_long(query, target, k: int = -1,
 
     from edlib_tpu.align import _nw_score_host, _INF
     eq = np.eye(sigma, dtype=bool)
-    return _nw_score_host(q_ids, t_ids, eq, _INF if k < 0 else k)
+    return _nw_score_host(q_ids, t_ids, eq, _INF if k < 0 else k,
+                          allow_device=False)
 
 
 def shw_best_long(query, target, k: int = -1,

@@ -229,6 +229,11 @@ def test_align_nw_wavefront_route(rng, monkeypatch):
     got_k = edlib_tpu.align(q, t, k=want["editDistance"] - 1,
                             additionalEqualities=eqs)
     assert got_k == want_k
+    # PATH must stay native: the distance is a small fraction of the
+    # Hirschberg work and device dispatch only adds latency there.
+    calls.clear()
+    ref_path = edlib_tpu.align(q, t, task="path", additionalEqualities=eqs)
+    assert not calls and ref_path["cigar"]
 
 
 def test_shw_best_long_api(rng, monkeypatch):
