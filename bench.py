@@ -115,7 +115,7 @@ def make_inputs(key):
     tiles = pack_tiles_device(peq)
     tg = jnp.full((n_chunks * CHUNK,), SIGMA, jnp.int32)
     tg = tg.at[:TARGET_LEN].set(target)
-    return tiles, tg.reshape(n_chunks, CHUNK, 1), reads, target
+    return tiles, tg.reshape(n_chunks, 1, CHUNK), reads, target
 
 tiles, tg_chunks, reads, target = make_inputs(jax.random.key(0))
 jax.block_until_ready((tiles, tg_chunks))

@@ -184,7 +184,7 @@ def _map_reads_device(read_ids, t_ids, sigma, hin0):
         n_chunks = -(-t_scan // chunk)
         tg = np.full(n_chunks * chunk, sigma, np.int32)
         tg[:tlen] = t_ids
-        tg_chunks = tg.reshape(n_chunks, chunk, 1)
+        tg_chunks = tg.reshape(n_chunks, 1, chunk)
         Bg = len(idxs)
         B_pad = -(-Bg // pk.B_TILE) * pk.B_TILE
         q_arr = np.full((B_pad, qmax), 0, np.int32)

@@ -179,7 +179,9 @@ def sweep_scores_pallas(peq: jnp.ndarray, targets: jnp.ndarray, hin0: int,
 def _shared_kernel(targets_ref, peq_ref, best_ref, pos_ref, pv_ref, mv_ref,
                    score_ref, run_best_ref, run_pos_ref, *, n_words: int,
                    chunk: int, hin0: int, col_lo: int, col_hi: int):
-    """targets_ref: (chunk, 1) int32 SMEM — shared symbols for this chunk.
+    """targets_ref: (1, chunk) int32 SMEM — shared symbols for this chunk
+    (single-row layout: SMEM pads every ROW to a full lane stripe, so a
+    (chunk, 1) column layout would cost 128x the SMEM and cap chunk=512).
     peq_ref: (S1, n_words, 8, 128) uint32 VMEM.
     best_ref/pos_ref: (8, 128) int32 outputs (written on the last chunk).
     """
@@ -198,7 +200,7 @@ def _shared_kernel(targets_ref, peq_ref, best_ref, pos_ref, pv_ref, mv_ref,
         # DP state rides in the fori carry (vector registers), not refs —
         # no VMEM load/store per word per column.
         pvs, mvs, score, run_best, run_pos = carry
-        sym = targets_ref[c, 0]
+        sym = targets_ref[0, c]
         hin_neg = jnp.zeros((SUBLANES, LANES), jnp.uint32)
         if hin0 == 0:
             hin_pos = jnp.zeros((SUBLANES, LANES), jnp.uint32)
@@ -257,7 +259,7 @@ def sweep_best_pallas_shared(peq: jnp.ndarray, target_chunks: jnp.ndarray,
     """Shared-target sweep returning (best, first-best column) per lane.
 
     peq: uint32 (n_tiles, S1, NW, 8, 128); target_chunks: int32
-    (n_chunks, chunk, 1) — the shared wildcard-extended target.
+    (n_chunks, 1, chunk) — the shared wildcard-extended target.
     Returns (best (n_tiles, 8, 128) int32, pos (n_tiles, 8, 128) int32);
     pos is a scan-column index (caller subtracts W for positions; -1 when
     nothing was seen, impossible for nonempty targets).
@@ -271,7 +273,7 @@ def sweep_best_pallas_shared(peq: jnp.ndarray, target_chunks: jnp.ndarray,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((None, chunk, 1), lambda i, j: (j, 0, 0),
+            pl.BlockSpec((None, 1, chunk), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((None, sigma1, n_words, SUBLANES, LANES),
                          lambda i, j: (i, 0, 0, 0, 0),
