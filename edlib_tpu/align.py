@@ -74,7 +74,10 @@ def _native_ctx(q_ids, t_ids, eq):
     qlen = len(q_ids)
     nw64 = encode.num_words(qlen, 64)
     w64 = nw64 * 64 - qlen
-    peq64 = encode.build_peq_words(q_ids, eq, word_size=64, n_words=nw64)
+    peq64 = native_loader.build_peq64_native(q_ids, eq)
+    if peq64 is None:
+        peq64 = encode.build_peq_words(q_ids, eq, word_size=64,
+                                       n_words=nw64)
     t_ext = np.concatenate([np.asarray(t_ids, np.uint8),
                             np.full(w64, sigma, np.uint8)])
     return peq64, t_ext, w64

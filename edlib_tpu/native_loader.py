@@ -304,6 +304,24 @@ def sweep_scores_banded_native(peq64: np.ndarray, target_ext: np.ndarray,
     return out
 
 
+def build_peq64_native(q_ids: np.ndarray, eq: np.ndarray
+                       ) -> Optional[np.ndarray]:
+    """64-bit query profile built in C (the numpy bit-packing path costs
+    ~0.5s at Mbp scale; the C loop is ~10ms).  Returns uint64
+    (sigma+1, n_words) with wildcard padding rows, like build_peq_words."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    q = np.ascontiguousarray(q_ids, dtype=np.uint8)
+    sigma = eq.shape[0]
+    eqm = np.ascontiguousarray(eq, dtype=np.uint8)
+    n_words = max(1, (len(q) + 63) // 64)
+    out = np.empty((sigma + 1, n_words), dtype=np.uint64)
+    lib.etn_build_peq(q.ctypes.data, len(q), eqm.ctypes.data, sigma,
+                      out.ctypes.data)
+    return out
+
+
 def nw_distance_banded_native(peq64: np.ndarray, t_ids: np.ndarray,
                               qlen: int, k: int) -> Optional[int]:
     lib = get_lib()

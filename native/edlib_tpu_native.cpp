@@ -536,7 +536,13 @@ int64_t etn_nw_path(const uint8_t* q_ids, int64_t qlen,
     // Dynamic value+position band edges, same as etn_nw_distance_banded.
     const int64_t k = best_score;
     const int64_t diff = qlen - tlen;
-    std::vector<Word> colP((size_t)tlen * n_words), colM((size_t)tlen * n_words);
+    // Uninitialized capture buffers (the reference's AlignmentData is
+    // `new Word[]`-raw too, edlib.cpp:106-120): only words [first..last]
+    // of each column are written, and get_col reads exactly that range —
+    // value-initializing tlen*n_words words costs ~a memset of the whole
+    // matrix per leaf and dominated Hirschberg leaves at Mbp scale.
+    std::unique_ptr<Word[]> colP(new Word[(size_t)tlen * n_words]);
+    std::unique_ptr<Word[]> colM(new Word[(size_t)tlen * n_words]);
     std::vector<int64_t> col_first(tlen), col_last(tlen), col_anchor(tlen);
     {
         std::vector<Word> Pv(n_words, ~(Word)0), Mv(n_words, 0);
