@@ -50,10 +50,14 @@ class GlobalAlphabet:
 
     def encode(self, seq: bytes) -> np.ndarray:
         arr = np.frombuffer(seq, dtype=np.uint8)
-        new = np.unique(arr[self.letter_idx[arr] < 0])
-        for c in new:
-            self.letter_idx[c] = len(self.alphabet)
-            self.alphabet.append(int(c))
+        unseen = arr[self.letter_idx[arr] < 0]
+        if unseen.size:
+            # First-appearance order (matches transform_sequences,
+            # edlib.cpp:1417-1462) so these ids stay safe to surface.
+            uniq, first = np.unique(unseen, return_index=True)
+            for c in uniq[np.argsort(first)]:
+                self.letter_idx[c] = len(self.alphabet)
+                self.alphabet.append(int(c))
         return self.letter_idx[arr].astype(np.int32)
 
     @property

@@ -136,8 +136,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     if not args.find_alignment or args.silent:
         print(f"0/{len(queries)}", end="", flush=True)
     if backend == "jax":
-        batch = align_batch(queries, [target] * len(queries), mode=args.mode,
-                            task=task, k=args.k)
+        # -r repeats the core calculation like the host loop does
+        # (aligner.cpp:199: results just overwrite each other).
+        for _ in range(max(args.num_repeats, 1)):
+            batch = align_batch(queries, [target] * len(queries),
+                                mode=args.mode, task=task, k=args.k)
         results = batch
     else:
         best_heap: List[int] = []  # max-heap via negation

@@ -16,8 +16,30 @@ from typing import List, Optional
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "native")
+def _find_native_dir() -> str:
+    """Native C++ sources: repo layout (<root>/native) or installed layout
+    (edlib_tpu/_native_src, copied in by setup.py's build hook)."""
+    pkg = os.path.dirname(os.path.abspath(__file__))
+    for cand in (os.path.join(os.path.dirname(pkg), "native"),
+                 os.path.join(pkg, "_native_src")):
+        if os.path.isdir(cand):
+            return cand
+    return os.path.join(os.path.dirname(pkg), "native")
+
+
+def _build_dir() -> str:
+    """Where compiled artifacts go: next to the sources when writable
+    (repo layout — keeps mtime-based rebuilds simple), else a user cache
+    (installed site-packages may be read-only)."""
+    d = _find_native_dir()
+    if os.access(d, os.W_OK):
+        return d
+    cache = os.path.join(os.path.expanduser("~"), ".cache", "edlib_tpu")
+    os.makedirs(cache, exist_ok=True)
+    return cache
+
+
+_NATIVE_DIR = _find_native_dir()
 _LIB_NAME = "libedlib_tpu_native.so"
 
 _lock = threading.Lock()
@@ -33,7 +55,7 @@ def _build_and_load_ext():
     import sysconfig
     src = os.path.join(_NATIVE_DIR, "pyext.cpp")
     core = os.path.join(_NATIVE_DIR, "edlib_tpu_native.cpp")
-    ext_path = os.path.join(_NATIVE_DIR, "_edlib_tpu_native_ext.so")
+    ext_path = os.path.join(_build_dir(), "_edlib_tpu_native_ext.so")
     if not (os.path.exists(src) and os.path.exists(core)):
         return None
     newest_src = max(os.path.getmtime(src), os.path.getmtime(core))
@@ -70,7 +92,7 @@ def get_ext():
 
 def _build_and_load() -> Optional[ctypes.CDLL]:
     src = os.path.join(_NATIVE_DIR, "edlib_tpu_native.cpp")
-    lib_path = os.path.join(_NATIVE_DIR, _LIB_NAME)
+    lib_path = os.path.join(_build_dir(), _LIB_NAME)
     if not os.path.exists(src):
         return None
     if (not os.path.exists(lib_path)
@@ -94,7 +116,7 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
                                    ctypes.POINTER(c_i64)]
     lib.etn_fasta_read.restype = ctypes.c_int
     lib.etn_fasta_read.argtypes = [ctypes.c_char_p, ctypes.c_void_p,
-                                   ctypes.c_void_p]
+                                   ctypes.c_void_p, c_i64, c_i64]
     lib.etn_cigar_encode.restype = c_i64
     lib.etn_cigar_encode.argtypes = [ctypes.c_void_p, c_i64, ctypes.c_int,
                                      ctypes.c_void_p]
@@ -169,7 +191,7 @@ def read_fasta(path: str) -> List[bytes]:
     data = np.empty(total.value, dtype=np.uint8)
     offsets = np.empty(n.value + 1, dtype=np.int64)
     if lib.etn_fasta_read(path.encode(), data.ctypes.data,
-                          offsets.ctypes.data):
+                          offsets.ctypes.data, total.value, n.value):
         raise FileNotFoundError(path)
     return [data[offsets[i]:offsets[i + 1]].tobytes()
             for i in range(n.value)]

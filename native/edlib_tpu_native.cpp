@@ -62,7 +62,11 @@ int etn_fasta_stat(const char* path, int64_t* n_seqs, int64_t* total_len) {
     return 0;
 }
 
-int etn_fasta_read(const char* path, char* data, int64_t* offsets) {
+int etn_fasta_read(const char* path, char* data, int64_t* offsets,
+                   int64_t data_cap, int64_t seq_cap) {
+    // data_cap/seq_cap are the capacities from etn_fasta_stat; if the file
+    // grew between the two passes, stop at capacity instead of overrunning
+    // the caller's buffers.
     FILE* f = fopen(path, "rb");
     if (!f) return 1;
     bool in_header = false, in_seq = false;
@@ -78,11 +82,17 @@ int etn_fasta_read(const char* path, char* data, int64_t* offsets) {
                 in_header = true;
                 in_seq = false;
             } else if (c != '\r' && c != '\n') {
-                if (!in_seq) { in_seq = true; offsets[seq++] = pos; }
+                if (!in_seq) {
+                    if (seq >= seq_cap) goto done;
+                    in_seq = true;
+                    offsets[seq++] = pos;
+                }
+                if (pos >= data_cap) goto done;
                 data[pos++] = c;
             }
         }
     }
+done:
     offsets[seq] = pos;
     fclose(f);
     return 0;

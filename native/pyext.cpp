@@ -74,20 +74,29 @@ static PyObject* py_align(PyObject* self, PyObject* const* args,
     if (rc != 0) Py_RETURN_NONE;
 
     PyObject* ends_list = PyList_New(n_locs);
-    for (int64_t i = 0; i < n_locs; i++)
-        PyList_SET_ITEM(ends_list, i, PyLong_FromLong(ends[i]));
+    if (!ends_list) return nullptr;
+    for (int64_t i = 0; i < n_locs; i++) {
+        PyObject* v = PyLong_FromLong(ends[i]);
+        if (!v) { Py_DECREF(ends_list); return nullptr; }
+        PyList_SET_ITEM(ends_list, i, v);
+    }
     PyObject* starts_obj;
     if (want_starts) {
         starts_obj = PyList_New(n_locs);
-        for (int64_t i = 0; i < n_locs; i++)
-            PyList_SET_ITEM(starts_obj, i, PyLong_FromLong(starts[i]));
+        if (!starts_obj) { Py_DECREF(ends_list); return nullptr; }
+        for (int64_t i = 0; i < n_locs; i++) {
+            PyObject* v = PyLong_FromLong(starts[i]);
+            if (!v) { Py_DECREF(ends_list); Py_DECREF(starts_obj);
+                      return nullptr; }
+            PyList_SET_ITEM(starts_obj, i, v);
+        }
     } else {
         starts_obj = Py_None;
         Py_INCREF(Py_None);
     }
-    PyObject* out = Py_BuildValue("(iiNN)", (int)dist, (int)alpha,
-                                  ends_list, starts_obj);
-    return out;
+    // "N" steals ends_list/starts_obj on success AND on failure.
+    return Py_BuildValue("(iiNN)", (int)dist, (int)alpha,
+                         ends_list, starts_obj);
 }
 
 static PyMethodDef methods[] = {

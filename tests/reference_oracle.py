@@ -12,8 +12,9 @@ import subprocess
 import tempfile
 from typing import List, Optional, Tuple
 
-REFERENCE_SRC = "/root/reference/edlib/src/edlib.cpp"
-REFERENCE_INC = "/root/reference/edlib/include"
+_REF_DIR = os.environ.get("EDLIB_REFERENCE_DIR", "/root/reference")
+REFERENCE_SRC = os.path.join(_REF_DIR, "edlib/src/edlib.cpp")
+REFERENCE_INC = os.path.join(_REF_DIR, "edlib/include")
 _LIB_PATH = os.path.join(tempfile.gettempdir(), "libedlib_ref_oracle.so")
 
 _lib = None

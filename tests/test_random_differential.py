@@ -9,9 +9,9 @@ Mirrors runRandomTests (test/runTests.cpp:86-213): fixed seed, suites per
   * alignment validity invariants (checkAlignment, runTests.cpp:592-641),
   * start-location consistency (getAlignmentStart, runTests.cpp:649-661).
 
-Sizes match the reference's distribution (Q 50-349, T 500-10499) at 40
-tests per suite (the byte-exact differential suite against the compiled
-reference library adds thousands more trials).
+Sizes match the reference's distribution (Q 50-349, T 500-10499) at 100
+tests per suite (the reference's count, runTests.cpp:33-39; the byte-exact
+differential suite against the compiled reference adds thousands more).
 """
 
 import numpy as np
@@ -28,8 +28,18 @@ from edlib_tpu.types import (
     AlignMode,
 )
 
-NUM_TESTS = 40
+NUM_TESTS = 100
 ALPHABET = b"0123456789"
+
+
+def expected_positions(oracle_positions, mode, score, qlen):
+    """Oracle end positions plus the reference's -1 end-location candidate
+    (query entirely before the target; exists iff Q %% 64 != 0 with score
+    exactly Q — edlib.cpp:237-249, emulated in align.py)."""
+    if (mode != "NW" and score == qlen and qlen % 64 != 0
+            and score >= 0):
+        return [-1] + oracle_positions
+    return oracle_positions
 
 
 def check_alignment(query, target, score, end, mode, ops):
@@ -88,7 +98,8 @@ def run_suite(mode, task, num_tests=NUM_TESTS, seed=42):
                                                 AlignMode.parse(mode))
         assert res["editDistance"] == score
         ends = [loc[1] for loc in res["locations"]]
-        assert ends == positions, f"end locations differ for {mode}"
+        assert ends == expected_positions(positions, mode, score, qlen), \
+            f"end locations differ for {mode}"
 
         if task == "path":
             ops = cigar_to_alignment(res["cigar"])
@@ -141,4 +152,5 @@ def test_random_with_equalities(mode):
         score, positions = edit_distance_simple(q_ids, t_ids,
                                                 AlignMode.parse(mode), eq=eq)
         assert res["editDistance"] == score
-        assert [loc[1] for loc in res["locations"]] == positions
+        assert [loc[1] for loc in res["locations"]] == expected_positions(
+            positions, mode, score, qlen)
