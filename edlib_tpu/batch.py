@@ -104,10 +104,128 @@ def _run_sweep(peq: np.ndarray, targets: np.ndarray, hin0: int) -> np.ndarray:
 
     mode = _pallas_mode()
     if mode and peq.shape[1] <= pallas_kernel.MAX_SIGMA_PALLAS:
+        chunk = int(os.environ.get("EDLIB_TPU_PALLAS_CHUNK", "256"))
         sweeper = pallas_kernel.PallasSweeper(
-            chunk=256, interpret=(mode == "interpret"))
+            chunk=chunk, interpret=(mode == "interpret"))
         return sweeper.sweep(peq, targets, hin0=hin0)
     return np.asarray(jax_engine.sweep_scores(peq, targets, hin0=hin0))
+
+
+class PairSummary:
+    """Everything the orchestration needs from one pair's sweep, without the
+    O(T) score stream: the reference's banded engines keep only this much
+    live state too (edlib.cpp:657-693)."""
+
+    __slots__ = ("best", "pos_first", "pos_last", "last_score", "positions")
+
+    def __init__(self, best, pos_first, pos_last, last_score, positions):
+        self.best = best              # min over real end positions
+        self.pos_first = pos_first    # first position attaining it
+        self.pos_last = pos_last      # last position attaining it
+        self.last_score = last_score  # score at position tlen-1 (NW)
+        self.positions = positions    # all minimal positions, or None
+
+
+def _summarize_stream(stream: np.ndarray, want_hits: bool) -> PairSummary:
+    best = int(stream.min())
+    hits = np.nonzero(stream == best)[0].astype(np.int64)
+    return PairSummary(best, int(hits[0]), int(hits[-1]), int(stream[-1]),
+                       hits if want_hits else None)
+
+
+def _filter_best_positions(best: int, positions, qlen: int, k_eff
+                           ) -> Tuple[int, List[int]]:
+    """Same contract as align._filter_locations, from (best, hit list)."""
+    from edlib_tpu.align import _neg1_candidate_exists
+    overall = int(best)
+    if _neg1_candidate_exists(qlen):
+        overall = min(overall, qlen)
+    if overall > k_eff:
+        return -1, []
+    out: List[int] = []
+    if _neg1_candidate_exists(qlen) and qlen == overall:
+        out.append(-1)
+    if int(best) == overall:
+        out.extend(int(p) for p in positions)
+    return overall, out
+
+
+def _run_bucketed_summary(pairs: List[Tuple[np.ndarray, np.ndarray]],
+                          sigma: int, eq: np.ndarray, hin0: int,
+                          want_hits: bool) -> List[PairSummary]:
+    """Bucketed sweeps returning per-pair summaries (real position space).
+
+    On TPU this is the two-phase Pallas path: a register-resident reduction
+    pass, plus (only when the all-minimal-locations list is needed) a packed
+    hit-bitmask pass — O(B) and O(B*T/32) device output instead of the
+    O(B*T) int32 streams.  Buckets whose pairs all share one target object
+    use the shared-target variants (scalar SMEM symbols, no S1-way select,
+    no alphabet cap).  Elsewhere falls back to the XLA stream engine.
+    """
+    from edlib_tpu.ops import pallas_kernel
+    mode = _pallas_mode()
+
+    buckets: Dict[Tuple[int, int], List[int]] = defaultdict(list)
+    metas = []
+    for i, (q_ids, t_ids) in enumerate(pairs):
+        nw = encode.num_words(len(q_ids))
+        nw_b = _pow2_at_least(nw)
+        w = nw_b * 32 - len(q_ids)
+        t_scan = _pow2_at_least(len(t_ids) + w, floor=32)
+        buckets[(nw_b, t_scan)].append(i)
+        metas.append((nw_b, w, t_scan))
+
+    out: List[Optional[PairSummary]] = [None] * len(pairs)
+    for (nw_b, t_scan), idxs in buckets.items():
+        shared = (len(idxs) > 1
+                  and all(pairs[i][1] is pairs[idxs[0]][1] for i in idxs))
+        use_pallas = bool(mode) and (
+            shared or sigma + 1 <= pallas_kernel.MAX_SIGMA_PALLAS)
+        if not use_pallas:
+            streams = _sweep_bucket([pairs[i][0] for i in idxs],
+                                    [pairs[i][1] for i in idxs],
+                                    sigma, eq, nw_b, t_scan, hin0)
+            for row, i in enumerate(idxs):
+                w = metas[i][1]
+                tlen = len(pairs[i][1])
+                out[i] = _summarize_stream(streams[row, w:w + tlen],
+                                           want_hits)
+            continue
+
+        B = len(idxs)
+        B_pad = _pow2_at_least(B, floor=8)
+        peq = np.full((B_pad, sigma + 1, nw_b), 0xFFFFFFFF, dtype=np.uint32)
+        lo = np.zeros(B_pad, np.int64)
+        hi = np.zeros(B_pad, np.int64)
+        for row, i in enumerate(idxs):
+            q_ids, t_ids = pairs[i]
+            peq[row] = encode.build_peq_words(q_ids, eq, n_words=nw_b)
+            lo[row] = metas[i][1]
+            hi[row] = metas[i][1] + len(t_ids)
+        if shared:
+            targets = pairs[idxs[0]][1]
+        else:
+            targets = np.full((B_pad, t_scan), sigma, dtype=np.int32)
+            for row, i in enumerate(idxs):
+                t_ids = pairs[i][1]
+                targets[row, :len(t_ids)] = t_ids
+        chunk = int(os.environ.get("EDLIB_TPU_PALLAS_CHUNK", "256"))
+        sweeper = pallas_kernel.PallasSweeper(
+            chunk=chunk, interpret=(mode == "interpret"))
+        best, pf, pl_, last = sweeper.reduce(peq, targets, lo, hi, hin0,
+                                             shared=shared)
+        if want_hits:
+            hit_cols = sweeper.hits(peq, targets, lo, hi, best, hin0,
+                                    shared=shared)
+        for row, i in enumerate(idxs):
+            w = metas[i][1]
+            positions = None
+            if want_hits:
+                positions = hit_cols[row] - w
+            out[i] = PairSummary(int(best[row]), int(pf[row]) - w,
+                                 int(pl_[row]) - w, int(last[row]),
+                                 positions)
+    return out
 
 
 def _run_bucketed(pairs: List[Tuple[np.ndarray, np.ndarray]], sigma: int,
@@ -151,10 +269,16 @@ def align_batch_device(queries: Sequence, targets: Sequence,
     try:
         byte_pairs = []
         eq_pairs = None
+        map_cache: Dict[int, bytes] = {}
+
+        def to_bytes(s):
+            got = map_cache.get(id(s))
+            if got is None:
+                got = map_cache[id(s)] = encode._map_ascii(s)
+            return got
+
         for q, t in zip(queries, targets):
-            qb = encode._map_ascii(q)
-            tb = encode._map_ascii(t)
-            byte_pairs.append((qb, tb))
+            byte_pairs.append((to_bytes(q), to_bytes(t)))
         if additionalEqualities is not None:
             eq_pairs = [(encode._eq_symbol_to_byte(a),
                          encode._eq_symbol_to_byte(b))
@@ -165,16 +289,32 @@ def align_batch_device(queries: Sequence, targets: Sequence,
                 for q, t in zip(queries, targets)]
 
     glob = GlobalAlphabet()
-    id_pairs = [(glob.encode(qb), glob.encode(tb)) for qb, tb in byte_pairs]
+    # Encode each distinct object once: broadcast targets (align_batch with
+    # one target) share one id array, which both kills O(B*T) host encode
+    # work and lets the bucketed sweeps detect shared-target buckets (the
+    # scalar-symbol Pallas kernels) by object identity.
+    enc_cache: Dict[int, np.ndarray] = {}
+
+    def enc(seq: bytes) -> np.ndarray:
+        key = id(seq)
+        got = enc_cache.get(key)
+        if got is None:
+            got = enc_cache[key] = glob.encode(seq)
+        return got
+
+    id_pairs = [(enc(qb), enc(tb)) for qb, tb in byte_pairs]
     sigma = glob.sigma
     eq = encode.build_equality_matrix(bytes(glob.alphabet), eq_pairs)
     k_eff = _INF if k < 0 else k
 
     # On TPU, alphabets beyond the Pallas select limit would fall to the
     # XLA scan engine, which is latency-pathological there — the native
-    # host path is far faster for such (rare) batches.
+    # host path is far faster for such (rare) batches.  Shared-target
+    # batches are exempt: the scalar-symbol kernels have no alphabet cap.
     from edlib_tpu.ops import pallas_kernel
-    if (_pallas_mode() == "tpu"
+    all_shared = (len(id_pairs) > 1
+                  and all(t is id_pairs[0][1] for _, t in id_pairs))
+    if (_pallas_mode() == "tpu" and not all_shared
             and sigma + 1 > pallas_kernel.MAX_SIGMA_PALLAS):
         return [align(q, t, mode=mode, task=task, k=k,
                       additionalEqualities=additionalEqualities)
@@ -201,20 +341,22 @@ def align_batch_device(queries: Sequence, targets: Sequence,
 
     if main_idx:
         hin0 = 0 if mode == AlignMode.HW else 1
-        streams = _run_bucketed([id_pairs[i] for i in main_idx], sigma, eq,
-                                hin0)
-        for i, stream in zip(main_idx, streams):
+        want_hits = mode != AlignMode.NW
+        summaries = _run_bucketed_summary([id_pairs[i] for i in main_idx],
+                                          sigma, eq, hin0, want_hits)
+        for i, summ in zip(main_idx, summaries):
             res = results[i]
             qlen = len(id_pairs[i][0])
             tlen = len(id_pairs[i][1])
             if mode == AlignMode.NW:
-                score = int(stream[-1])
+                score = summ.last_score
                 if score <= k_eff:
                     res.edit_distance = score
                     res.end_locations = np.array([tlen - 1], np.int64)
                     res.num_locations = 1
             else:
-                best, positions = _filter_locations(stream, qlen, k_eff)
+                best, positions = _filter_best_positions(
+                    summ.best, summ.positions, qlen, k_eff)
                 res.edit_distance = best
                 if best >= 0:
                     res.end_locations = np.array(positions, np.int64)
@@ -268,9 +410,12 @@ def _fill_start_locations(results, id_pairs, main_idx, mode, sigma, eq):
 
     if not sub_pairs:
         return
-    streams = _run_bucketed(sub_pairs, sigma, eq, hin0=1)  # SHW
-    for (i, j, e), stream in zip(sub_owner, streams):
-        res = results[i]
-        qlen = len(id_pairs[i][0])
-        _, positions = _filter_locations(stream, qlen, res.edit_distance)
-        res.start_locations[j] = e - positions[-1]
+    # Only the LAST minimal SHW position is needed (edlib.cpp:258-260): the
+    # reduce pass carries it directly — no score streams, no hit pass.  The
+    # reversed-SHW best always equals the pair's edit distance (e is a
+    # minimal end position), so positions attaining the stream best are
+    # exactly the minimal ones.
+    summaries = _run_bucketed_summary(sub_pairs, sigma, eq, hin0=1,
+                                      want_hits=False)
+    for (i, j, e), summ in zip(sub_owner, summaries):
+        results[i].start_locations[j] = e - summ.pos_last

@@ -300,6 +300,291 @@ def sweep_best_pallas_shared(peq: jnp.ndarray, target_chunks: jnp.ndarray,
     )(target_chunks, peq)
 
 
+# ---------------------------------------------------------------------------
+# Two-phase batched engines (round 2): the 20x gap between the general
+# streaming kernel (~260 GCUPS) and the shared reduction kernel (~5100) is
+# the per-column (chunk, 8, 128) HBM score stores, not the compute.  The
+# reference closes its equivalent gap with Ukkonen banding + k-tightening
+# (edlib.cpp:601-642, 796-870) — pruning that cuts work AND output; here the
+# same effect comes from keeping the DP state and the *answers* in registers:
+#
+#   phase 1 (reduce): carry (best, first-pos, last-pos, final-col score) in
+#     vector registers; only four (8,128) tiles leave the chip per batch
+#     tile.  Covers NW distance, HW/SHW best score, and the reversed-SHW
+#     start-location rule (last minimal position) in ONE pass.
+#   phase 2 (hits): given per-lane best from phase 1, emit a packed uint32
+#     bitmask of columns whose score equals it — 32x less HBM/transfer than
+#     the int32 stream — only when the all-minimal-locations list is needed.
+#
+# Both phases come in general (per-lane target, S1-way select) and shared
+# (scalar symbol from SMEM) variants from one kernel factory.
+# ---------------------------------------------------------------------------
+
+_BIG = 0x3FFFFFFF
+
+
+def _fetch_eq(peq_ref, sym, w, sigma1, shared):
+    """Eq tile for word w: dynamic row read (shared) or S1-way select."""
+    if shared:
+        return peq_ref[sym, w]
+    eq = jnp.zeros((SUBLANES, LANES), jnp.uint32)
+    for s in range(sigma1):
+        eq = jnp.where(sym == s, peq_ref[s, w], eq)
+    return eq
+
+
+def _reduce_kernel(targets_ref, peq_ref, lo_ref, hi_ref,
+                   best_ref, pfirst_ref, plast_ref, last_ref,
+                   pv_ref, mv_ref, score_ref, rb_ref, rpf_ref, rpl_ref,
+                   rl_ref, *, n_words: int, sigma1: int, chunk: int,
+                   hin0: int, shared: bool, unroll: int):
+    """Phase-1 kernel: in-register reduction over the score stream.
+
+    lo/hi_ref: (8,128) int32 per-lane scan-column windows [lo, hi) — lo is
+    the lane's wildcard pad W (first real end position), hi = W + tlen.
+    Outputs (all (8,128) int32, written on the last chunk):
+      best   = min score over the window          (HW/SHW distance)
+      pfirst = first column attaining it          (map-style best hit)
+      plast  = last column attaining it           (reversed-SHW start rule,
+                                                   edlib.cpp:258-260)
+      last   = score at column hi-1               (NW distance)
+    """
+    t_step = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+
+    @pl.when(t_step == 0)
+    def _reset():
+        pv_ref[...] = jnp.full((n_words, SUBLANES, LANES), _ONES, jnp.uint32)
+        mv_ref[...] = jnp.zeros((n_words, SUBLANES, LANES), jnp.uint32)
+        score_ref[...] = jnp.full((SUBLANES, LANES), n_words * 32, jnp.int32)
+        rb_ref[...] = jnp.full((SUBLANES, LANES), _BIG, jnp.int32)
+        rpf_ref[...] = jnp.full((SUBLANES, LANES), -1, jnp.int32)
+        rpl_ref[...] = jnp.full((SUBLANES, LANES), -1, jnp.int32)
+        rl_ref[...] = jnp.full((SUBLANES, LANES), _BIG, jnp.int32)
+
+    lo = lo_ref[...]
+    hi = hi_ref[...]
+
+    def column(c, carry):
+        pvs, mvs, score, rb, rpf, rpl, rl = carry
+        sym = targets_ref[0, c] if shared else targets_ref[c]
+        hin_neg = jnp.zeros((SUBLANES, LANES), jnp.uint32)
+        if hin0 == 0:
+            hin_pos = jnp.zeros((SUBLANES, LANES), jnp.uint32)
+        else:
+            hin_pos = jnp.ones((SUBLANES, LANES), jnp.uint32)
+        new_pvs, new_mvs = [], []
+        for w in range(n_words):
+            eq = _fetch_eq(peq_ref, sym, w, sigma1, shared)
+            pv, mv, hin_neg, hin_pos = _advance_word(
+                pvs[w], mvs[w], eq, hin_neg, hin_pos)
+            new_pvs.append(pv)
+            new_mvs.append(mv)
+        score = score + hin_pos.astype(jnp.int32) \
+            - hin_neg.astype(jnp.int32)
+        col = t_step * chunk + c
+        in_win = (col >= lo) & (col < hi)
+        upd = (score < rb) & in_win
+        rpf = jnp.where(upd, col, rpf)
+        rpl = jnp.where((score <= rb) & in_win, col, rpl)
+        rb = jnp.where(upd, score, rb)
+        rl = jnp.where(col == hi - 1, score, rl)
+        return tuple(new_pvs), tuple(new_mvs), score, rb, rpf, rpl, rl
+
+    carry0 = (tuple(pv_ref[w] for w in range(n_words)),
+              tuple(mv_ref[w] for w in range(n_words)),
+              score_ref[...], rb_ref[...], rpf_ref[...], rpl_ref[...],
+              rl_ref[...])
+
+    def columns(i, carry):
+        for j in range(unroll):
+            carry = column(i * unroll + j, carry)
+        return carry
+
+    pvs, mvs, score, rb, rpf, rpl, rl = jax.lax.fori_loop(
+        0, chunk // unroll, columns, carry0)
+    for w in range(n_words):
+        pv_ref[w] = pvs[w]
+        mv_ref[w] = mvs[w]
+    score_ref[...] = score
+    rb_ref[...] = rb
+    rpf_ref[...] = rpf
+    rpl_ref[...] = rpl
+    rl_ref[...] = rl
+
+    @pl.when(t_step == n_chunks - 1)
+    def _emit():
+        best_ref[...] = rb_ref[...]
+        pfirst_ref[...] = rpf_ref[...]
+        plast_ref[...] = rpl_ref[...]
+        last_ref[...] = rl_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("hin0", "chunk", "shared",
+                                             "interpret"))
+def sweep_reduce_pallas(peq: jnp.ndarray, targets: jnp.ndarray,
+                        lo: jnp.ndarray, hi: jnp.ndarray, hin0: int,
+                        chunk: int = 256, shared: bool = False,
+                        interpret: bool = False):
+    """Phase-1 sweep: (best, first-pos, last-pos, final-col score) per lane.
+
+    peq: uint32 (n_tiles, S1, NW, 8, 128); lo/hi: int32 (n_tiles, 8, 128).
+    targets: int32 (n_tiles, n_chunks, chunk, 8, 128), or, when shared,
+    (n_chunks, 1, chunk) — one wildcard-extended target for every lane.
+    """
+    n_tiles, sigma1, n_words = peq.shape[:3]
+    n_chunks = targets.shape[0] if shared else targets.shape[1]
+    unroll = 8 if chunk % 8 == 0 else 1
+    kernel = functools.partial(_reduce_kernel, n_words=n_words,
+                               sigma1=sigma1, chunk=chunk, hin0=hin0,
+                               shared=shared, unroll=unroll)
+    if shared:
+        t_spec = pl.BlockSpec((None, 1, chunk), lambda i, j: (j, 0, 0),
+                              memory_space=pltpu.SMEM)
+    else:
+        t_spec = pl.BlockSpec((None, None, chunk, SUBLANES, LANES),
+                              lambda i, j: (i, j, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((None, SUBLANES, LANES), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_chunks),
+        in_specs=[
+            t_spec,
+            pl.BlockSpec((None, sigma1, n_words, SUBLANES, LANES),
+                         lambda i, j: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            tile_spec, tile_spec,
+        ],
+        out_specs=(tile_spec, tile_spec, tile_spec, tile_spec),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((n_tiles, SUBLANES, LANES), jnp.int32)
+            for _ in range(4)),
+        scratch_shapes=[
+            pltpu.VMEM((n_words, SUBLANES, LANES), jnp.uint32),
+            pltpu.VMEM((n_words, SUBLANES, LANES), jnp.uint32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(targets, peq, lo, hi)
+
+
+def _hits_kernel(targets_ref, peq_ref, lo_ref, hi_ref, best_ref, hits_ref,
+                 pv_ref, mv_ref, score_ref, *, n_words: int, sigma1: int,
+                 chunk: int, hin0: int, shared: bool):
+    """Phase-2 kernel: packed bitmask of columns with score == best.
+
+    hits_ref: (chunk//32, 8, 128) uint32 per grid step; bit j of group g =
+    hit at scan column t_step*chunk + g*32 + j.
+    """
+    t_step = pl.program_id(1)
+
+    @pl.when(t_step == 0)
+    def _reset():
+        pv_ref[...] = jnp.full((n_words, SUBLANES, LANES), _ONES, jnp.uint32)
+        mv_ref[...] = jnp.zeros((n_words, SUBLANES, LANES), jnp.uint32)
+        score_ref[...] = jnp.full((SUBLANES, LANES), n_words * 32, jnp.int32)
+
+    lo = lo_ref[...]
+    hi = hi_ref[...]
+    best = best_ref[...]
+
+    def column(c, carry):
+        pvs, mvs, score, mask = carry
+        sym = targets_ref[0, c] if shared else targets_ref[c]
+        hin_neg = jnp.zeros((SUBLANES, LANES), jnp.uint32)
+        if hin0 == 0:
+            hin_pos = jnp.zeros((SUBLANES, LANES), jnp.uint32)
+        else:
+            hin_pos = jnp.ones((SUBLANES, LANES), jnp.uint32)
+        new_pvs, new_mvs = [], []
+        for w in range(n_words):
+            eq = _fetch_eq(peq_ref, sym, w, sigma1, shared)
+            pv, mv, hin_neg, hin_pos = _advance_word(
+                pvs[w], mvs[w], eq, hin_neg, hin_pos)
+            new_pvs.append(pv)
+            new_mvs.append(mv)
+        score = score + hin_pos.astype(jnp.int32) \
+            - hin_neg.astype(jnp.int32)
+        col = t_step * chunk + c
+        hit = ((score == best) & (col >= lo) & (col < hi)) \
+            .astype(jnp.uint32)
+        mask = mask | (hit << jnp.uint32(c % 32))
+        return tuple(new_pvs), tuple(new_mvs), score, mask
+
+    def group(g, carry):
+        pvs, mvs, score = carry
+        mask = jnp.zeros((SUBLANES, LANES), jnp.uint32)
+        inner = (pvs, mvs, score, mask)
+        # 32 columns per group: bit positions are static, one VMEM store.
+        for j in range(32):
+            inner = column(g * 32 + j, inner)
+        pvs, mvs, score, mask = inner
+        hits_ref[g] = mask
+        return pvs, mvs, score
+
+    carry0 = (tuple(pv_ref[w] for w in range(n_words)),
+              tuple(mv_ref[w] for w in range(n_words)), score_ref[...])
+    pvs, mvs, score = jax.lax.fori_loop(0, chunk // 32, group, carry0)
+    for w in range(n_words):
+        pv_ref[w] = pvs[w]
+        mv_ref[w] = mvs[w]
+    score_ref[...] = score
+
+
+@functools.partial(jax.jit, static_argnames=("hin0", "chunk", "shared",
+                                             "interpret"))
+def sweep_hits_pallas(peq: jnp.ndarray, targets: jnp.ndarray,
+                      lo: jnp.ndarray, hi: jnp.ndarray, best: jnp.ndarray,
+                      hin0: int, chunk: int = 256, shared: bool = False,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Phase-2 sweep: packed per-lane hit bitmasks for score == best.
+
+    Returns uint32 (n_tiles, n_chunks, chunk//32, 8, 128).  chunk % 32 == 0.
+    """
+    n_tiles, sigma1, n_words = peq.shape[:3]
+    n_chunks = targets.shape[0] if shared else targets.shape[1]
+    assert chunk % 32 == 0
+    kernel = functools.partial(_hits_kernel, n_words=n_words, sigma1=sigma1,
+                               chunk=chunk, hin0=hin0, shared=shared)
+    if shared:
+        t_spec = pl.BlockSpec((None, 1, chunk), lambda i, j: (j, 0, 0),
+                              memory_space=pltpu.SMEM)
+    else:
+        t_spec = pl.BlockSpec((None, None, chunk, SUBLANES, LANES),
+                              lambda i, j: (i, j, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((None, SUBLANES, LANES), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_chunks),
+        in_specs=[
+            t_spec,
+            pl.BlockSpec((None, sigma1, n_words, SUBLANES, LANES),
+                         lambda i, j: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            tile_spec, tile_spec, tile_spec,
+        ],
+        out_specs=pl.BlockSpec((None, None, chunk // 32, SUBLANES, LANES),
+                               lambda i, j: (i, j, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_tiles, n_chunks, chunk // 32, SUBLANES, LANES), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((n_words, SUBLANES, LANES), jnp.uint32),
+            pltpu.VMEM((n_words, SUBLANES, LANES), jnp.uint32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(targets, peq, lo, hi, best)
+
+
 def build_peq_device(q_ids: jnp.ndarray, qlens: jnp.ndarray, sigma: int,
                      n_words: int) -> jnp.ndarray:
     """Query profiles built on device (no host transfer of packed tables).
@@ -372,3 +657,122 @@ class PallasSweeper:
         scores = sweep_scores_pallas(peq, tg, hin0=hin0, chunk=self.chunk,
                                      interpret=self.interpret)
         return self.unpack_scores(np.asarray(scores), B, T)
+
+    # -- two-phase reduce/hits path (round 2) --------------------------------
+
+    def pack_lanes(self, vals: np.ndarray, fill: int = 0) -> np.ndarray:
+        """(B,) int -> (n_tiles, 8, 128) int32 in the lanes-major layout."""
+        B = vals.shape[0]
+        n_tiles = -(-B // B_TILE)
+        out = np.full(n_tiles * B_TILE, fill, dtype=np.int32)
+        out[:B] = vals
+        return out.reshape(n_tiles, SUBLANES, LANES)
+
+    def unpack_lanes(self, arr: np.ndarray, B: int) -> np.ndarray:
+        """(n_tiles, 8, 128) -> (B,)."""
+        return np.asarray(arr).reshape(-1)[:B]
+
+    def pack_peq(self, peq_flat: np.ndarray) -> np.ndarray:
+        B, S1, NW = peq_flat.shape
+        n_tiles = -(-B // B_TILE)
+        peq = np.full((n_tiles * B_TILE, S1, NW), _ONES, dtype=np.uint32)
+        peq[:B] = peq_flat
+        peq = peq.reshape(n_tiles, SUBLANES, LANES, S1, NW)
+        return peq.transpose(0, 3, 4, 1, 2).copy()
+
+    def pack_targets_general(self, targets_flat: np.ndarray) -> np.ndarray:
+        B, T = targets_flat.shape
+        n_tiles = -(-B // B_TILE)
+        n_chunks = -(-T // self.chunk)
+        tg = np.zeros((n_tiles * B_TILE, n_chunks * self.chunk),
+                      dtype=np.int32)
+        tg[:B, :T] = targets_flat
+        tg = tg.reshape(n_tiles, SUBLANES, LANES, n_chunks, self.chunk)
+        return tg.transpose(0, 3, 4, 1, 2).copy()
+
+    def pack_target_shared(self, target_scan: np.ndarray, sigma: int,
+                           t_scan: int = 0) -> np.ndarray:
+        """Shared target -> (n_chunks, 1, chunk) int32, wildcard(-sigma)
+        filled out to at least t_scan scan columns (the scan must cover
+        every lane's window hi = W + tlen, which extends past the raw
+        target by that lane's wildcard pad W)."""
+        T = max(target_scan.shape[0], t_scan)
+        n_chunks = -(-T // self.chunk)
+        tg = np.full(n_chunks * self.chunk, sigma, dtype=np.int32)
+        tg[:target_scan.shape[0]] = target_scan
+        return tg.reshape(n_chunks, 1, self.chunk)
+
+    def reduce(self, peq_flat: np.ndarray, targets, lo: np.ndarray,
+               hi: np.ndarray, hin0: int, shared: bool = False):
+        """Phase-1: (best, pos_first, pos_last, last_score), each (B,) int64
+        in scan-column space (caller shifts by per-lane W).
+
+        targets: (B, T_scan) when general, or a 1-D shared scan target.
+        """
+        import jax.numpy as jnp
+        B = peq_flat.shape[0]
+        peq = self.pack_peq(peq_flat)
+        if shared:
+            sigma1 = peq_flat.shape[1]
+            tg = self.pack_target_shared(np.asarray(targets, np.int32),
+                                         sigma1 - 1,
+                                         t_scan=int(np.max(hi, initial=0)))
+        else:
+            tg = self.pack_targets_general(targets)
+        lo_t = self.pack_lanes(lo)
+        hi_t = self.pack_lanes(hi)  # fill 0: empty window for pad lanes
+        outs = sweep_reduce_pallas(jnp.asarray(peq), jnp.asarray(tg),
+                                   jnp.asarray(lo_t), jnp.asarray(hi_t),
+                                   hin0=hin0, chunk=self.chunk,
+                                   shared=shared, interpret=self.interpret)
+        self._last_packed = (id(peq_flat), id(targets), peq, tg)
+        return tuple(self.unpack_lanes(o, B).astype(np.int64) for o in outs)
+
+    def hits(self, peq_flat: np.ndarray, targets, lo: np.ndarray,
+             hi: np.ndarray, best: np.ndarray, hin0: int,
+             shared: bool = False):
+        """Phase-2: per-lane sorted scan columns where score == best.
+
+        Returns a list of int64 arrays, one per lane (scan-column space).
+        """
+        import jax.numpy as jnp
+        B = peq_flat.shape[0]
+        cached = getattr(self, "_last_packed", None)
+        if cached is not None and cached[0] == id(peq_flat) \
+                and cached[1] == id(targets):
+            peq, tg = cached[2], cached[3]
+        else:
+            peq = self.pack_peq(peq_flat)
+            if shared:
+                sigma1 = peq_flat.shape[1]
+                tg = self.pack_target_shared(
+                    np.asarray(targets, np.int32), sigma1 - 1,
+                    t_scan=int(np.max(hi, initial=0)))
+            else:
+                tg = self.pack_targets_general(targets)
+        lo_t = self.pack_lanes(lo)
+        hi_t = self.pack_lanes(hi)
+        best_t = self.pack_lanes(np.asarray(best, np.int64), fill=-(1 << 30))
+        masks = sweep_hits_pallas(jnp.asarray(peq), jnp.asarray(tg),
+                                  jnp.asarray(lo_t), jnp.asarray(hi_t),
+                                  jnp.asarray(best_t), hin0=hin0,
+                                  chunk=self.chunk, shared=shared,
+                                  interpret=self.interpret)
+        masks = np.asarray(masks)  # (n_tiles, n_chunks, chunk//32, 8, 128)
+        n_tiles, n_chunks, G = masks.shape[:3]
+        # -> (B_pad, n_chunks*G) uint32 word streams per lane
+        m = masks.transpose(0, 3, 4, 1, 2).reshape(n_tiles * B_TILE,
+                                                   n_chunks * G)
+        out = []
+        shifts = np.arange(32, dtype=np.uint32)
+        for b in range(B):
+            words = m[b]
+            nz = np.nonzero(words)[0]
+            if nz.size == 0:
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            bits = (words[nz, None] >> shifts) & 1
+            g_idx, b_idx = np.nonzero(bits)
+            cols = nz[g_idx].astype(np.int64) * 32 + b_idx
+            out.append(np.sort(cols))
+        return out
