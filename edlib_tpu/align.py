@@ -332,8 +332,8 @@ def align(query, target, mode="NW", task="distance", k=-1,
 
 
 def align_batch(queries, targets, mode="NW", task="distance", k=-1,
-                additionalEqualities=None, backend: str = "auto"
-                ) -> List[dict]:
+                additionalEqualities=None, backend: str = "auto",
+                mesh=None) -> List[dict]:
     """Batched alignment — the TPU throughput path.
 
     queries/targets: sequences of str/bytes; pair i aligns queries[i] vs
@@ -342,15 +342,23 @@ def align_batch(queries, targets, mode="NW", task="distance", k=-1,
 
     backend: "auto" | "jax" | "host".  The device path buckets by shape,
     packs the batch, and runs the batched Myers sweep on TPU.
+
+    mesh: optional ``jax.sharding.Mesh`` with axes ("dp", "sp") — shards the
+    work across devices with the location merge done ON device (pmin/pmax
+    collectives + packed hit bitmasks; parallel/dist.py): shared-target HW
+    buckets are sequence-parallel over "sp" with halo slices, everything
+    else data-parallel over the whole mesh.  Results are identical to the
+    single-device path.
     """
     if isinstance(targets, (str, bytes, bytearray)):
         targets = [targets] * len(queries)
     if len(queries) != len(targets):
         raise ValueError("queries and targets must have equal length")
-    if backend == "host":
+    if backend == "host" and mesh is None:
         return [align(q, t, mode=mode, task=task, k=k,
                       additionalEqualities=additionalEqualities)
                 for q, t in zip(queries, targets)]
     from edlib_tpu.batch import align_batch_device
     return align_batch_device(queries, targets, mode=mode, task=task, k=k,
-                              additionalEqualities=additionalEqualities)
+                              additionalEqualities=additionalEqualities,
+                              mesh=mesh)

@@ -150,9 +150,101 @@ def _filter_best_positions(best: int, positions, qlen: int, k_eff
     return overall, out
 
 
+def _decode_hit_words(words: np.ndarray, shift: int) -> np.ndarray:
+    """Sorted positions from a packed uint32 bitmask row (bit j of word g =
+    position 32g + j + shift)."""
+    nz = np.nonzero(words)[0]
+    if nz.size == 0:
+        return np.empty(0, dtype=np.int64)
+    bits = (words[nz, None] >> np.arange(32, dtype=np.uint32)) & 1
+    g_idx, b_idx = np.nonzero(bits)
+    return np.sort(nz[g_idx].astype(np.int64) * 32 + b_idx) + shift
+
+
+def _run_bucket_mesh(mesh, idxs, pairs, metas, sigma, eq, nw_b, t_scan,
+                     hin0, want_hits, shared) -> List[PairSummary]:
+    """One bucket on a device mesh: sp+dp halo sharding for shared-target
+    HW, dp sharding otherwise; locations merged on device (parallel/dist)."""
+    from edlib_tpu.parallel import dist
+
+    n_dev = mesh.devices.size
+    B = len(idxs)
+    B_pad = -(-B // n_dev) * n_dev
+    qlens = [len(pairs[i][0]) for i in idxs]
+    ws = np.array([metas[i][1] for i in idxs], np.int32)
+
+    if shared and hin0 == 0:
+        # Sequence-parallel HW: halo-sliced shared target, pmin/pmax merge.
+        sp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("sp", 1)
+        dp = n_dev // sp
+        B_pad = -(-B // dp) * dp
+        t_ids = pairs[idxs[0]][1]
+        qmax = max(qlens)
+        w_max = int(ws.max())
+        halo = 2 * qmax - 1
+        peq = np.zeros((B_pad, sigma + 2, nw_b), np.uint32)
+        peq[:, :sigma + 1] = 0xFFFFFFFF  # pad lanes: wildcard profiles
+        w_lanes = np.full(B_pad, w_max, np.int32)
+        for row, i in enumerate(idxs):
+            peq[row, :sigma + 1] = encode.build_peq_words(pairs[i][0], eq,
+                                                          n_words=nw_b)
+            peq[row, sigma + 1] = 0  # NULL row for halo padding
+            w_lanes[row] = metas[i][1]
+        slices, C = dist.shard_target_slices(np.asarray(t_ids), sigma, sp,
+                                             halo, w_max, c_multiple=32)
+        best, pf, pl_, hits = dist.sharded_hw_locations(
+            mesh, peq, slices, halo, w_max, len(t_ids), w_lanes=w_lanes,
+            want_hits=want_hits)
+        best, pf, pl_ = (np.asarray(best), np.asarray(pf), np.asarray(pl_))
+        if want_hits:
+            hits = np.asarray(hits)
+        out = []
+        for row, i in enumerate(idxs):
+            delta = int(w_max - w_lanes[row])
+            positions = None
+            if want_hits:
+                positions = _decode_hit_words(hits[row], delta)
+                positions = positions[positions < len(t_ids)]
+            # The sharded kernel reports positions directly (no W shift)
+            # and has no final-column capture: NW never routes here.
+            out.append(PairSummary(int(best[row]), int(pf[row]),
+                                   int(pl_[row]), _BIG_SENTINEL, positions))
+        return out
+
+    # Data-parallel: per-pair targets (or non-HW modes).
+    peq = np.full((B_pad, sigma + 1, nw_b), 0xFFFFFFFF, dtype=np.uint32)
+    targets = np.full((B_pad, t_scan), sigma, dtype=np.int32)
+    lo = np.zeros(B_pad, np.int32)
+    hi = np.zeros(B_pad, np.int32)
+    for row, i in enumerate(idxs):
+        q_ids, t_ids = pairs[i]
+        peq[row] = encode.build_peq_words(q_ids, eq, n_words=nw_b)
+        targets[row, :len(t_ids)] = t_ids
+        lo[row] = metas[i][1]
+        hi[row] = metas[i][1] + len(t_ids)
+    best, pf, pl_, last, hits = dist.sharded_reduce_dp(
+        mesh, peq, targets, lo, hi, hin0, want_hits=want_hits)
+    best, pf, pl_, last = (np.asarray(best), np.asarray(pf),
+                           np.asarray(pl_), np.asarray(last))
+    if want_hits:
+        hits = np.asarray(hits)
+    out = []
+    for row, i in enumerate(idxs):
+        w = metas[i][1]
+        positions = None
+        if want_hits:
+            positions = _decode_hit_words(hits[row], -w)
+        out.append(PairSummary(int(best[row]), int(pf[row]) - w,
+                               int(pl_[row]) - w, int(last[row]), positions))
+    return out
+
+
+_BIG_SENTINEL = 0x3FFFFFFF
+
+
 def _run_bucketed_summary(pairs: List[Tuple[np.ndarray, np.ndarray]],
                           sigma: int, eq: np.ndarray, hin0: int,
-                          want_hits: bool) -> List[PairSummary]:
+                          want_hits: bool, mesh=None) -> List[PairSummary]:
     """Bucketed sweeps returning per-pair summaries (real position space).
 
     On TPU this is the two-phase Pallas path: a register-resident reduction
@@ -179,6 +271,12 @@ def _run_bucketed_summary(pairs: List[Tuple[np.ndarray, np.ndarray]],
     for (nw_b, t_scan), idxs in buckets.items():
         shared = (len(idxs) > 1
                   and all(pairs[i][1] is pairs[idxs[0]][1] for i in idxs))
+        if mesh is not None:
+            for i, summ in zip(idxs, _run_bucket_mesh(
+                    mesh, idxs, pairs, metas, sigma, eq, nw_b, t_scan,
+                    hin0, want_hits, shared)):
+                out[i] = summ
+            continue
         use_pallas = bool(mode) and (
             shared or sigma + 1 <= pallas_kernel.MAX_SIGMA_PALLAS)
         if not use_pallas:
@@ -258,7 +356,7 @@ def _run_bucketed(pairs: List[Tuple[np.ndarray, np.ndarray]], sigma: int,
 
 def align_batch_device(queries: Sequence, targets: Sequence,
                        mode="NW", task="distance", k=-1,
-                       additionalEqualities=None) -> List[dict]:
+                       additionalEqualities=None, mesh=None) -> List[dict]:
     mode = AlignMode.parse(mode)
     task = AlignTask.parse(task)
     if k is None:
@@ -343,7 +441,8 @@ def align_batch_device(queries: Sequence, targets: Sequence,
         hin0 = 0 if mode == AlignMode.HW else 1
         want_hits = mode != AlignMode.NW
         summaries = _run_bucketed_summary([id_pairs[i] for i in main_idx],
-                                          sigma, eq, hin0, want_hits)
+                                          sigma, eq, hin0, want_hits,
+                                          mesh=mesh)
         for i, summ in zip(main_idx, summaries):
             res = results[i]
             qlen = len(id_pairs[i][0])
@@ -363,7 +462,8 @@ def align_batch_device(queries: Sequence, targets: Sequence,
                     res.num_locations = len(positions)
 
     if task in (AlignTask.LOC, AlignTask.PATH):
-        _fill_start_locations(results, id_pairs, main_idx, mode, sigma, eq)
+        _fill_start_locations(results, id_pairs, main_idx, mode, sigma, eq,
+                              mesh=mesh)
 
     if task == AlignTask.PATH:
         for i in main_idx:
@@ -381,7 +481,8 @@ def align_batch_device(queries: Sequence, targets: Sequence,
     return [r.to_dict() for r in results]
 
 
-def _fill_start_locations(results, id_pairs, main_idx, mode, sigma, eq):
+def _fill_start_locations(results, id_pairs, main_idx, mode, sigma, eq,
+                          mesh=None):
     """Start locations; HW batches every reversed-SHW re-run on device."""
     if mode != AlignMode.HW:
         for i in main_idx:
@@ -416,6 +517,6 @@ def _fill_start_locations(results, id_pairs, main_idx, mode, sigma, eq):
     # minimal end position), so positions attaining the stream best are
     # exactly the minimal ones.
     summaries = _run_bucketed_summary(sub_pairs, sigma, eq, hin0=1,
-                                      want_hits=False)
+                                      want_hits=False, mesh=mesh)
     for (i, j, e), summ in zip(sub_owner, summaries):
         results[i].start_locations[j] = e - summ.pos_last

@@ -48,7 +48,7 @@ def _prep(reads: Sequence[bytes], target: bytes):
     return read_ids, t_ids, len(alphabet)
 
 
-def map_reads(reads: Sequence, target, mode="HW", k: int = -1
+def map_reads(reads: Sequence, target, mode="HW", k: int = -1, mesh=None
               ) -> Tuple[np.ndarray, np.ndarray]:
     """Best-hit mapping of reads against one shared target.
 
@@ -56,6 +56,10 @@ def map_reads(reads: Sequence, target, mode="HW", k: int = -1
     distance of read vs any target window (HW) / prefix end (SHW); end_pos
     = smallest end position achieving it.  best > k (when k >= 0) is
     reported as -1 with end_pos -1.
+
+    mesh: optional ``jax.sharding.Mesh`` ("dp", "sp") — reads shard over
+    "dp", the target shards over "sp" with halo slices (HW), and the
+    (best, first-pos) merge happens on device via pmin collectives.
     """
     mode = AlignMode.parse(mode)
     if mode == AlignMode.NW:
@@ -79,7 +83,10 @@ def map_reads(reads: Sequence, target, mode="HW", k: int = -1
     hin0 = 0 if mode == AlignMode.HW else 1
     dev = None
     import os as _os
-    if (mode == AlignMode.HW and B <= 64 and len(t_ids) >= 50_000
+    if mesh is not None and mode == AlignMode.HW:
+        dev = _map_reads_sharded(read_ids, t_ids, sigma, mesh)
+    if (dev is None
+            and mode == AlignMode.HW and B <= 64 and len(t_ids) >= 50_000
             and not _os.environ.get("EDLIB_TPU_DISABLE_DEVICE")):
         # Few reads vs a huge target: lanes would sit idle in the batched
         # kernel — segment the target instead (ops/segmented.py).
@@ -105,6 +112,41 @@ def map_reads(reads: Sequence, target, mode="HW", k: int = -1
         best[i] = b
         pos[i] = p
     return best, pos
+
+
+def _map_reads_sharded(read_ids, t_ids, sigma, mesh):
+    """dp x sp sharded HW best-hit: device-side pmin merge of (best, pos).
+
+    The first-best position comes straight from the collective merge — no
+    core streams ship to host (parallel/dist.sharded_hw_locations)."""
+    from edlib_tpu import encode
+    from edlib_tpu.parallel import dist
+
+    eq = np.eye(sigma, dtype=bool)
+    B = len(read_ids)
+    n_dev = mesh.devices.size
+    sp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("sp", 1)
+    dp = n_dev // sp
+    B_pad = -(-B // dp) * dp
+    nw = encode.num_words(max(len(r) for r in read_ids))
+    qmax = max(len(r) for r in read_ids)
+    w_max = nw * 32 - min(len(r) for r in read_ids)
+    halo = 2 * qmax - 1
+    peq = np.zeros((B_pad, sigma + 2, nw), np.uint32)
+    peq[:, :sigma + 1] = 0xFFFFFFFF
+    w_lanes = np.full(B_pad, w_max, np.int32)
+    for b, r in enumerate(read_ids):
+        peq[b, :sigma + 1] = encode.build_peq_words(
+            r.astype(np.uint8), eq, n_words=nw)
+        peq[b, sigma + 1] = 0
+        w_lanes[b] = nw * 32 - len(r)
+    slices, C = dist.shard_target_slices(np.asarray(t_ids), sigma, sp,
+                                         halo, w_max, c_multiple=32)
+    b_, pf, _, _ = dist.sharded_hw_locations(
+        mesh, peq, slices, halo, w_max, len(t_ids), w_lanes=w_lanes,
+        want_hits=False)
+    return np.asarray(b_)[:B].astype(np.int64), \
+        np.asarray(pf)[:B].astype(np.int64)
 
 
 def _map_reads_segmented(read_ids, t_ids, sigma):

@@ -81,29 +81,155 @@ def sharded_sweep_dp(mesh: Mesh, peq: np.ndarray, targets: np.ndarray,
 
 
 def shard_target_slices(target_ids: np.ndarray, sigma: int, n_shards: int,
-                        halo: int, w_pad: int) -> Tuple[np.ndarray, int]:
+                        halo: int, w_pad: int, c_multiple: int = 1
+                        ) -> Tuple[np.ndarray, int]:
     """Cut a shared target into halo-extended shard slices (host-side).
 
     Returns (slices int32 (n_shards, halo + C + w_pad), C) where C is the
     core width.  Layout per shard d:
       [ halo cols: target[d*C-halo : d*C] (NULL-filled before col 0) |
-        core cols: target[d*C : (d+1)*C] (WILDCARD-filled past the end) |
-        w_pad wildcard cols ]
+        core cols: target[d*C : (d+1)*C] |
+        w_pad cols: target continues (drain room for per-lane wildcard
+        pads W < w_pad — a wildcard fill here would copy scores diagonally
+        into those lanes' last core columns); WILDCARD-filled only past the
+        true target end, where validity masks apply ]
     """
     T = len(target_ids)
     C = -(-T // n_shards)
+    C = -(-C // c_multiple) * c_multiple
     null_sym = sigma + 1
     wild_sym = sigma
     L = halo + C + w_pad
-    slices = np.full((n_shards, L), wild_sym, dtype=np.int32)
     padded = np.concatenate([
         np.full(halo, null_sym, dtype=np.int32),
         np.asarray(target_ids, dtype=np.int32),
-        np.full(n_shards * C - T, wild_sym, dtype=np.int32),
+        np.full(n_shards * C - T + w_pad, wild_sym, dtype=np.int32),
     ])
+    slices = np.empty((n_shards, L), dtype=np.int32)
     for d in range(n_shards):
-        slices[d, :halo + C] = padded[d * C:d * C + halo + C]
+        slices[d] = padded[d * C:d * C + L]
     return slices, C
+
+
+_BIG = 0x3FFFFFFF
+
+
+def sharded_hw_locations(mesh: Mesh, peq: np.ndarray, slices: np.ndarray,
+                         halo: int, w_pad: int, tlen: int,
+                         w_lanes: Optional[np.ndarray] = None,
+                         want_hits: bool = True):
+    """HW search with the location merge ON DEVICE (SURVEY §2.3 target).
+
+    peq:     uint32 (B, S2, NW) — rows sigma=wildcard, sigma+1=null; B
+             divisible by the dp size.
+    slices:  int32 (D_sp, L) from shard_target_slices; core width C = L -
+             halo - w_pad must be a multiple of 32 when want_hits.
+    tlen:    true target length (core columns past it are masked out).
+    w_lanes: int32 (B,) per-lane wildcard pads for mixed-length batches
+             (w_pad must be their max); omitted = uniform w_pad.
+
+    Returns (best (B,) int32, pos_first (B,) int32, pos_last (B,) int32,
+    hits (B, D_sp*C//32) uint32 | None).  best/pos are merged with
+    pmin/pmax collectives over "sp" — nothing but O(B) scalars plus the
+    packed hit bitmask (32x smaller than a score stream) ever leaves the
+    devices.  Hit bit j of word g for lane b = end position 32g + j +
+    (w_pad - w_lanes[b]) has score == best (the per-lane windows tile the
+    position axis without gaps or overlaps across shards).
+
+    Exactness: halo = qlen + k_eff - 1 makes every core score <= k_eff
+    equal the full-target score; with k_eff >= qlen (HW scores never
+    exceed qlen, edlib.cpp:566-568) every *minimal* score is exact, so the
+    merged locations are exact for any k.
+    """
+    D, L = slices.shape
+    C = L - halo - w_pad
+    B = peq.shape[0]
+    if want_hits and C % 32:
+        raise ValueError("core width must be a multiple of 32 for hits")
+    if w_lanes is None:
+        w_lanes = np.full(B, w_pad, np.int32)
+    delta = (w_pad - np.asarray(w_lanes)).astype(np.int32)  # (B,) >= 0
+
+    def local(peq_l, delta_l, slices_l):
+        tg = jnp.broadcast_to(slices_l[0][None, :], (peq_l.shape[0], L))
+        scores = jax_engine.sweep_scores(peq_l, tg, hin0=0)
+        core = scores[:, halo + w_pad:]          # (Bl, C)
+        d = jax.lax.axis_index("sp")
+        gpos = d * C + jnp.arange(C, dtype=jnp.int32)[None, :] \
+            + delta_l[:, None]                   # (Bl, C)
+        valid = gpos < tlen
+        core = jnp.where(valid, core, _BIG)
+        best = jax.lax.pmin(jnp.min(core, axis=1), "sp")         # (Bl,)
+        at_best = core == best[:, None]
+        pos_f = jnp.min(jnp.where(at_best, gpos, _BIG), axis=1)
+        pos_f = jax.lax.pmin(pos_f, "sp")
+        pos_l = jnp.max(jnp.where(at_best, gpos, -1), axis=1)
+        pos_l = jax.lax.pmax(pos_l, "sp")
+        if want_hits:
+            bits = at_best.reshape(core.shape[0], C // 32, 32)
+            weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+            hits = jnp.sum(bits.astype(jnp.uint32) * weights[None, None, :],
+                           axis=2, dtype=jnp.uint32)
+            return best, pos_f, pos_l, hits
+        return best, pos_f, pos_l
+
+    out_specs = (P("dp"), P("dp"), P("dp"))
+    if want_hits:
+        out_specs = out_specs + (P("dp", "sp"),)
+    out = shard_map(local, mesh=mesh,
+                    in_specs=(P("dp"), P("dp"), P("sp")),
+                    out_specs=out_specs)(peq, delta, slices)
+    if want_hits:
+        return out
+    return out + (None,)
+
+
+def sharded_reduce_dp(mesh: Mesh, peq: np.ndarray, targets: np.ndarray,
+                      lo: np.ndarray, hi: np.ndarray, hin0: int,
+                      want_hits: bool = False):
+    """Data-parallel batched sweep with the reduction ON each device.
+
+    Batch axis sharded over every mesh axis (pairs are independent — no
+    collectives).  peq (B, S1, NW) uint32, targets (B, T) int32, lo/hi
+    (B,) int32 scan-column windows.  Returns (best, pos_first, pos_last,
+    last_score) each (B,) int32 — and, when want_hits, a packed uint32
+    bitmask (B, ceil(T/32)) of window columns with score == best (bit j of
+    word g = scan column 32g + j; caller shifts by per-lane W) — so host
+    transfer is O(B) / O(B*T/32), never the O(B*T) stream.
+    """
+    axes = mesh.axis_names
+    T = targets.shape[1]
+    T32 = -(-T // 32)
+
+    def local(peq_l, tg_l, lo_l, hi_l):
+        scores = jax_engine.sweep_scores(peq_l, tg_l, hin0=hin0)  # (Bl, T)
+        cols = jnp.arange(T, dtype=jnp.int32)[None, :]
+        in_win = (cols >= lo_l[:, None]) & (cols < hi_l[:, None])
+        sc = jnp.where(in_win, scores, _BIG)
+        best = jnp.min(sc, axis=1)
+        at_best = sc == best[:, None]
+        pos_f = jnp.min(jnp.where(at_best, cols, _BIG), axis=1)
+        pos_l = jnp.max(jnp.where(at_best, cols, -1), axis=1)
+        last_idx = jnp.clip(hi_l - 1, 0, T - 1)
+        last = jnp.take_along_axis(scores, last_idx[:, None], axis=1)[:, 0]
+        if want_hits:
+            pad = T32 * 32 - T
+            hb = jnp.pad(at_best, ((0, 0), (0, pad)))
+            bits = hb.reshape(hb.shape[0], T32, 32)
+            weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+            hits = jnp.sum(bits.astype(jnp.uint32) * weights[None, None, :],
+                           axis=2, dtype=jnp.uint32)
+            return best, pos_f, pos_l, last, hits
+        return best, pos_f, pos_l, last
+
+    n_out = 5 if want_hits else 4
+    out = shard_map(local, mesh=mesh,
+                    in_specs=(P(axes), P(axes), P(axes), P(axes)),
+                    out_specs=tuple(P(axes) for _ in range(n_out)))(
+        peq, targets, lo.astype(np.int32), hi.astype(np.int32))
+    if want_hits:
+        return out
+    return out + (None,)
 
 
 def sharded_hw_search(mesh: Mesh, peq: np.ndarray, slices: np.ndarray,
