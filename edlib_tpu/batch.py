@@ -326,6 +326,106 @@ def _run_bucketed_summary(pairs: List[Tuple[np.ndarray, np.ndarray]],
     return out
 
 
+_NW_BAND_MIN_WORDS = 8  # band pruning pays only for multi-word queries
+
+
+def _run_bucketed_nw_banded(pairs: List[Tuple[np.ndarray, np.ndarray]],
+                            sigma: int, eq: np.ndarray,
+                            k_user: int) -> np.ndarray:
+    """Batched banded NW distances with bucket-level k-doubling.
+
+    Returns (len(pairs),) int64: the exact distance where it is <= k_user
+    (always found when k_user < 0), else -1.  Device counterpart of the
+    reference's doubling loop around the banded NW engine (edlib.cpp:58-78
+    + 796-870): each doubling reruns the bucket with a wider static
+    diagonal band; banded results > the current k are discarded as
+    unreliable, exactly the pruning-only contract of the native engine.
+    Buckets too small to band (or past the Pallas alphabet cap) use the
+    full-sweep reduce kernel / XLA stream engine instead.
+    """
+    from edlib_tpu.ops import pallas_kernel
+    mode = _pallas_mode()
+    out = np.full(len(pairs), -1, np.int64)
+
+    buckets: Dict[Tuple[int, int], List[int]] = defaultdict(list)
+    metas = []
+    for i, (q_ids, t_ids) in enumerate(pairs):
+        nw = encode.num_words(len(q_ids))
+        nw_b = _pow2_at_least(nw)
+        w = nw_b * 32 - len(q_ids)
+        t_scan = _pow2_at_least(len(t_ids) + w, floor=32)
+        buckets[(nw_b, t_scan)].append(i)
+        metas.append((nw_b, w, t_scan))
+
+    chunk = int(os.environ.get("EDLIB_TPU_PALLAS_CHUNK", "256"))
+    for (nw_b, t_scan), idxs in buckets.items():
+        shared = (len(idxs) > 1
+                  and all(pairs[i][1] is pairs[idxs[0]][1] for i in idxs))
+        use_pallas = bool(mode) and (
+            shared or sigma + 1 <= pallas_kernel.MAX_SIGMA_PALLAS)
+        band_ok = use_pallas and nw_b >= _NW_BAND_MIN_WORDS
+
+        if not use_pallas:
+            streams = _sweep_bucket([pairs[i][0] for i in idxs],
+                                    [pairs[i][1] for i in idxs],
+                                    sigma, eq, nw_b, t_scan, 1)
+            for row, i in enumerate(idxs):
+                w = metas[i][1]
+                tlen = len(pairs[i][1])
+                out[i] = int(streams[row, w + tlen - 1])
+            continue
+
+        B = len(idxs)
+        B_pad = _pow2_at_least(B, floor=8)
+        peq = np.full((B_pad, sigma + 1, nw_b), 0xFFFFFFFF, dtype=np.uint32)
+        hi = np.zeros(B_pad, np.int64)
+        D = np.zeros(B, np.int64)
+        cap = 0
+        for row, i in enumerate(idxs):
+            q_ids, t_ids = pairs[i]
+            peq[row] = encode.build_peq_words(q_ids, eq, n_words=nw_b)
+            hi[row] = metas[i][1] + len(t_ids)
+            D[row] = len(q_ids) - len(t_ids)
+            cap = max(cap, max(len(q_ids), len(t_ids)))
+        if shared:
+            targets = pairs[idxs[0]][1]
+        else:
+            targets = np.full((B_pad, t_scan), sigma, dtype=np.int32)
+            for row, i in enumerate(idxs):
+                t_ids = pairs[i][1]
+                targets[row, :len(t_ids)] = t_ids
+        sweeper = pallas_kernel.PallasSweeper(
+            chunk=chunk, interpret=(mode == "interpret"))
+
+        if not band_ok:
+            lo = np.maximum(hi - 1, 0)
+            _, _, _, last = sweeper.reduce(peq, targets, lo, hi, 1,
+                                           shared=shared)
+            for row, i in enumerate(idxs):
+                out[i] = int(last[row])
+            continue
+
+        k_lim = cap if k_user < 0 else min(k_user, cap)
+        k_cur = min(max(64, int(np.abs(D).min(initial=0))), k_lim)
+        done = np.zeros(B, bool)
+        while True:
+            feas = ~done & (np.abs(D) <= k_cur)
+            if feas.any():
+                # ceil((D-k)/2) / floor((D+k)/2) over the feasible lanes
+                d_lo = int(np.min(-((k_cur - D[feas]) // 2)))
+                d_hi = int(np.max((D[feas] + k_cur) // 2))
+                rl = sweeper.reduce_nw_banded(peq, targets, hi, d_lo, d_hi,
+                                              shared=shared)[:B]
+                newly = feas & (rl[:B] <= k_cur)
+                for row in np.nonzero(newly)[0]:
+                    out[idxs[row]] = int(rl[row])
+                done |= newly
+            if done.all() or k_cur >= k_lim:
+                break
+            k_cur = min(k_cur * 2, k_lim)
+    return out
+
+
 def _run_bucketed(pairs: List[Tuple[np.ndarray, np.ndarray]], sigma: int,
                   eq: np.ndarray, hin0: int) -> List[np.ndarray]:
     """Sweep arbitrary (q_ids, t_ids) pairs, bucketed by shape.
@@ -437,7 +537,19 @@ def align_batch_device(queries: Sequence, targets: Sequence,
             main_idx.append(i)
         results.append(res)
 
-    if main_idx:
+    if main_idx and mode == AlignMode.NW and mesh is None:
+        # NW needs only the final-column score: the banded kernel prunes
+        # the word loop to Ukkonen's diagonal band with k-doubling.
+        dists = _run_bucketed_nw_banded([id_pairs[i] for i in main_idx],
+                                        sigma, eq, k)
+        for i, d in zip(main_idx, dists):
+            res = results[i]
+            tlen = len(id_pairs[i][1])
+            if 0 <= d <= k_eff:
+                res.edit_distance = int(d)
+                res.end_locations = np.array([tlen - 1], np.int64)
+                res.num_locations = 1
+    elif main_idx:
         hin0 = 0 if mode == AlignMode.HW else 1
         want_hits = mode != AlignMode.NW
         summaries = _run_bucketed_summary([id_pairs[i] for i in main_idx],

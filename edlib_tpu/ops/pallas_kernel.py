@@ -434,7 +434,7 @@ def sweep_reduce_pallas(peq: jnp.ndarray, targets: jnp.ndarray,
     """
     n_tiles, sigma1, n_words = peq.shape[:3]
     n_chunks = targets.shape[0] if shared else targets.shape[1]
-    unroll = 8 if chunk % 8 == 0 else 1
+    unroll = 16 if chunk % 16 == 0 else (8 if chunk % 8 == 0 else 1)
     kernel = functools.partial(_reduce_kernel, n_words=n_words,
                                sigma1=sigma1, chunk=chunk, hin0=hin0,
                                shared=shared, unroll=unroll)
@@ -585,6 +585,181 @@ def sweep_hits_pallas(peq: jnp.ndarray, targets: jnp.ndarray,
     )(targets, peq, lo, hi, best)
 
 
+# ---------------------------------------------------------------------------
+# Banded batched NW sweep (round 2).
+#
+# Ukkonen's static diagonal band, batched: a >=k-cost lower bound puts every
+# cell of a <=k-cost corner path on diagonals d = row - col in
+# [ceil((D-k)/2), floor((D+k)/2)], D = qlen - tlen (the reference gets the
+# same effect dynamically per column, edlib.cpp:796-870).  The wildcard
+# row/column padding moves along diagonals, so the bound holds unchanged in
+# scan space.  The band becomes a per-target-chunk word window [w_lo, w_hi)
+# precomputed on host (data, not trace constants: k-doubling reuses one
+# compiled kernel).  Words outside the window are skipped entirely; a
+# skipped word's scratch state stays at the (Pv=~0, Mv=0) reset, which IS
+# edlib's band-growth ramp init (edlib.cpp:851-857), so band growth needs
+# no in-kernel re-initialisation.  hin into the window top is +1, matching
+# the reference's banded NW.  The carried score tracks the bottom row of
+# the window (+32 per grown word at chunk boundaries); the final-column
+# readout is taken only where the window reaches the bottom word, and the
+# host treats results > k as "not found at this k" (retry with doubled k) —
+# pruning-only semantics, exact whenever distance <= k.
+# ---------------------------------------------------------------------------
+
+WGROUP = 4  # words per band predicate: the window rounds to 4-word groups
+
+
+def _nw_banded_kernel(wlo_ref, whi_ref, targets_ref, peq_ref, hi_ref,
+                      out_ref, pv_ref, mv_ref, sb_ref, rl_ref, hp_ref,
+                      hn_ref, *, n_words: int, sigma1: int, chunk: int,
+                      shared: bool, unroll: int):
+    """Banded NW: score at per-lane scan column hi-1, band-pruned.
+
+    wlo/whi_ref: (n_chunks,) int32 SMEM — word window for each target
+    chunk, WGROUP-aligned, nondecreasing.  hi_ref: (8,128) int32 per-lane
+    exclusive end scan columns.  out_ref: (8,128) int32.
+    """
+    t_step = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    n_groups = n_words // WGROUP
+
+    w_lo = wlo_ref[t_step]
+    w_hi = whi_ref[t_step]
+
+    @pl.when(t_step == 0)
+    def _reset():
+        pv_ref[...] = jnp.full((n_words, SUBLANES, LANES), _ONES, jnp.uint32)
+        mv_ref[...] = jnp.zeros((n_words, SUBLANES, LANES), jnp.uint32)
+        sb_ref[...] = jnp.full((SUBLANES, LANES), w_hi * 32, jnp.int32)
+        rl_ref[...] = jnp.full((SUBLANES, LANES), _BIG, jnp.int32)
+
+    @pl.when(t_step > 0)
+    def _grow():
+        prev_hi = whi_ref[jnp.maximum(t_step - 1, 0)]
+        sb_ref[...] = sb_ref[...] + (w_hi - prev_hi) * 32
+
+    hi = hi_ref[...]
+    full_band = w_hi == n_words
+
+    def column(c, carry):
+        sb, rl = carry
+        sym = targets_ref[0, c] if shared else targets_ref[c]
+        hn0 = jnp.zeros((SUBLANES, LANES), jnp.uint32)
+        hp0 = jnp.ones((SUBLANES, LANES), jnp.uint32)  # NW top boundary
+        hn_ref[...] = hn0
+        hp_ref[...] = hp0
+        for g in range(n_groups):
+            gw = g * WGROUP
+
+            @pl.when((gw < w_hi) & (gw + WGROUP > w_lo))
+            def _group(gw=gw):
+                hn = hn_ref[...]
+                hp = hp_ref[...]
+                for w in range(gw, gw + WGROUP):
+                    eq = _fetch_eq(peq_ref, sym, w, sigma1, shared)
+                    pv, mv, hn, hp = _advance_word(
+                        pv_ref[w], mv_ref[w], eq, hn, hp)
+                    pv_ref[w] = pv
+                    mv_ref[w] = mv
+                hn_ref[...] = hn
+                hp_ref[...] = hp
+        sb = sb + hp_ref[...].astype(jnp.int32) \
+            - hn_ref[...].astype(jnp.int32)
+        col = t_step * chunk + c
+        rl = jnp.where(full_band & (col == hi - 1), sb, rl)
+        return sb, rl
+
+    def columns(i, carry):
+        for j in range(unroll):
+            carry = column(i * unroll + j, carry)
+        return carry
+
+    sb, rl = jax.lax.fori_loop(0, chunk // unroll, columns,
+                               (sb_ref[...], rl_ref[...]))
+    sb_ref[...] = sb
+    rl_ref[...] = rl
+
+    @pl.when(t_step == n_chunks - 1)
+    def _emit():
+        out_ref[...] = rl_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "shared", "interpret"))
+def sweep_nw_banded_pallas(peq: jnp.ndarray, targets: jnp.ndarray,
+                           wlo: jnp.ndarray, whi: jnp.ndarray,
+                           hi: jnp.ndarray, chunk: int = 256,
+                           shared: bool = False, interpret: bool = False):
+    """Banded batched NW distances: int32 (n_tiles, 8, 128) scan scores.
+
+    peq: uint32 (n_tiles, S1, NW, 8, 128) with NW % WGROUP == 0;
+    wlo/whi: int32 (n_chunks,) word windows; hi: int32 (n_tiles, 8, 128).
+    Results are exact where <= the banding k, else garbage > k.
+    """
+    n_tiles, sigma1, n_words = peq.shape[:3]
+    assert n_words % WGROUP == 0
+    n_chunks = targets.shape[0] if shared else targets.shape[1]
+    unroll = 16 if chunk % 16 == 0 else (8 if chunk % 8 == 0 else 1)
+    kernel = functools.partial(_nw_banded_kernel, n_words=n_words,
+                               sigma1=sigma1, chunk=chunk, shared=shared,
+                               unroll=unroll)
+    if shared:
+        t_spec = pl.BlockSpec((None, 1, chunk), lambda i, j: (j, 0, 0),
+                              memory_space=pltpu.SMEM)
+    else:
+        t_spec = pl.BlockSpec((None, None, chunk, SUBLANES, LANES),
+                              lambda i, j: (i, j, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((None, SUBLANES, LANES), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_chunks),
+        in_specs=[
+            smem_spec, smem_spec,
+            t_spec,
+            pl.BlockSpec((None, sigma1, n_words, SUBLANES, LANES),
+                         lambda i, j: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            tile_spec,
+        ],
+        out_specs=tile_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, SUBLANES, LANES),
+                                       jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((n_words, SUBLANES, LANES), jnp.uint32),
+            pltpu.VMEM((n_words, SUBLANES, LANES), jnp.uint32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.uint32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.uint32),
+        ],
+        interpret=interpret,
+    )(wlo, whi, targets, peq, hi)
+
+
+def nw_band_schedule(n_words: int, n_chunks: int, chunk: int,
+                     d_lo: int, d_hi: int):
+    """Per-chunk WGROUP-aligned word windows for the diagonal band.
+
+    d_lo/d_hi: live diagonals row - col in scan space (min/max over the
+    bucket's lanes of ceil((D-k)/2) / floor((D+k)/2), D = qlen - tlen).
+    """
+    j = np.arange(n_chunks, dtype=np.int64)
+    c_first = j * chunk
+    c_last = c_first + chunk - 1
+    w_hi = np.clip((c_last + d_hi) // 32 + 1, 1, n_words)
+    w_lo = np.clip((c_first + d_lo) // 32, 0, n_words - 1)
+    w_hi = np.minimum(-(-w_hi // WGROUP) * WGROUP, n_words)
+    w_lo = (w_lo // WGROUP) * WGROUP
+    w_lo = np.minimum(w_lo, w_hi - WGROUP)
+    w_lo = np.maximum(w_lo, 0)
+    # nondecreasing by construction; enforce for safety
+    w_hi = np.maximum.accumulate(w_hi)
+    w_lo = np.maximum.accumulate(w_lo)
+    return w_lo.astype(np.int32), w_hi.astype(np.int32)
+
+
 def build_peq_device(q_ids: jnp.ndarray, qlens: jnp.ndarray, sigma: int,
                      n_words: int) -> jnp.ndarray:
     """Query profiles built on device (no host transfer of packed tables).
@@ -727,6 +902,39 @@ class PallasSweeper:
                                    shared=shared, interpret=self.interpret)
         self._last_packed = (id(peq_flat), id(targets), peq, tg)
         return tuple(self.unpack_lanes(o, B).astype(np.int64) for o in outs)
+
+    def reduce_nw_banded(self, peq_flat: np.ndarray, targets,
+                         hi: np.ndarray, d_lo: int, d_hi: int,
+                         shared: bool = False) -> np.ndarray:
+        """Banded NW distances: (B,) int64 scores (garbage > k when the
+        distance exceeds the band's k — caller filters/retries).
+
+        targets: (B, T_scan) int32 when general, else a 1-D shared scan
+        target; hi: (B,) exclusive end scan columns; d_lo/d_hi: the live
+        scan diagonals (see nw_band_schedule).
+        """
+        import jax.numpy as jnp
+        B = peq_flat.shape[0]
+        n_words = peq_flat.shape[2]
+        peq = self.pack_peq(peq_flat)
+        if shared:
+            sigma1 = peq_flat.shape[1]
+            tg = self.pack_target_shared(np.asarray(targets, np.int32),
+                                         sigma1 - 1,
+                                         t_scan=int(np.max(hi, initial=0)))
+            n_chunks = tg.shape[0]
+        else:
+            tg = self.pack_targets_general(targets)
+            n_chunks = tg.shape[1]
+        wlo, whi = nw_band_schedule(n_words, n_chunks, self.chunk,
+                                    d_lo, d_hi)
+        hi_t = self.pack_lanes(hi)
+        out = sweep_nw_banded_pallas(jnp.asarray(peq), jnp.asarray(tg),
+                                     jnp.asarray(wlo), jnp.asarray(whi),
+                                     jnp.asarray(hi_t), chunk=self.chunk,
+                                     shared=shared,
+                                     interpret=self.interpret)
+        return self.unpack_lanes(np.asarray(out), B).astype(np.int64)
 
     def hits(self, peq_flat: np.ndarray, targets, lo: np.ndarray,
              hi: np.ndarray, best: np.ndarray, hin0: int,

@@ -84,7 +84,8 @@ def exact():
 
 
 def bench_reduce(shared=False):
-    """VERDICT workload: 2048 pairs, 120bp reads vs per-pair 4kbp targets."""
+    """VERDICT workload: B pairs, QLEN-bp reads vs per-pair TLEN targets."""
+    import os
     import jax
     import jax.numpy as jnp
     try:
@@ -94,8 +95,11 @@ def bench_reduce(shared=False):
         pass
     from edlib_tpu.ops import pallas_kernel as pk
 
-    B, QLEN, TLEN, SIGMA, CHUNK = 2048, 120, 4000, 4, 256
-    nw = 4
+    B = int(os.environ.get("B", 2048))
+    QLEN = int(os.environ.get("QLEN", 120))
+    TLEN = int(os.environ.get("TLEN", 4000))
+    SIGMA, CHUNK = 4, int(os.environ.get("CHUNK", 256))
+    nw = -(-QLEN // 32)
     w = nw * 32 - QLEN
     t_scan = -(-(TLEN + w) // CHUNK) * CHUNK
     n_tiles = B // pk.B_TILE
@@ -125,7 +129,7 @@ def bench_reduce(shared=False):
     jax.block_until_ready(b0)
     print("warm:", int(np.asarray(b0[0]).min()), int(np.asarray(b0[0]).max()))
 
-    REPS = 20
+    REPS = int(os.environ.get("REPS", 20))
 
     @jax.jit
     def many(tiles, tg):
@@ -190,6 +194,85 @@ def bench_hits():
           f"{gcups:.0f} GCUPS equiv; times={['%.3f' % t for t in times]}")
 
 
+def bench_banded():
+    """Banded batched NW vs the full-sweep reduce kernel.
+
+    2048 pairs of 2048bp ~95%-identical sequences (substitution mutants so
+    the distance stays ~100): full kernel sweeps 64 words/column, the
+    banded kernel ~8-12.  Exactness is asserted lane-by-lane against the
+    full kernel before timing.
+    """
+    import os
+    import jax
+    import jax.numpy as jnp
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+    from edlib_tpu.ops import pallas_kernel as pk
+
+    B = int(os.environ.get("B", 2048))
+    N = int(os.environ.get("N", 2048))  # qlen == tlen
+    K = int(os.environ.get("K", 256))
+    SIGMA, CHUNK = 4, 256
+    nw = N // 32
+    n_tiles = B // pk.B_TILE
+    n_chunks = N // CHUNK
+
+    @jax.jit
+    def make(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        q = jax.random.randint(k1, (B, N), 0, SIGMA, jnp.int32)
+        mut = jax.random.uniform(k2, (B, N)) < 0.05
+        t = jnp.where(mut, jax.random.randint(k3, (B, N), 0, SIGMA,
+                                              jnp.int32), q)
+        peq = pk.pack_tiles_device(pk.build_peq_device(
+            q, jnp.full((B,), N, jnp.int32), SIGMA, nw))
+        tg = jnp.transpose(t.reshape(n_tiles, pk.SUBLANES, pk.LANES,
+                                     n_chunks, CHUNK), (0, 3, 4, 1, 2))
+        return peq, tg
+
+    peq, tg = make(jax.random.key(0))
+    jax.block_until_ready((peq, tg))
+    hi = jnp.full((n_tiles, 8, 128), N, jnp.int32)
+    lo = jnp.maximum(hi - 1, 0)
+    wlo, whi = pk.nw_band_schedule(nw, n_chunks, CHUNK, -(K // 2), K // 2)
+    print(f"band words/col ~ {int(np.mean(whi - wlo))} of {nw}")
+
+    full = pk.sweep_reduce_pallas(peq, tg, lo, hi, hin0=1, chunk=CHUNK)[3]
+    band = pk.sweep_nw_banded_pallas(peq, tg, jnp.asarray(wlo),
+                                     jnp.asarray(whi), hi, chunk=CHUNK)
+    full_np, band_np = np.asarray(full), np.asarray(band)
+    ok = band_np[full_np <= K] == full_np[full_np <= K]
+    print(f"exact: {ok.all()} (n={ok.size}, dist range "
+          f"{full_np.min()}..{full_np.max()})")
+    assert ok.all()
+
+    REPS = int(os.environ.get("REPS", 10))
+
+    def time_fn(fn):
+        @jax.jit
+        def many(peq, tg):
+            def body(i, acc):
+                tg2 = tg.at[0, 0, 0, 0, 0].set(i % SIGMA)
+                return acc + fn(tg2).sum()
+            return jax.lax.fori_loop(0, REPS, body, jnp.int32(0))
+        many(peq, tg).block_until_ready()
+        t0 = time.time()
+        int(many(peq, tg))
+        return time.time() - t0
+
+    dt_f = time_fn(lambda tg2: pk.sweep_reduce_pallas(
+        peq, tg2, lo, hi, hin0=1, chunk=CHUNK)[3])
+    dt_b = time_fn(lambda tg2: pk.sweep_nw_banded_pallas(
+        peq, tg2, jnp.asarray(wlo), jnp.asarray(whi), hi, chunk=CHUNK))
+    g = B * N * N * REPS / 1e9
+    print(f"bench_banded[K={K}]: full {dt_f:.3f}s = {g/dt_f:.0f} GCUPS; "
+          f"banded {dt_b:.3f}s = {g/dt_b:.0f} GCUPS-equ040 "
+          f"({dt_f/dt_b:.2f}x)")
+
+
 if __name__ == "__main__":
     step = sys.argv[1] if len(sys.argv) > 1 else "probe"
     if step == "probe":
@@ -202,3 +285,5 @@ if __name__ == "__main__":
         bench_reduce(shared=True)
     elif step == "bench_hits":
         bench_hits()
+    elif step == "banded":
+        bench_banded()

@@ -1,0 +1,186 @@
+"""On-hardware TPU regression tests.
+
+The pytest process is pinned to CPU (conftest), so every hardware check
+runs in a SUBPROCESS that gets the real TPU backend — which also means a
+wedged TPU tunnel (a known failure mode of this environment) times the
+child out and the test SKIPS instead of hanging the suite.  A session probe
+auto-skips the whole module when no healthy chip is reachable.
+
+These are the automated counterparts of the ad-hoc hardware validations in
+docs/PERF.md: each child computes on the chip and prints JSON; the parent
+recomputes truth with the host engines (reference semantics,
+edlib.cpp:550-928) and compares exactly.
+
+Set EDLIB_TPU_SKIP_HW_TESTS=1 to disable (e.g. CI without a TPU).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD_PRELUDE = r"""
+import json, sys
+import numpy as np
+import jax
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
+assert jax.default_backend() == "tpu", jax.default_backend()
+"""
+
+
+def _run_child(code: str, timeout: float) -> subprocess.CompletedProcess:
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "EDLIB_TPU_FORCE_PALLAS",
+                        "EDLIB_TPU_DISABLE_DEVICE")}
+    env["PYTHONPATH"] = _REPO
+    return subprocess.run([sys.executable, "-c", _CHILD_PRELUDE + code],
+                          cwd=_REPO, env=env, capture_output=True,
+                          text=True, timeout=timeout)
+
+
+def _child_json(code: str, timeout: float):
+    """Run a TPU child; skip on tunnel trouble, fail on wrong output."""
+    try:
+        r = _run_child(code, timeout)
+    except subprocess.TimeoutExpired:
+        pytest.skip("TPU child timed out (tunnel wedged?)")
+    if r.returncode != 0:
+        pytest.fail(f"TPU child failed:\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}")
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
+@pytest.fixture(scope="session")
+def tpu_ok():
+    if os.environ.get("EDLIB_TPU_SKIP_HW_TESTS"):
+        pytest.skip("hardware tests disabled via EDLIB_TPU_SKIP_HW_TESTS")
+    probe = 'x = jax.numpy.ones((128, 128)); print(json.dumps({"s": float((x @ x).sum())}))'
+    try:
+        r = _run_child(probe, timeout=150)
+    except subprocess.TimeoutExpired:
+        pytest.skip("TPU probe timed out — no healthy chip")
+    if r.returncode != 0:
+        pytest.skip(f"TPU probe failed: {r.stderr[-400:]}")
+    assert json.loads(r.stdout.strip().splitlines()[-1])["s"] == 128.0 * 128 * 128
+
+
+def _gen_pairs(seed=7, n=48):
+    """Deterministic mixed workload (regenerated identically in the child)."""
+    rng = np.random.RandomState(seed)
+    queries, targets = [], []
+    for i in range(n):
+        qlen = int(rng.randint(20, 90))
+        tlen = int(rng.randint(40, 400))
+        q = rng.randint(0, 4, qlen)
+        if i % 3 == 0:
+            t = np.concatenate([rng.randint(0, 4, 17), q,
+                                rng.randint(0, 4, max(tlen - qlen - 17, 1))])
+        else:
+            t = rng.randint(0, 4, tlen)
+        queries.append(bytes(bytearray(b"ACGT"[c] for c in q)))
+        targets.append(bytes(bytearray(b"ACGT"[c] for c in t)))
+    return queries, targets
+
+
+def test_hw_align_batch_parity(tpu_ok):
+    """Batched Pallas kernels (reduce, hit-bitmask, banded NW) on the chip
+    vs per-pair host truth — all modes, distance+locations, several k."""
+    code = r"""
+from tests.test_hw_tpu import _gen_pairs
+from edlib_tpu.batch import align_batch_device
+queries, targets = _gen_pairs()
+out = []
+for mode in ("NW", "HW", "SHW"):
+    for task in ("distance", "locations"):
+        for k in (-1, 8):
+            out.append(align_batch_device(queries, targets, mode=mode,
+                                          task=task, k=k))
+print(json.dumps(out))
+"""
+    got = _child_json(code, timeout=600)
+    from edlib_tpu import align
+    queries, targets = _gen_pairs()
+    i = 0
+    for mode in ("NW", "HW", "SHW"):
+        for task in ("distance", "locations"):
+            for k in (-1, 8):
+                want = [align(q, t, mode=mode, task=task, k=k)
+                        for q, t in zip(queries, targets)]
+                # JSON round-trip: tuples become lists
+                want = [{**w, "locations": [list(p) for p in w["locations"]]}
+                        for w in want]
+                assert got[i] == want, (mode, task, k)
+                i += 1
+
+
+def test_hw_map_reads_shared_target(tpu_ok):
+    """Shared-target in-kernel reduction on the chip vs host best/first."""
+    code = r"""
+from edlib_tpu.mapping import map_reads
+rng = np.random.RandomState(11)
+target = bytes(bytearray(b"ACGT"[c] for c in rng.randint(0, 4, 4096)))
+reads = []
+for _ in range(64):
+    s = int(rng.randint(0, 4096 - 120))
+    arr = bytearray(target[s:s + 120])
+    for p in rng.choice(120, 6, replace=False):
+        arr[p] = b"ACGT"[int(rng.randint(4))]
+    reads.append(bytes(arr))
+best, pos = map_reads(reads, target, mode="HW")
+print(json.dumps([best.tolist(), pos.tolist()]))
+"""
+    got = _child_json(code, timeout=600)
+    from edlib_tpu import align
+    rng = np.random.RandomState(11)
+    target = bytes(bytearray(b"ACGT"[c] for c in rng.randint(0, 4, 4096)))
+    for i in range(64):
+        s = int(rng.randint(0, 4096 - 120))
+        arr = bytearray(target[s:s + 120])
+        for p in rng.choice(120, 6, replace=False):
+            arr[p] = b"ACGT"[int(rng.randint(4))]
+        want = align(bytes(arr), target, mode="HW", task="locations")
+        assert got[0][i] == want["editDistance"], i
+        assert got[1][i] == want["locations"][0][1], i
+
+
+def test_hw_wavefront_long_pair(tpu_ok):
+    """Single-pair wavefront kernels (unbanded + banded + SHW best) on the
+    chip vs the host/native engines."""
+    code = r"""
+from edlib_tpu.ops.wavefront import BandedWavefront, Wavefront
+rng = np.random.RandomState(13)
+q = rng.randint(0, 4, 3000).astype(np.uint8)
+mut = rng.uniform(size=3000) < 0.06
+t = np.where(mut, rng.randint(0, 4, 3000), q).astype(np.uint8)
+wf = Wavefront()
+wfb = BandedWavefront()
+d_unb = wf.nw_distance(q, t, 4)
+d_band = wfb.nw_distance(q, t, 4, k=-1)
+b, p = wfb.shw_best(q, t[:2500], 4, k=-1)
+print(json.dumps({"unb": int(d_unb), "band": int(d_band),
+                  "shw": [int(b), int(p)]}))
+"""
+    got = _child_json(code, timeout=600)
+    from edlib_tpu import align
+    rng = np.random.RandomState(13)
+    q = rng.randint(0, 4, 3000).astype(np.uint8)
+    mut = rng.uniform(size=3000) < 0.06
+    t = np.where(mut, rng.randint(0, 4, 3000), q).astype(np.uint8)
+    qb = bytes(bytearray(b"ACGT"[c] for c in q))
+    tb = bytes(bytearray(b"ACGT"[c] for c in t))
+    want_nw = align(qb, tb, mode="NW")["editDistance"]
+    want_shw = align(qb, tb[:2500], mode="SHW", task="locations")
+    assert got["unb"] == want_nw
+    assert got["band"] == want_nw
+    assert got["shw"][0] == want_shw["editDistance"]
+    assert got["shw"][1] == want_shw["locations"][0][1]
