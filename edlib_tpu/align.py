@@ -26,7 +26,7 @@ from typing import List, Sequence, Tuple
 
 import numpy as np
 
-from edlib_tpu import encode
+from edlib_tpu import encode, native_loader
 from edlib_tpu.ops import host as host_engine
 from edlib_tpu.path.hirschberg import obtain_alignment
 from edlib_tpu.types import (
@@ -131,9 +131,11 @@ _WAVEFRONT_MIN_CELLS = 10_000_000_000
 
 
 def _nw_wavefront_enabled(qlen: int, tlen: int, sigma: int) -> bool:
-    if os.environ.get("EDLIB_TPU_DISABLE_DEVICE"):
-        return False
+    # Size gate first: it is a pure integer compare and excludes ~all calls
+    # (the env lookups below cost more than the whole small-N fast path).
     if qlen * tlen < _WAVEFRONT_MIN_CELLS or sigma > 15:
+        return False
+    if os.environ.get("EDLIB_TPU_DISABLE_DEVICE"):
         return False
     forced = os.environ.get("EDLIB_TPU_FORCE_PALLAS", "")
     try:
@@ -287,7 +289,6 @@ def align(query, target, mode="NW", task="distance", k=-1,
     nw_huge = (mode == AlignMode.NW
                and _nw_wavefront_enabled(len(qb), len(tb), 0))
     if task != AlignTask.PATH and len(qb) and len(tb) and not nw_huge:
-        from edlib_tpu import native_loader
         ext = native_loader.get_ext()
         if ext is not None:
             eq_a = eq_b = None

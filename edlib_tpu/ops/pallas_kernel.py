@@ -593,89 +593,104 @@ def sweep_hits_pallas(peq: jnp.ndarray, targets: jnp.ndarray,
 # [ceil((D-k)/2), floor((D+k)/2)], D = qlen - tlen (the reference gets the
 # same effect dynamically per column, edlib.cpp:796-870).  The wildcard
 # row/column padding moves along diagonals, so the bound holds unchanged in
-# scan space.  The band becomes a per-target-chunk word window [w_lo, w_hi)
-# precomputed on host (data, not trace constants: k-doubling reuses one
-# compiled kernel).  Words outside the window are skipped entirely; a
-# skipped word's scratch state stays at the (Pv=~0, Mv=0) reset, which IS
-# edlib's band-growth ramp init (edlib.cpp:851-857), so band growth needs
-# no in-kernel re-initialisation.  hin into the window top is +1, matching
-# the reference's banded NW.  The carried score tracks the bottom row of
-# the window (+32 per grown word at chunk boundaries); the final-column
-# readout is taken only where the window reaches the bottom word, and the
-# host treats results > k as "not found at this k" (retry with doubled k) —
-# pruning-only semantics, exact whenever distance <= k.
+# scan space.  The band becomes a SLIDING WORD WINDOW of static width n_win
+# whose per-target-chunk offset is precomputed on host (SMEM data, not trace
+# constants: k-doubling at fixed width reuses one compiled kernel).  The
+# offset is constant within a chunk, so the kernel loads the window's
+# (Pv, Mv) once per chunk with one dynamic slice and carries them in vector
+# registers through the column loop — the exact register-resident structure
+# of the full reduce kernel, at n_win instead of n_words words per column.
+#
+# Words that have not yet entered the window sit at the (Pv=~0, Mv=0)
+# reset, which IS edlib's band-growth ramp init (edlib.cpp:851-857), so the
+# window sliding down needs no re-initialisation; words that leave through
+# the top are simply never read again (offsets are nondecreasing).  hin
+# into the window top is +1, matching the reference's banded NW.  The
+# carried score tracks the window's bottom row (+32 per slid word at chunk
+# boundaries); the final-column readout happens only where the window has
+# reached the bottom word, and the host treats results > k as "not found
+# at this k" (retry with doubled k) — pruning-only semantics, exact
+# whenever distance <= k.
 # ---------------------------------------------------------------------------
 
-WGROUP = 4  # words per band predicate: the window rounds to 4-word groups
+_WIN_ROUND = 4  # window widths round up to this many words (compile reuse)
 
 
-def _nw_banded_kernel(wlo_ref, whi_ref, targets_ref, peq_ref, hi_ref,
-                      out_ref, pv_ref, mv_ref, sb_ref, rl_ref, hp_ref,
-                      hn_ref, *, n_words: int, sigma1: int, chunk: int,
-                      shared: bool, unroll: int):
+def _fetch_eq_win(peq_win, sym, w, sigma1, shared):
+    """Eq tile for window word w from the pre-sliced (S1, n_win, 8, 128)
+    Peq window — only the symbol index is ever dynamic, so the unrolled
+    column loop stays cheap to compile."""
+    if shared:
+        return jax.lax.dynamic_index_in_dim(peq_win, sym, axis=0,
+                                            keepdims=False)[w]
+    eq = jnp.zeros((SUBLANES, LANES), jnp.uint32)
+    for s in range(sigma1):
+        eq = jnp.where(sym == s, peq_win[s, w], eq)
+    return eq
+
+
+def _nw_banded_kernel(woff_ref, targets_ref, peq_ref, hi_ref, out_ref,
+                      pv_ref, mv_ref, sb_ref, rl_ref, *, n_words: int,
+                      n_win: int, sigma1: int, chunk: int, shared: bool,
+                      unroll: int):
     """Banded NW: score at per-lane scan column hi-1, band-pruned.
 
-    wlo/whi_ref: (n_chunks,) int32 SMEM — word window for each target
-    chunk, WGROUP-aligned, nondecreasing.  hi_ref: (8,128) int32 per-lane
-    exclusive end scan columns.  out_ref: (8,128) int32.
+    woff_ref: (n_chunks,) int32 SMEM — the window's top word for each
+    target chunk, nondecreasing, in [0, n_words - n_win].  hi_ref:
+    (8,128) int32 per-lane exclusive end scan columns.  out_ref: (8,128).
     """
     t_step = pl.program_id(1)
     n_chunks = pl.num_programs(1)
-    n_groups = n_words // WGROUP
-
-    w_lo = wlo_ref[t_step]
-    w_hi = whi_ref[t_step]
+    off = woff_ref[t_step]
 
     @pl.when(t_step == 0)
     def _reset():
         pv_ref[...] = jnp.full((n_words, SUBLANES, LANES), _ONES, jnp.uint32)
         mv_ref[...] = jnp.zeros((n_words, SUBLANES, LANES), jnp.uint32)
-        sb_ref[...] = jnp.full((SUBLANES, LANES), w_hi * 32, jnp.int32)
+        sb_ref[...] = jnp.full((SUBLANES, LANES), (off + n_win) * 32,
+                               jnp.int32)
         rl_ref[...] = jnp.full((SUBLANES, LANES), _BIG, jnp.int32)
 
     @pl.when(t_step > 0)
-    def _grow():
-        prev_hi = whi_ref[jnp.maximum(t_step - 1, 0)]
-        sb_ref[...] = sb_ref[...] + (w_hi - prev_hi) * 32
+    def _slide():
+        prev = woff_ref[jnp.maximum(t_step - 1, 0)]
+        sb_ref[...] = sb_ref[...] + (off - prev) * 32
 
     hi = hi_ref[...]
-    full_band = w_hi == n_words
+    at_bottom = off == n_words - n_win
+
+    pv_blk = pv_ref[pl.ds(off, n_win)]
+    mv_blk = mv_ref[pl.ds(off, n_win)]
+    peq_win = peq_ref[:, pl.ds(off, n_win)]
 
     def column(c, carry):
-        sb, rl = carry
+        pvs, mvs, sb, rl = carry
         sym = targets_ref[0, c] if shared else targets_ref[c]
-        hn0 = jnp.zeros((SUBLANES, LANES), jnp.uint32)
-        hp0 = jnp.ones((SUBLANES, LANES), jnp.uint32)  # NW top boundary
-        hn_ref[...] = hn0
-        hp_ref[...] = hp0
-        for g in range(n_groups):
-            gw = g * WGROUP
-
-            @pl.when((gw < w_hi) & (gw + WGROUP > w_lo))
-            def _group(gw=gw):
-                hn = hn_ref[...]
-                hp = hp_ref[...]
-                for w in range(gw, gw + WGROUP):
-                    eq = _fetch_eq(peq_ref, sym, w, sigma1, shared)
-                    pv, mv, hn, hp = _advance_word(
-                        pv_ref[w], mv_ref[w], eq, hn, hp)
-                    pv_ref[w] = pv
-                    mv_ref[w] = mv
-                hn_ref[...] = hn
-                hp_ref[...] = hp
-        sb = sb + hp_ref[...].astype(jnp.int32) \
-            - hn_ref[...].astype(jnp.int32)
+        hn = jnp.zeros((SUBLANES, LANES), jnp.uint32)
+        hp = jnp.ones((SUBLANES, LANES), jnp.uint32)  # NW/band-top boundary
+        new_pvs, new_mvs = [], []
+        for w in range(n_win):
+            eq = _fetch_eq_win(peq_win, sym, w, sigma1, shared)
+            pv, mv, hn, hp = _advance_word(pvs[w], mvs[w], eq, hn, hp)
+            new_pvs.append(pv)
+            new_mvs.append(mv)
+        sb = sb + hp.astype(jnp.int32) - hn.astype(jnp.int32)
         col = t_step * chunk + c
-        rl = jnp.where(full_band & (col == hi - 1), sb, rl)
-        return sb, rl
+        rl = jnp.where(at_bottom & (col == hi - 1), sb, rl)
+        return tuple(new_pvs), tuple(new_mvs), sb, rl
+
+    carry0 = (tuple(pv_blk[w] for w in range(n_win)),
+              tuple(mv_blk[w] for w in range(n_win)),
+              sb_ref[...], rl_ref[...])
 
     def columns(i, carry):
         for j in range(unroll):
             carry = column(i * unroll + j, carry)
         return carry
 
-    sb, rl = jax.lax.fori_loop(0, chunk // unroll, columns,
-                               (sb_ref[...], rl_ref[...]))
+    pvs, mvs, sb, rl = jax.lax.fori_loop(0, chunk // unroll, columns, carry0)
+    pv_ref[pl.ds(off, n_win)] = jnp.stack(list(pvs))
+    mv_ref[pl.ds(off, n_win)] = jnp.stack(list(mvs))
     sb_ref[...] = sb
     rl_ref[...] = rl
 
@@ -684,24 +699,31 @@ def _nw_banded_kernel(wlo_ref, whi_ref, targets_ref, peq_ref, hi_ref,
         out_ref[...] = rl_ref[...]
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "shared", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_win", "chunk", "shared",
+                                             "interpret"))
 def sweep_nw_banded_pallas(peq: jnp.ndarray, targets: jnp.ndarray,
-                           wlo: jnp.ndarray, whi: jnp.ndarray,
-                           hi: jnp.ndarray, chunk: int = 256,
-                           shared: bool = False, interpret: bool = False):
+                           woff: jnp.ndarray, hi: jnp.ndarray, n_win: int,
+                           chunk: int = 256, shared: bool = False,
+                           interpret: bool = False):
     """Banded batched NW distances: int32 (n_tiles, 8, 128) scan scores.
 
-    peq: uint32 (n_tiles, S1, NW, 8, 128) with NW % WGROUP == 0;
-    wlo/whi: int32 (n_chunks,) word windows; hi: int32 (n_tiles, 8, 128).
-    Results are exact where <= the banding k, else garbage > k.
+    peq: uint32 (n_tiles, S1, NW, 8, 128); woff: int32 (n_chunks,) window
+    offsets; hi: int32 (n_tiles, 8, 128); n_win: static window width in
+    words.  Results are exact where <= the banding k, else garbage > k.
     """
     n_tiles, sigma1, n_words = peq.shape[:3]
-    assert n_words % WGROUP == 0
+    assert 0 < n_win <= n_words
     n_chunks = targets.shape[0] if shared else targets.shape[1]
-    unroll = 16 if chunk % 16 == 0 else (8 if chunk % 8 == 0 else 1)
+    # Column unrolling is a Mosaic-throughput lever only; under the
+    # interpreter it just multiplies XLA:CPU compile time (trace size is
+    # unroll * n_win advance bodies), so keep the loop rolled there.
+    if interpret:
+        unroll = 1
+    else:
+        unroll = 16 if chunk % 16 == 0 else (8 if chunk % 8 == 0 else 1)
     kernel = functools.partial(_nw_banded_kernel, n_words=n_words,
-                               sigma1=sigma1, chunk=chunk, shared=shared,
-                               unroll=unroll)
+                               n_win=n_win, sigma1=sigma1, chunk=chunk,
+                               shared=shared, unroll=unroll)
     if shared:
         t_spec = pl.BlockSpec((None, 1, chunk), lambda i, j: (j, 0, 0),
                               memory_space=pltpu.SMEM)
@@ -711,12 +733,11 @@ def sweep_nw_banded_pallas(peq: jnp.ndarray, targets: jnp.ndarray,
                               memory_space=pltpu.VMEM)
     tile_spec = pl.BlockSpec((None, SUBLANES, LANES), lambda i, j: (i, 0, 0),
                              memory_space=pltpu.VMEM)
-    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     return pl.pallas_call(
         kernel,
         grid=(n_tiles, n_chunks),
         in_specs=[
-            smem_spec, smem_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             t_spec,
             pl.BlockSpec((None, sigma1, n_words, SUBLANES, LANES),
                          lambda i, j: (i, 0, 0, 0, 0),
@@ -731,33 +752,33 @@ def sweep_nw_banded_pallas(peq: jnp.ndarray, targets: jnp.ndarray,
             pltpu.VMEM((n_words, SUBLANES, LANES), jnp.uint32),
             pltpu.VMEM((SUBLANES, LANES), jnp.int32),
             pltpu.VMEM((SUBLANES, LANES), jnp.int32),
-            pltpu.VMEM((SUBLANES, LANES), jnp.uint32),
-            pltpu.VMEM((SUBLANES, LANES), jnp.uint32),
         ],
         interpret=interpret,
-    )(wlo, whi, targets, peq, hi)
+    )(woff, targets, peq, hi)
 
 
 def nw_band_schedule(n_words: int, n_chunks: int, chunk: int,
                      d_lo: int, d_hi: int):
-    """Per-chunk WGROUP-aligned word windows for the diagonal band.
+    """(per-chunk window offsets, static window width) for the band.
 
     d_lo/d_hi: live diagonals row - col in scan space (min/max over the
     bucket's lanes of ceil((D-k)/2) / floor((D+k)/2), D = qlen - tlen).
+    The window always covers [w_lo, w_hi) of the exact band — wider is
+    still exact (extra top words just advance further; extra bottom words
+    start from the ramp reset) — and reaches the bottom word by the chunk
+    holding each feasible lane's final column.
     """
     j = np.arange(n_chunks, dtype=np.int64)
     c_first = j * chunk
     c_last = c_first + chunk - 1
     w_hi = np.clip((c_last + d_hi) // 32 + 1, 1, n_words)
     w_lo = np.clip((c_first + d_lo) // 32, 0, n_words - 1)
-    w_hi = np.minimum(-(-w_hi // WGROUP) * WGROUP, n_words)
-    w_lo = (w_lo // WGROUP) * WGROUP
-    w_lo = np.minimum(w_lo, w_hi - WGROUP)
-    w_lo = np.maximum(w_lo, 0)
-    # nondecreasing by construction; enforce for safety
-    w_hi = np.maximum.accumulate(w_hi)
-    w_lo = np.maximum.accumulate(w_lo)
-    return w_lo.astype(np.int32), w_hi.astype(np.int32)
+    w_lo = np.minimum(w_lo, w_hi - 1)
+    width = int(np.max(w_hi - w_lo))
+    n_win = min(-(-width // _WIN_ROUND) * _WIN_ROUND, n_words)
+    woff = np.clip(w_lo, 0, n_words - n_win)
+    woff = np.maximum.accumulate(woff)
+    return woff.astype(np.int32), n_win
 
 
 def build_peq_device(q_ids: jnp.ndarray, qlens: jnp.ndarray, sigma: int,
@@ -926,12 +947,12 @@ class PallasSweeper:
         else:
             tg = self.pack_targets_general(targets)
             n_chunks = tg.shape[1]
-        wlo, whi = nw_band_schedule(n_words, n_chunks, self.chunk,
-                                    d_lo, d_hi)
+        woff, n_win = nw_band_schedule(n_words, n_chunks, self.chunk,
+                                       d_lo, d_hi)
         hi_t = self.pack_lanes(hi)
         out = sweep_nw_banded_pallas(jnp.asarray(peq), jnp.asarray(tg),
-                                     jnp.asarray(wlo), jnp.asarray(whi),
-                                     jnp.asarray(hi_t), chunk=self.chunk,
+                                     jnp.asarray(woff), jnp.asarray(hi_t),
+                                     n_win, chunk=self.chunk,
                                      shared=shared,
                                      interpret=self.interpret)
         return self.unpack_lanes(np.asarray(out), B).astype(np.int64)

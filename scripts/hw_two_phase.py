@@ -237,39 +237,43 @@ def bench_banded():
     jax.block_until_ready((peq, tg))
     hi = jnp.full((n_tiles, 8, 128), N, jnp.int32)
     lo = jnp.maximum(hi - 1, 0)
-    wlo, whi = pk.nw_band_schedule(nw, n_chunks, CHUNK, -(K // 2), K // 2)
-    print(f"band words/col ~ {int(np.mean(whi - wlo))} of {nw}")
+    woff, n_win = pk.nw_band_schedule(nw, n_chunks, CHUNK, -(K // 2), K // 2)
+    print(f"band window {n_win} of {nw} words")
 
     full = pk.sweep_reduce_pallas(peq, tg, lo, hi, hin0=1, chunk=CHUNK)[3]
-    band = pk.sweep_nw_banded_pallas(peq, tg, jnp.asarray(wlo),
-                                     jnp.asarray(whi), hi, chunk=CHUNK)
+    band = pk.sweep_nw_banded_pallas(peq, tg, jnp.asarray(woff), hi, n_win,
+                                     chunk=CHUNK)
     full_np, band_np = np.asarray(full), np.asarray(band)
     ok = band_np[full_np <= K] == full_np[full_np <= K]
     print(f"exact: {ok.all()} (n={ok.size}, dist range "
           f"{full_np.min()}..{full_np.max()})")
     assert ok.all()
 
-    REPS = int(os.environ.get("REPS", 10))
+    REPS = int(os.environ.get("REPS", 500))
 
     def time_fn(fn):
+        # Rep-chaining protocol: perturb a SMALL input with an unfoldable
+        # zero (i >> 30) so XLA cannot hoist the loop-invariant kernel call,
+        # and use enough reps that the ~25-30ms tunnel RTT of the final
+        # scalar fetch is amortised (it dominates any <=10-rep timing).
         @jax.jit
-        def many(peq, tg):
+        def many(peq, tg, hi):
             def body(i, acc):
-                tg2 = tg.at[0, 0, 0, 0, 0].set(i % SIGMA)
-                return acc + fn(tg2).sum()
+                hi2 = hi.at[0, 0, 0].add(i >> 30)
+                return acc + fn(tg, hi2).sum()
             return jax.lax.fori_loop(0, REPS, body, jnp.int32(0))
-        many(peq, tg).block_until_ready()
+        many(peq, tg, hi).block_until_ready()
         t0 = time.time()
-        int(many(peq, tg))
+        int(many(peq, tg, hi))
         return time.time() - t0
 
-    dt_f = time_fn(lambda tg2: pk.sweep_reduce_pallas(
-        peq, tg2, lo, hi, hin0=1, chunk=CHUNK)[3])
-    dt_b = time_fn(lambda tg2: pk.sweep_nw_banded_pallas(
-        peq, tg2, jnp.asarray(wlo), jnp.asarray(whi), hi, chunk=CHUNK))
+    dt_f = time_fn(lambda tg2, hi2: pk.sweep_reduce_pallas(
+        peq, tg2, lo, hi2, hin0=1, chunk=CHUNK)[3])
+    dt_b = time_fn(lambda tg2, hi2: pk.sweep_nw_banded_pallas(
+        peq, tg2, jnp.asarray(woff), hi2, n_win, chunk=CHUNK))
     g = B * N * N * REPS / 1e9
     print(f"bench_banded[K={K}]: full {dt_f:.3f}s = {g/dt_f:.0f} GCUPS; "
-          f"banded {dt_b:.3f}s = {g/dt_b:.0f} GCUPS-equ040 "
+          f"banded[{n_win}/{nw}w] {dt_b:.3f}s = {g/dt_b:.0f} GCUPS-equiv "
           f"({dt_f/dt_b:.2f}x)")
 
 

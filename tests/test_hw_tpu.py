@@ -43,7 +43,9 @@ def _run_child(code: str, timeout: float) -> subprocess.CompletedProcess:
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "EDLIB_TPU_FORCE_PALLAS",
                         "EDLIB_TPU_DISABLE_DEVICE")}
-    env["PYTHONPATH"] = _REPO
+    # Prepend (not overwrite): the ambient PYTHONPATH carries the TPU
+    # plugin's sitecustomize in this environment.
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
     return subprocess.run([sys.executable, "-c", _CHILD_PRELUDE + code],
                           cwd=_REPO, env=env, capture_output=True,
                           text=True, timeout=timeout)
@@ -66,7 +68,7 @@ def tpu_ok():
         pytest.skip("hardware tests disabled via EDLIB_TPU_SKIP_HW_TESTS")
     probe = 'x = jax.numpy.ones((128, 128)); print(json.dumps({"s": float((x @ x).sum())}))'
     try:
-        r = _run_child(probe, timeout=150)
+        r = _run_child(probe, timeout=420)
     except subprocess.TimeoutExpired:
         pytest.skip("TPU probe timed out — no healthy chip")
     if r.returncode != 0:
@@ -107,7 +109,7 @@ for mode in ("NW", "HW", "SHW"):
                                           task=task, k=k))
 print(json.dumps(out))
 """
-    got = _child_json(code, timeout=600)
+    got = _child_json(code, timeout=900)
     from edlib_tpu import align
     queries, targets = _gen_pairs()
     i = 0
@@ -139,7 +141,7 @@ for _ in range(64):
 best, pos = map_reads(reads, target, mode="HW")
 print(json.dumps([best.tolist(), pos.tolist()]))
 """
-    got = _child_json(code, timeout=600)
+    got = _child_json(code, timeout=900)
     from edlib_tpu import align
     rng = np.random.RandomState(11)
     target = bytes(bytearray(b"ACGT"[c] for c in rng.randint(0, 4, 4096)))
@@ -170,7 +172,7 @@ b, p = wfb.shw_best(q, t[:2500], 4, k=-1)
 print(json.dumps({"unb": int(d_unb), "band": int(d_band),
                   "shw": [int(b), int(p)]}))
 """
-    got = _child_json(code, timeout=600)
+    got = _child_json(code, timeout=900)
     from edlib_tpu import align
     rng = np.random.RandomState(13)
     q = rng.randint(0, 4, 3000).astype(np.uint8)
