@@ -99,26 +99,17 @@ def _semiglobal_best_positions(q_ids, t_ids, eq, mode, k_eff
     if ctx is not None:
         from edlib_tpu import native_loader
         peq64, t_ext, w64 = ctx
-        # HW solutions never exceed qlen (edlib.cpp:566-568).
-        cap = qlen if mode == AlignMode.HW else 1 << 40
-        if k_eff is _INF or k_eff >= (1 << 40):
-            k = 64
-            while True:
-                kk = min(k, cap)
-                scores = native_loader.sweep_scores_banded_native(
-                    peq64, t_ext, hin0, kk)[w64:]
-                best, positions = _filter_locations(scores, qlen, kk)
-                if best >= 0:
-                    return best, positions
-                if kk >= cap and kk >= qlen:
-                    # Semiglobal best is always <= qlen; unreachable.
-                    break
-                k *= 2
-            return -1, []
-        kk = int(min(k_eff, cap))
-        scores = native_loader.sweep_scores_banded_native(
-            peq64, t_ext, hin0, kk)[w64:]
-        return _filter_locations(scores, qlen, k_eff)
+        # Inline native search: no score stream, dynamic-k doubling in C
+        # (etn_semiglobal_best; semiglobal best never exceeds qlen so the
+        # band caps there, edlib.cpp:566-568).
+        k = -1 if (k_eff is _INF or k_eff >= (1 << 40)) else int(k_eff)
+        out = native_loader.semiglobal_best_native(
+            peq64, t_ext, w64, qlen, len(t_ids), hin0, k)
+        if out is not None:
+            best, positions = out
+            if best < 0:
+                return -1, []
+            return best, [int(p) for p in positions]
     peq = encode.build_peq_bigint(q_ids, eq)
     scores = host_engine.semiglobal_scores(peq, t_ids, qlen, mode)
     return _filter_locations(scores, qlen, k_eff)
@@ -198,7 +189,11 @@ def _hw_start_locations(q_ids, t_ids, eq, edit_distance: int,
             # Open edge case acknowledged by the reference (edlib.cpp:237-249).
             starts.append(0)
             continue
-        rt_prefix = t_ids[:e + 1][::-1].copy()
+        # Minimal reversed-SHW positions never exceed qlen-1+edit_distance
+        # (cell value >= position - (qlen-1)): truncating bounds the O(e)
+        # prefix copy, matching the band-death exit (edlib.cpp:644-654).
+        lim = qlen + edit_distance
+        rt_prefix = t_ids[max(0, e + 1 - lim):e + 1][::-1].copy()
         _, positions = _semiglobal_best_positions(rq, rt_prefix, eq,
                                                   AlignMode.SHW,
                                                   edit_distance)

@@ -552,9 +552,28 @@ def align_batch_device(queries: Sequence, targets: Sequence,
     elif main_idx:
         hin0 = 0 if mode == AlignMode.HW else 1
         want_hits = mode != AlignMode.NW
-        summaries = _run_bucketed_summary([id_pairs[i] for i in main_idx],
-                                          sigma, eq, hin0, want_hits,
-                                          mesh=mesh)
+        sweep_pairs = [id_pairs[i] for i in main_idx]
+        if mode == AlignMode.SHW:
+            # SHW minimal end positions never exceed Q-1+best with
+            # best <= min(k, Q), so columns beyond Q+min(k, Q) cannot
+            # contribute — truncate the scan (band death, edlib.cpp:644-654).
+            trunc = []
+            slice_cache: Dict[Tuple[int, int], np.ndarray] = {}
+            for q_ids, t_ids in sweep_pairs:
+                lim = len(q_ids) + min(len(q_ids),
+                                       k if k >= 0 else len(q_ids))
+                if len(t_ids) > lim:
+                    # One slice object per (target, lim) so broadcast
+                    # targets keep their identity-based shared-bucket
+                    # fast path.
+                    key = (id(t_ids), lim)
+                    if key not in slice_cache:
+                        slice_cache[key] = t_ids[:lim]
+                    t_ids = slice_cache[key]
+                trunc.append((q_ids, t_ids))
+            sweep_pairs = trunc
+        summaries = _run_bucketed_summary(sweep_pairs, sigma, eq, hin0,
+                                          want_hits, mesh=mesh)
         for i, summ in zip(main_idx, summaries):
             res = results[i]
             qlen = len(id_pairs[i][0])
@@ -617,7 +636,14 @@ def _fill_start_locations(results, id_pairs, main_idx, mode, sigma, eq,
             if e == -1:
                 res.start_locations[j] = 0  # open edge case, edlib.cpp:237-249
                 continue
-            rt_prefix = t_ids[:e + 1][::-1].copy()
+            # The last minimal reversed-SHW position p satisfies
+            # p <= Q-1+e_d (any SHW cell value >= position - (Q-1)), so
+            # only the last Q+e_d target chars before e can matter — the
+            # host-side analogue of the reference's band-death early exit
+            # (edlib.cpp:644-654).  A short read mapped in a Mbp target
+            # re-sweeps ~Q+k columns instead of the whole prefix.
+            lim = len(q_ids) + res.edit_distance
+            rt_prefix = t_ids[max(0, e + 1 - lim):e + 1][::-1].copy()
             sub_pairs.append((rq, rt_prefix))
             sub_owner.append((i, j, e))
 

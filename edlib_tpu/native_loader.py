@@ -141,6 +141,11 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.etn_sweep_scores_banded.argtypes = [
         ctypes.c_void_p, c_i64, ctypes.c_void_p, c_i64, ctypes.c_int,
         c_i64, ctypes.c_void_p]
+    lib.etn_semiglobal_best.restype = c_i64
+    lib.etn_semiglobal_best.argtypes = [
+        ctypes.c_void_p, c_i64, ctypes.c_void_p, c_i64, c_i64, c_i64,
+        c_i64, ctypes.c_int, c_i64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_void_p]
     lib.etn_nw_distance_banded.restype = ctypes.c_int32
     lib.etn_nw_distance_banded.argtypes = [
         ctypes.c_void_p, c_i64, ctypes.c_void_p, c_i64, c_i64, c_i64]
@@ -324,6 +329,26 @@ def sweep_scores_banded_native(peq64: np.ndarray, target_ext: np.ndarray,
                                     hin0, int(k), out.ctypes.data)
     out[n:] = SCORE_INF  # band vanished: remaining columns are > k
     return out
+
+
+def semiglobal_best_native(peq64: np.ndarray, target_ext: np.ndarray,
+                           w_pad: int, qlen: int, tlen: int, hin0: int,
+                           k: int):
+    """(best, minimal end positions) in one native call — no score stream
+    is materialised (etn_semiglobal_best).  k < 0 runs the reference's
+    dynamic-k doubling loop in C.  Returns None without the native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    peq64 = np.ascontiguousarray(peq64, dtype=np.uint64)
+    target_ext = np.ascontiguousarray(target_ext, dtype=np.uint8)
+    locs = np.empty(tlen + 1, dtype=np.int32)
+    best = ctypes.c_int32(-1)
+    n = lib.etn_semiglobal_best(peq64.ctypes.data, peq64.shape[1],
+                                target_ext.ctypes.data, len(target_ext),
+                                int(w_pad), int(qlen), int(tlen), hin0,
+                                int(k), ctypes.byref(best), locs.ctypes.data)
+    return int(best.value), locs[:n]
 
 
 def build_peq64_native(q_ids: np.ndarray, eq: np.ndarray

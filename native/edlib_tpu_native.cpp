@@ -152,18 +152,36 @@ void etn_build_peq(const uint8_t* q_ids, int64_t qlen, const uint8_t* eq,
                    int sigma, Word* peq /* (sigma+1) * n_words */) {
     int64_t n_words = (qlen + WBITS - 1) / WBITS;
     if (n_words == 0) n_words = 1;
-    for (int s = 0; s <= sigma; s++) {
-        for (int64_t w = 0; w < n_words; w++) {
-            Word bits = 0;
-            for (int b = WBITS - 1; b >= 0; b--) {
-                int64_t r = w * WBITS + b;
-                bits <<= 1;
-                if (r >= qlen || s == sigma ||
-                    eq[(int64_t)q_ids[r] * sigma + s])
-                    bits |= 1;
-            }
-            peq[(int64_t)s * n_words + w] = bits;
-        }
+    // One pass over the query with per-symbol match lists (identity eq ->
+    // a single OR per position) instead of an O(qlen * sigma) per-cell eq
+    // probe: at Mbp scale the probe was the entire profile-build cost,
+    // and this runs once per Hirschberg node.
+    memset(peq, 0, (size_t)sigma * n_words * sizeof(Word));
+    Word* wrow = peq + (size_t)sigma * n_words;  // wildcard row: all-ones
+    for (int64_t w = 0; w < n_words; w++) wrow[w] = ~(Word)0;
+    std::vector<int16_t> ml((size_t)sigma * sigma);
+    std::vector<int> mn(sigma, 0);
+    for (int c = 0; c < sigma; c++) {
+        int n = 0;
+        for (int s = 0; s < sigma; s++)
+            if (eq[(int64_t)c * sigma + s])
+                ml[(size_t)c * sigma + n++] = (int16_t)s;
+        mn[c] = n;
+    }
+    for (int64_t r = 0; r < qlen; r++) {
+        int c = q_ids[r];
+        Word bit = (Word)1 << (r & (WBITS - 1));
+        Word* col = peq + (r >> 6);
+        const int16_t* l = &ml[(size_t)c * sigma];
+        int n = mn[c];
+        for (int i = 0; i < n; i++) col[(int64_t)l[i] * n_words] |= bit;
+    }
+    // Padding rows beyond qlen match everything (same as the wildcard
+    // row), so bottom-word cells stay pinned during wildcard extension.
+    if (qlen & (WBITS - 1)) {
+        Word pad = ~(Word)0 << (qlen & (WBITS - 1));
+        for (int s = 0; s < sigma; s++)
+            peq[(size_t)s * n_words + n_words - 1] |= pad;
     }
 }
 
@@ -218,9 +236,15 @@ static inline bool all_cells_above_k(Word P, Word M, int64_t bottom,
 // k-tightened steady state sits near the top for long stretches).
 // Returns the number of columns processed; entries beyond it are NOT
 // written (band-vanish early exit for SHW).
-int64_t etn_sweep_scores_banded(const Word* peq, int64_t n_words,
-                                const uint8_t* target, int64_t t_scan,
-                                int hin0, int64_t k, int32_t* scores_out) {
+// Core loop, templated over the per-bottom-column emitter so the
+// all-positions stream path and the inline (best, positions) path share
+// one implementation at zero cost.  emit(c, score) fires for every column
+// where the band reaches the bottom block.
+extern "C++" {
+template <class Emit>
+static int64_t sweep_banded_core(const Word* peq, int64_t n_words,
+                                 const uint8_t* target, int64_t t_scan,
+                                 int hin0, int64_t k, Emit&& emit) {
     const int64_t maxNB = n_words;
     std::vector<Word> Pv(maxNB, ~(Word)0), Mv(maxNB, 0);
     std::vector<int64_t> score(maxNB);
@@ -229,7 +253,6 @@ int64_t etn_sweep_scores_banded(const Word* peq, int64_t n_words,
     int64_t last = std::min((k + 1 + WBITS - 1) / WBITS, maxNB) - 1;
     if (last < 0) last = 0;
     const int64_t STRONG_EVERY = 2048;
-    int64_t gap_start = 0;  // first column not yet written to scores_out
 
     for (int64_t c = 0; c < t_scan; c++) {
         // Steady-state fast path: with k tightened the band often sits at
@@ -267,10 +290,7 @@ int64_t etn_sweep_scores_banded(const Word* peq, int64_t n_words,
             if (c >= t_scan) break;
             if (grew) {
                 if (last == maxNB - 1) {
-                    std::fill(scores_out + gap_start, scores_out + c,
-                              SCORE_INF);
-                    scores_out[c] = (int32_t)score[last];
-                    gap_start = c + 1;
+                    emit(c, score[last]);
                     if (score[last] < k) k = score[last];
                 }
                 continue;  // column c fully processed in the fast path
@@ -315,19 +335,33 @@ int64_t etn_sweep_scores_banded(const Word* peq, int64_t n_words,
                     first++;
             }
             if (last < first) {  // band vanished: all later scores > k
-                std::fill(scores_out + gap_start, scores_out + c, SCORE_INF);
                 return c;
             }
         }
         if (last == maxNB - 1) {
-            std::fill(scores_out + gap_start, scores_out + c, SCORE_INF);
-            scores_out[c] = (int32_t)score[last];
-            gap_start = c + 1;
+            emit(c, score[last]);
             if (score[last] < k) k = score[last];  // equal-or-better search
         }
     }
-    std::fill(scores_out + gap_start, scores_out + t_scan, SCORE_INF);
     return t_scan;
+}
+}  // extern "C++"
+
+// Stream variant: all bottom scores, INF-filled gaps (bulk fills per gap
+// run; entries beyond the returned count are NOT written).
+int64_t etn_sweep_scores_banded(const Word* peq, int64_t n_words,
+                                const uint8_t* target, int64_t t_scan,
+                                int hin0, int64_t k, int32_t* scores_out) {
+    int64_t gap_start = 0;
+    int64_t n = sweep_banded_core(
+        peq, n_words, target, t_scan, hin0, k,
+        [&](int64_t c, int64_t sc) {
+            std::fill(scores_out + gap_start, scores_out + c, SCORE_INF);
+            scores_out[c] = (int32_t)sc;
+            gap_start = c + 1;
+        });
+    std::fill(scores_out + gap_start, scores_out + n, SCORE_INF);
+    return n;
 }
 
 // NW banded distance: dynamic Ukkonen band (value- and position-adaptive
@@ -680,49 +714,65 @@ int64_t etn_nw_path(const uint8_t* q_ids, int64_t qlen,
 // when want_starts). edit_distance = -1 when above k.
 // ---------------------------------------------------------------------------
 
-static int64_t filter_positions(const int32_t* stream, int64_t n_valid,
-                                int64_t qlen, int64_t k_eff,
-                                int32_t* locs_out, int32_t* best_out) {
-    // All minimal end positions, ascending, over the first n_valid stream
-    // entries (later columns are implicitly > k); emulates the reference's
-    // 64-bit-padding -1 candidate (score exactly qlen iff qlen % 64 != 0).
-    int64_t best = SCORE_INF;
-    for (int64_t c = 0; c < n_valid; c++)
-        if (stream[c] < best) best = stream[c];
-    bool neg1 = (qlen % 64) != 0;
-    if (neg1 && qlen < best) best = qlen;
-    if (best > k_eff || best >= SCORE_INF) {
-        *best_out = -1;
-        return 0;
-    }
-    int64_t n = 0;
-    if (neg1 && qlen == best) locs_out[n++] = -1;
-    for (int64_t c = 0; c < n_valid; c++)
-        if (stream[c] == best) locs_out[n++] = (int32_t)c;
-    *best_out = (int32_t)best;
-    return n;
-}
-
 static void semiglobal_best(const Word* peq, int64_t n_words,
                             const uint8_t* t_ext, int64_t t_scan,
                             int64_t w_pad, int64_t qlen, int64_t tlen,
                             int hin0, int64_t k, bool dynamic,
-                            int32_t* stream,
-                            int32_t* best, int32_t* locs, int64_t* n_locs) {
+                            int32_t* best_out, int32_t* locs,
+                            int64_t* n_locs) {
+    // Inline (best, minimal positions) recording on the banded sweep — no
+    // O(tlen) score stream is ever materialised or re-scanned (the stream
+    // fill + filter dominated 1Mbp HW locations).  Position p maps to scan
+    // column p + w_pad (wildcard-extension delay); warm-up columns
+    // c < w_pad are ignored, matching the old stream-window filter.
     // Semiglobal best is always <= qlen, so the doubling loop caps there.
     int64_t kk = dynamic ? 64 : k;
     for (;;) {
         int64_t k_run = kk < qlen ? kk : qlen;
-        int64_t n_emitted = etn_sweep_scores_banded(
-            peq, n_words, t_ext, t_scan, hin0, k_run, stream);
-        int64_t n_valid = n_emitted - w_pad;
-        if (n_valid < 0) n_valid = 0;
-        if (n_valid > tlen) n_valid = tlen;
-        *n_locs = filter_positions(stream + w_pad, n_valid, qlen,
-                                   k_run, locs, best);
-        if (*best >= 0 || !dynamic || k_run >= qlen) return;
+        int64_t best = SCORE_INF;
+        int64_t n = 0;
+        sweep_banded_core(
+            peq, n_words, t_ext, t_scan, hin0, k_run,
+            [&](int64_t c, int64_t sc) {
+                int64_t p = c - w_pad;
+                if (p < 0 || p >= tlen || sc > best) return;
+                if (sc < best) { best = sc; n = 0; }
+                locs[n++] = (int32_t)p;
+            });
+        // Reference's 64-bit-padding -1 candidate (query entirely before
+        // the target): exists iff qlen % 64 != 0, scores exactly qlen.
+        if ((qlen % 64) != 0 && qlen <= best) {
+            if (qlen < best) { best = qlen; n = 0; }
+            memmove(locs + 1, locs, (size_t)n * sizeof(int32_t));
+            locs[0] = -1;
+            n++;
+        }
+        if (best > k_run || best >= SCORE_INF) {
+            *best_out = -1;
+            *n_locs = 0;
+        } else {
+            *best_out = (int32_t)best;
+            *n_locs = n;
+        }
+        if (*best_out >= 0 || !dynamic || k_run >= qlen) return;
         kk *= 2;
     }
+}
+
+// Exported inline (best, all minimal end positions) semiglobal search —
+// the no-stream counterpart of etn_sweep_scores_banded for callers that
+// only need locations (the Python PATH pipeline; edlib.cpp:199-217's
+// doubling loop when k < 0).  locs_out capacity: tlen + 1.  Returns the
+// number of locations; *best_out = -1 when above k.
+int64_t etn_semiglobal_best(const Word* peq, int64_t n_words,
+                            const uint8_t* t_ext, int64_t t_scan,
+                            int64_t w_pad, int64_t qlen, int64_t tlen,
+                            int hin0, int64_t k,
+                            int32_t* best_out, int32_t* locs_out) {
+    int64_t n_locs = 0;
+    semiglobal_best(peq, n_words, t_ext, t_scan, w_pad, qlen, tlen, hin0,
+                    k < 0 ? qlen : k, k < 0, best_out, locs_out, &n_locs);
+    return n_locs;
 }
 
 int etn_align(const uint8_t* query, int64_t qlen,
@@ -825,12 +875,10 @@ int etn_align(const uint8_t* query, int64_t qlen,
     memcpy(t_ext, t_ids, tlen);
     for (int64_t i = 0; i < w_pad; i++) t_ext[tlen + i] = (uint8_t)sigma;
     int hin0 = mode == 2 ? 0 : 1;
-    std::unique_ptr<int32_t[]> stream_b(new int32_t[tlen + w_pad]);
-    int32_t* stream = stream_b.get();
     int32_t best;
     int64_t n_locs;
     semiglobal_best(peq.data(), n_words, t_ext, tlen + w_pad, w_pad,
-                    qlen, tlen, hin0, k, dynamic, stream, &best,
+                    qlen, tlen, hin0, k, dynamic, &best,
                     end_locs_out, &n_locs);
     if (best < 0) return 0;
     *edit_distance_out = best;
@@ -855,7 +903,14 @@ int etn_align(const uint8_t* query, int64_t qlen,
             start_locs_out[i] = 0;  // open edge case (edlib.cpp:237-249)
             continue;
         }
+        // Any reversed-SHW position p with a minimal value satisfies
+        // p <= qlen-1+best (cell value >= p - (qlen-1)), so only the first
+        // qlen+best reversed columns can matter: truncating bounds the
+        // O(e) prefix copy per end location (the sweep itself already
+        // band-vanish-exits, mirroring edlib.cpp:644-654).
         int64_t plen = e + 1;
+        int64_t lim = qlen + *edit_distance_out;
+        if (plen > lim) plen = lim;
         rt_ext.resize(plen + w_pad);
         for (int64_t j = 0; j < plen; j++) rt_ext[j] = t_ids[e - j];
         for (int64_t j = 0; j < w_pad; j++) rt_ext[plen + j] = (uint8_t)sigma;
@@ -864,7 +919,7 @@ int etn_align(const uint8_t* query, int64_t qlen,
         int64_t sub_n;
         semiglobal_best(rpeq.data(), n_words, rt_ext.data(), plen + w_pad,
                         w_pad, qlen, plen, 1, *edit_distance_out, false,
-                        stream, &sub_best, sub_locs.data(), &sub_n);
+                        &sub_best, sub_locs.data(), &sub_n);
         start_locs_out[i] = (int32_t)(e - sub_locs[sub_n - 1]);
     }
     return 0;
@@ -878,10 +933,33 @@ int etn_align(const uint8_t* query, int64_t qlen,
 // most of its time rebuilding query profiles per node in numpy.
 // ---------------------------------------------------------------------------
 
-static int64_t obtain_alignment_rec(const uint8_t* q, int64_t qlen,
-                                    const uint8_t* t, int64_t tlen,
-                                    const uint8_t* eq, int sigma,
+extern "C++" {
+// Shared recursion state: the full forward/reversed sequences are
+// materialised ONCE and every node takes subrange views (the reversed
+// subrange [a, a+n) of q is grq[QL-a-n, QL-a)); the crossing-row and
+// profile scratch buffers are allocated once at the root and reused
+// depth-first.  The old per-node rq/rt copies + value-initialised
+// vectors were ~30% of the 94.5kbp PATH time.
+struct PathCtx {
+    const uint8_t* q0;
+    const uint8_t* t0;
+    const uint8_t* rq0;
+    const uint8_t* rt0;
+    int64_t QL, TL;
+    const uint8_t* eq;
+    int sigma;
+    int32_t* left;   // scratch, QL entries
+    int32_t* rev;    // scratch, QL entries
+    Word* peq;       // scratch, (sigma+1) * max_words
+    Word* rpeq;      // scratch, (sigma+1) * max_words
+};
+}  // extern "C++"
+
+static int64_t obtain_alignment_rec(PathCtx& cx, int64_t qo, int64_t qlen,
+                                    int64_t to, int64_t tlen,
                                     int64_t best, uint8_t* ops_out) {
+    const uint8_t* q = cx.q0 + qo;
+    const uint8_t* t = cx.t0 + to;
     if (qlen == 0 || tlen == 0) {
         uint8_t op = qlen == 0 ? 2 /*DELETE*/ : 1 /*INSERT*/;
         for (int64_t i = 0; i < qlen + tlen; i++) ops_out[i] = op;
@@ -890,26 +968,24 @@ static int64_t obtain_alignment_rec(const uint8_t* q, int64_t qlen,
     int64_t max_blocks = (qlen + WBITS - 1) / WBITS;
     int64_t mem = (2 * 8 + 4) * max_blocks * tlen + 2 * 4 * tlen;
     if (mem < 1024 * 1024) {
-        return etn_nw_path(q, qlen, t, tlen, eq, sigma, (int32_t)best,
+        return etn_nw_path(q, qlen, t, tlen, cx.eq, cx.sigma, (int32_t)best,
                            ops_out);
     }
     // Hirschberg split.
     int64_t n_words = max_blocks;
-    std::vector<Word> peq((size_t)(sigma + 1) * n_words);
-    etn_build_peq(q, qlen, eq, sigma, peq.data());
-    std::vector<uint8_t> rq(q, q + qlen), rt(t, t + tlen);
-    std::reverse(rq.begin(), rq.end());
-    std::reverse(rt.begin(), rt.end());
-    std::vector<Word> rpeq((size_t)(sigma + 1) * n_words);
-    etn_build_peq(rq.data(), qlen, eq, sigma, rpeq.data());
+    etn_build_peq(q, qlen, cx.eq, cx.sigma, cx.peq);
+    const uint8_t* rq = cx.rq0 + (cx.QL - (qo + qlen));
+    const uint8_t* rt = cx.rt0 + (cx.TL - (to + tlen));
+    etn_build_peq(rq, qlen, cx.eq, cx.sigma, cx.rpeq);
 
     int64_t left_w = tlen / 2;
     int64_t right_w = tlen - left_w;
-    std::vector<int32_t> left(qlen), rev(qlen);
-    etn_nw_cells_at_banded(peq.data(), n_words, qlen, t, tlen,
-                           left_w - 1, best, left.data());
-    etn_nw_cells_at_banded(rpeq.data(), n_words, qlen, rt.data(), tlen,
-                           right_w - 1, best, rev.data());
+    int32_t* left = cx.left;
+    int32_t* rev = cx.rev;
+    etn_nw_cells_at_banded(cx.peq, n_words, qlen, t, tlen,
+                           left_w - 1, best, left);
+    etn_nw_cells_at_banded(cx.rpeq, n_words, qlen, rt, tlen,
+                           right_w - 1, best, rev);
     // right_suffix[i] = rev[qlen-1-i]; search rows 0..qlen-2 first, then
     // the -1 and qlen-1 boundary rows (the reference's tie order,
     // edlib.cpp:1327-1353).
@@ -926,11 +1002,11 @@ static int64_t obtain_alignment_rec(const uint8_t* q, int64_t qlen,
         row = qlen - 1; l_score = left[qlen - 1]; r_score = right_w;
     }
     if (row == -2) return -1;  // bestScore inconsistent
-    int64_t n1 = obtain_alignment_rec(q, row + 1, t, left_w, eq, sigma,
+    int64_t n1 = obtain_alignment_rec(cx, qo, row + 1, to, left_w,
                                       l_score, ops_out);
     if (n1 < 0) return -1;
-    int64_t n2 = obtain_alignment_rec(q + row + 1, qlen - row - 1,
-                                      t + left_w, tlen - left_w, eq, sigma,
+    int64_t n2 = obtain_alignment_rec(cx, qo + row + 1, qlen - row - 1,
+                                      to + left_w, tlen - left_w,
                                       r_score, ops_out + n1);
     if (n2 < 0) return -1;
     return n1 + n2;
@@ -940,8 +1016,19 @@ int64_t etn_obtain_alignment(const uint8_t* q_ids, int64_t qlen,
                              const uint8_t* t_ids, int64_t tlen,
                              const uint8_t* eq, int sigma,
                              int32_t best_score, uint8_t* ops_out) {
-    return obtain_alignment_rec(q_ids, qlen, t_ids, tlen, eq, sigma,
-                                best_score, ops_out);
+    int64_t max_words = (qlen + WBITS - 1) / WBITS;
+    if (max_words == 0) max_words = 1;
+    std::unique_ptr<uint8_t[]> rq(new uint8_t[qlen ? qlen : 1]);
+    std::unique_ptr<uint8_t[]> rt(new uint8_t[tlen ? tlen : 1]);
+    for (int64_t i = 0; i < qlen; i++) rq[i] = q_ids[qlen - 1 - i];
+    for (int64_t i = 0; i < tlen; i++) rt[i] = t_ids[tlen - 1 - i];
+    std::unique_ptr<int32_t[]> left(new int32_t[qlen ? qlen : 1]);
+    std::unique_ptr<int32_t[]> rev(new int32_t[qlen ? qlen : 1]);
+    std::unique_ptr<Word[]> peq(new Word[(size_t)(sigma + 1) * max_words]);
+    std::unique_ptr<Word[]> rpeq(new Word[(size_t)(sigma + 1) * max_words]);
+    PathCtx cx{q_ids, t_ids, rq.get(), rt.get(), qlen, tlen, eq, sigma,
+               left.get(), rev.get(), peq.get(), rpeq.get()};
+    return obtain_alignment_rec(cx, 0, qlen, 0, tlen, best_score, ops_out);
 }
 
 }  // extern "C"
