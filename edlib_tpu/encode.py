@@ -94,6 +94,11 @@ def transform_sequences(query: bytes, target: bytes
     Returns (query_ids uint8, target_ids uint8, alphabet bytes where
     alphabet[i] is the original char with ordinal i).
     """
+    from edlib_tpu import native_loader
+    if native_loader.available():
+        out = native_loader.transform_native(bytes(query), bytes(target))
+        if out is not None:
+            return out
     q = np.frombuffer(query, dtype=np.uint8)
     t = np.frombuffer(target, dtype=np.uint8)
     letter_idx = np.full(MAX_ALPHABET, -1, dtype=np.int16)

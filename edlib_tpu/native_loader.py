@@ -146,6 +146,10 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, c_i64, ctypes.c_void_p, c_i64, c_i64, c_i64,
         c_i64, ctypes.c_int, c_i64,
         ctypes.POINTER(ctypes.c_int32), ctypes.c_void_p]
+    lib.etn_transform.restype = c_i64
+    lib.etn_transform.argtypes = [
+        ctypes.c_char_p, c_i64, ctypes.c_char_p, c_i64, c_i64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     lib.etn_nw_distance_banded.restype = ctypes.c_int32
     lib.etn_nw_distance_banded.argtypes = [
         ctypes.c_void_p, c_i64, ctypes.c_void_p, c_i64, c_i64, c_i64]
@@ -349,6 +353,28 @@ def semiglobal_best_native(peq64: np.ndarray, target_ext: np.ndarray,
                                 int(w_pad), int(qlen), int(tlen), hin0,
                                 int(k), ctypes.byref(best), locs.ctypes.data)
     return int(best.value), locs[:n]
+
+
+def transform_native(query: bytes, target: bytes):
+    """(q_ids, t_ids, alphabet) via the branchless C table passes — the
+    numpy unique+argsort transform costs ~20ms/Mbp; this is memcpy-speed.
+    Returns None without the native lib; raises ValueError above 256
+    symbols (parity with transform_sequences)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    q_ids = np.empty(max(len(query), 1), dtype=np.uint8)
+    t_ids = np.empty(max(len(target), 1), dtype=np.uint8)
+    alphabet = np.empty(256, dtype=np.uint8)
+    sigma = lib.etn_transform(query, len(query), target, len(target), 256,
+                              q_ids.ctypes.data, t_ids.ctypes.data,
+                              alphabet.ctypes.data)
+    if sigma < 0:
+        raise ValueError(
+            "query and target combined have more than 256 unique values, "
+            "this is not supported.")
+    return (q_ids[:len(query)], t_ids[:len(target)],
+            alphabet[:sigma].tobytes())
 
 
 def build_peq64_native(q_ids: np.ndarray, eq: np.ndarray

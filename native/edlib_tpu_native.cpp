@@ -727,6 +727,28 @@ static void semiglobal_best(const Word* peq, int64_t n_words,
     // c < w_pad are ignored, matching the old stream-window filter.
     // Semiglobal best is always <= qlen, so the doubling loop caps there.
     int64_t kk = dynamic ? 64 : k;
+    // NW upper-bound probe (pruning-only, output-identical): semiglobal
+    // best <= NW(q, t) since HW/SHW minimise over substrings/prefixes and
+    // the full target is one of them.  For near-square pairs the
+    // near-diagonal banded NW distance is an order of magnitude cheaper
+    // than the semiglobal doubling ladder (whose failing iterations sweep
+    // ever-wider semiglobal bands), so one exact sweep at k = d_NW
+    // replaces the whole ladder (for SHW the failing iterations
+    // band-vanish-exit early, but skipping straight to one exact sweep
+    // still measures faster at high similarity and neutral below).
+    // Skipped when tlen >> qlen (read mapping: d_NW is dominated by
+    // deletions and useless as a bound).
+    if (dynamic && qlen >= 4096 && tlen <= qlen + qlen / 2) {
+        int64_t bound = qlen > tlen ? qlen : tlen;
+        int32_t d = -1;
+        for (int64_t kp = 64;; kp *= 2) {
+            int64_t k_run = kp < bound ? kp : bound;
+            d = etn_nw_distance_banded(peq, n_words, t_ext, tlen, qlen,
+                                       k_run);
+            if (d >= 0 || k_run >= bound) break;
+        }
+        if (d >= 0) kk = d;
+    }
     for (;;) {
         int64_t k_run = kk < qlen ? kk : qlen;
         int64_t best = SCORE_INF;
@@ -775,6 +797,52 @@ int64_t etn_semiglobal_best(const Word* peq, int64_t n_words,
     return n_locs;
 }
 
+// Alphabet transform (first-appearance order, query then target —
+// transformSequences, edlib.cpp:1417-1462).  Branchless table passes
+// (auto-vectorizable); the rare unseen symbol is detected via the sign
+// bit and handled by a scalar redo from that point (alphabets saturate
+// within the first few hundred chars in practice).  alphabet_out (cap
+// 256) receives the original byte per ordinal.  Returns sigma, or -1 if
+// more than max_sigma symbols appear.
+int64_t etn_transform(const uint8_t* query, int64_t qlen,
+                      const uint8_t* target, int64_t tlen,
+                      int64_t max_sigma,
+                      uint8_t* q_ids, uint8_t* t_ids,
+                      uint8_t* alphabet_out) {
+    int16_t letter_idx[256];
+    for (int i = 0; i < 256; i++) letter_idx[i] = -1;
+    int64_t sigma = 0;
+    for (int64_t i = 0; i < qlen; i++) {
+        if (letter_idx[query[i]] < 0) {
+            if (sigma >= max_sigma) return -1;
+            alphabet_out[sigma] = query[i];
+            letter_idx[query[i]] = (int16_t)sigma++;
+        }
+        q_ids[i] = (uint8_t)letter_idx[query[i]];
+    }
+    int64_t i = 0;
+    while (i < tlen) {
+        int64_t bad = -1;
+        for (; i < tlen; i++) {
+            int16_t v = letter_idx[target[i]];
+            t_ids[i] = (uint8_t)v;
+            if (v < 0) { bad = i; break; }
+        }
+        if (bad < 0) break;
+        // discover symbols scalar-style until the table stabilises
+        int64_t stop = bad + 4096 < tlen ? bad + 4096 : tlen;
+        for (i = bad; i < stop; i++) {
+            if (letter_idx[target[i]] < 0) {
+                if (sigma >= max_sigma) return -1;
+                alphabet_out[sigma] = target[i];
+                letter_idx[target[i]] = (int16_t)sigma++;
+            }
+            t_ids[i] = (uint8_t)letter_idx[target[i]];
+        }
+    }
+    return sigma;
+}
+
 int etn_align(const uint8_t* query, int64_t qlen,
               const uint8_t* target, int64_t tlen,
               int mode /*0 NW,1 SHW,2 HW*/, int want_starts, int64_t k,
@@ -783,45 +851,21 @@ int etn_align(const uint8_t* query, int64_t qlen,
               int32_t* edit_distance_out, int32_t* alphabet_len_out,
               int32_t* end_locs_out, int64_t* n_locs_out,
               int32_t* start_locs_out) {
-    // --- alphabet transform (first-appearance order, query then target) ---
-    int16_t letter_idx[256];
-    for (int i = 0; i < 256; i++) letter_idx[i] = -1;
-    int sigma = 0;
     // Uninitialized buffers: value-init memsets cost ~1ms/Mbp per call.
     std::unique_ptr<uint8_t[]> q_ids_b(new uint8_t[qlen ? qlen : 1]);
     std::unique_ptr<uint8_t[]> t_ids_b(new uint8_t[tlen ? tlen : 1]);
     uint8_t* q_ids = q_ids_b.get();
     uint8_t* t_ids = t_ids_b.get();
-    for (int64_t i = 0; i < qlen; i++) {
-        if (letter_idx[query[i]] < 0) letter_idx[query[i]] = (int16_t)sigma++;
-        if (sigma > 255) return 1;
-        q_ids[i] = (uint8_t)letter_idx[query[i]];
-    }
-    // Target: branchless table pass (auto-vectorizable); the rare unseen
-    // symbol is detected via the sign bit and handled by a scalar redo
-    // from that point (alphabets saturate within the first few hundred
-    // chars in practice).
-    {
-        int64_t i = 0;
-        while (i < tlen) {
-            int64_t bad = -1;
-            for (; i < tlen; i++) {
-                int16_t v = letter_idx[target[i]];
-                t_ids[i] = (uint8_t)v;
-                if (v < 0) { bad = i; break; }
-            }
-            if (bad < 0) break;
-            // discover symbols scalar-style until the table stabilises
-            int64_t stop = bad + 4096 < tlen ? bad + 4096 : tlen;
-            for (i = bad; i < stop; i++) {
-                if (letter_idx[target[i]] < 0) {
-                    letter_idx[target[i]] = (int16_t)sigma++;
-                    if (sigma > 255) return 1;
-                }
-                t_ids[i] = (uint8_t)letter_idx[target[i]];
-            }
-        }
-    }
+    uint8_t alphabet[256];
+    // 255-symbol cap: the wildcard/NULL convention needs byte headroom.
+    int64_t sigma64 = etn_transform(query, qlen, target, tlen, 255,
+                                    q_ids, t_ids, alphabet);
+    if (sigma64 < 0) return 1;
+    int sigma = (int)sigma64;
+    // letter_idx rebuilt from the alphabet for the equality-pair lookup.
+    int16_t letter_idx[256];
+    for (int i = 0; i < 256; i++) letter_idx[i] = -1;
+    for (int s = 0; s < sigma; s++) letter_idx[alphabet[s]] = (int16_t)s;
     *alphabet_len_out = sigma;
 
     // --- equality matrix ---
