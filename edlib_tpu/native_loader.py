@@ -64,7 +64,7 @@ def _build_and_load_ext():
         inc = sysconfig.get_paths()["include"]
         try:
             subprocess.run(
-                ["g++", "-O3", "-std=c++17", "-fPIC", "-march=native",
+                ["g++", "-O3", "-std=c++17", "-fPIC", "-march=native", "-pthread",
                  "-shared", "-I", inc, src, core, "-o", ext_path],
                 check=True, capture_output=True, timeout=300)
         except (subprocess.SubprocessError, FileNotFoundError, OSError):
@@ -99,7 +99,7 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             or os.path.getmtime(lib_path) < os.path.getmtime(src)):
         try:
             subprocess.run(
-                ["g++", "-O3", "-std=c++17", "-fPIC", "-march=native",
+                ["g++", "-O3", "-std=c++17", "-fPIC", "-march=native", "-pthread",
                  "-shared", "-o", lib_path, src],
                 check=True, capture_output=True, timeout=300)
         except (subprocess.SubprocessError, FileNotFoundError, OSError):

@@ -23,6 +23,7 @@
 #include <cstring>
 #include <memory>
 #include <algorithm>
+#include <thread>
 #include <vector>
 
 typedef uint64_t Word;
@@ -981,9 +982,9 @@ extern "C++" {
 // Shared recursion state: the full forward/reversed sequences are
 // materialised ONCE and every node takes subrange views (the reversed
 // subrange [a, a+n) of q is grq[QL-a-n, QL-a)); the crossing-row and
-// profile scratch buffers are allocated once at the root and reused
-// depth-first.  The old per-node rq/rt copies + value-initialised
-// vectors were ~30% of the 94.5kbp PATH time.
+// profile scratch buffers are allocated per parallel task and reused
+// depth-first below it.  The old per-node rq/rt copies + value-
+// initialised vectors were ~30% of the 94.5kbp PATH time.
 struct PathCtx {
     const uint8_t* q0;
     const uint8_t* t0;
@@ -992,16 +993,47 @@ struct PathCtx {
     int64_t QL, TL;
     const uint8_t* eq;
     int sigma;
-    int32_t* left;   // scratch, QL entries
-    int32_t* rev;    // scratch, QL entries
-    Word* peq;       // scratch, (sigma+1) * max_words
-    Word* rpeq;      // scratch, (sigma+1) * max_words
+    bool threads;    // parallel halves + children at shallow depths
 };
+
+struct PathScratch {
+    std::unique_ptr<int32_t[]> left, rev;  // crossing-row cells, qlen each
+    std::unique_ptr<Word[]> peq, rpeq;     // (sigma+1) * max_words
+    explicit PathScratch(int64_t qlen, int sigma) {
+        int64_t mw = (qlen + WBITS - 1) / WBITS;
+        if (mw == 0) mw = 1;
+        left.reset(new int32_t[qlen ? qlen : 1]);
+        rev.reset(new int32_t[qlen ? qlen : 1]);
+        peq.reset(new Word[(size_t)(sigma + 1) * mw]);
+        rpeq.reset(new Word[(size_t)(sigma + 1) * mw]);
+    }
+};
+
+static bool path_threads_enabled() {
+    // The reference is single-threaded; the host runtime is not.  Opt out
+    // with EDLIB_TPU_THREADS=0|1 (thread count is implicit: at most
+    // 2^PAR_DEPTH tasks + one transient half-sweep thread per node).
+    static const bool on = [] {
+        const char* env = std::getenv("EDLIB_TPU_THREADS");
+        if (env != nullptr && (env[0] == '0' || env[0] == '1') && !env[1])
+            return false;
+        return std::thread::hardware_concurrency() >= 2;
+    }();
+    return on;
+}
 }  // extern "C++"
 
-static int64_t obtain_alignment_rec(PathCtx& cx, int64_t qo, int64_t qlen,
+// Parallelisation gates: children fork while depth < PAR_DEPTH; the two
+// half-sweeps of a node run concurrently when the node is big enough to
+// amortise a thread spawn (~50us vs ~ms-scale sweeps).
+static const int PAR_DEPTH = 2;
+static const int64_t PAR_HALVES_MIN_CELLS = 16 * 1000 * 1000;
+
+static int64_t obtain_alignment_rec(const PathCtx& cx, PathScratch& sc,
+                                    int64_t qo, int64_t qlen,
                                     int64_t to, int64_t tlen,
-                                    int64_t best, uint8_t* ops_out) {
+                                    int64_t best, uint8_t* ops_out,
+                                    int depth) {
     const uint8_t* q = cx.q0 + qo;
     const uint8_t* t = cx.t0 + to;
     if (qlen == 0 || tlen == 0) {
@@ -1017,19 +1049,29 @@ static int64_t obtain_alignment_rec(PathCtx& cx, int64_t qo, int64_t qlen,
     }
     // Hirschberg split.
     int64_t n_words = max_blocks;
-    etn_build_peq(q, qlen, cx.eq, cx.sigma, cx.peq);
+    etn_build_peq(q, qlen, cx.eq, cx.sigma, sc.peq.get());
     const uint8_t* rq = cx.rq0 + (cx.QL - (qo + qlen));
     const uint8_t* rt = cx.rt0 + (cx.TL - (to + tlen));
-    etn_build_peq(rq, qlen, cx.eq, cx.sigma, cx.rpeq);
+    etn_build_peq(rq, qlen, cx.eq, cx.sigma, sc.rpeq.get());
 
     int64_t left_w = tlen / 2;
     int64_t right_w = tlen - left_w;
-    int32_t* left = cx.left;
-    int32_t* rev = cx.rev;
-    etn_nw_cells_at_banded(cx.peq, n_words, qlen, t, tlen,
-                           left_w - 1, best, left);
-    etn_nw_cells_at_banded(cx.rpeq, n_words, qlen, rt, tlen,
-                           right_w - 1, best, rev);
+    int32_t* left = sc.left.get();
+    int32_t* rev = sc.rev.get();
+    if (cx.threads && qlen * tlen >= PAR_HALVES_MIN_CELLS) {
+        std::thread fwd([&] {
+            etn_nw_cells_at_banded(sc.peq.get(), n_words, qlen, t, tlen,
+                                   left_w - 1, best, left);
+        });
+        etn_nw_cells_at_banded(sc.rpeq.get(), n_words, qlen, rt, tlen,
+                               right_w - 1, best, rev);
+        fwd.join();
+    } else {
+        etn_nw_cells_at_banded(sc.peq.get(), n_words, qlen, t, tlen,
+                               left_w - 1, best, left);
+        etn_nw_cells_at_banded(sc.rpeq.get(), n_words, qlen, rt, tlen,
+                               right_w - 1, best, rev);
+    }
     // right_suffix[i] = rev[qlen-1-i]; search rows 0..qlen-2 first, then
     // the -1 and qlen-1 boundary rows (the reference's tie order,
     // edlib.cpp:1327-1353).
@@ -1046,12 +1088,33 @@ static int64_t obtain_alignment_rec(PathCtx& cx, int64_t qo, int64_t qlen,
         row = qlen - 1; l_score = left[qlen - 1]; r_score = right_w;
     }
     if (row == -2) return -1;  // bestScore inconsistent
-    int64_t n1 = obtain_alignment_rec(cx, qo, row + 1, to, left_w,
-                                      l_score, ops_out);
+    int64_t q1 = row + 1, q2 = qlen - row - 1;
+    int64_t t1 = left_w, t2 = tlen - left_w;
+    if (cx.threads && depth < PAR_DEPTH) {
+        // Children are independent; the second child's ops offset depends
+        // on the first's length, so it runs into a bounded temp buffer
+        // (|ops| <= qlen + tlen) and is spliced after the join.
+        int64_t n1 = -1;
+        PathScratch sc1(q1, cx.sigma);
+        std::thread child([&] {
+            n1 = obtain_alignment_rec(cx, sc1, qo, q1, to, t1, l_score,
+                                      ops_out, depth + 1);
+        });
+        std::unique_ptr<uint8_t[]> tmp(new uint8_t[(size_t)(q2 + t2)]);
+        PathScratch sc2(q2, cx.sigma);
+        int64_t n2 = obtain_alignment_rec(cx, sc2, qo + q1, q2, to + t1,
+                                          t2, r_score, tmp.get(),
+                                          depth + 1);
+        child.join();
+        if (n1 < 0 || n2 < 0) return -1;
+        memcpy(ops_out + n1, tmp.get(), (size_t)n2);
+        return n1 + n2;
+    }
+    int64_t n1 = obtain_alignment_rec(cx, sc, qo, q1, to, t1, l_score,
+                                      ops_out, depth + 1);
     if (n1 < 0) return -1;
-    int64_t n2 = obtain_alignment_rec(cx, qo + row + 1, qlen - row - 1,
-                                      to + left_w, tlen - left_w,
-                                      r_score, ops_out + n1);
+    int64_t n2 = obtain_alignment_rec(cx, sc, qo + q1, q2, to + t1, t2,
+                                      r_score, ops_out + n1, depth + 1);
     if (n2 < 0) return -1;
     return n1 + n2;
 }
@@ -1060,19 +1123,15 @@ int64_t etn_obtain_alignment(const uint8_t* q_ids, int64_t qlen,
                              const uint8_t* t_ids, int64_t tlen,
                              const uint8_t* eq, int sigma,
                              int32_t best_score, uint8_t* ops_out) {
-    int64_t max_words = (qlen + WBITS - 1) / WBITS;
-    if (max_words == 0) max_words = 1;
     std::unique_ptr<uint8_t[]> rq(new uint8_t[qlen ? qlen : 1]);
     std::unique_ptr<uint8_t[]> rt(new uint8_t[tlen ? tlen : 1]);
     for (int64_t i = 0; i < qlen; i++) rq[i] = q_ids[qlen - 1 - i];
     for (int64_t i = 0; i < tlen; i++) rt[i] = t_ids[tlen - 1 - i];
-    std::unique_ptr<int32_t[]> left(new int32_t[qlen ? qlen : 1]);
-    std::unique_ptr<int32_t[]> rev(new int32_t[qlen ? qlen : 1]);
-    std::unique_ptr<Word[]> peq(new Word[(size_t)(sigma + 1) * max_words]);
-    std::unique_ptr<Word[]> rpeq(new Word[(size_t)(sigma + 1) * max_words]);
     PathCtx cx{q_ids, t_ids, rq.get(), rt.get(), qlen, tlen, eq, sigma,
-               left.get(), rev.get(), peq.get(), rpeq.get()};
-    return obtain_alignment_rec(cx, 0, qlen, 0, tlen, best_score, ops_out);
+               path_threads_enabled()};
+    PathScratch sc(qlen, sigma);
+    return obtain_alignment_rec(cx, sc, 0, qlen, 0, tlen, best_score,
+                                ops_out, 0);
 }
 
 }  // extern "C"
