@@ -263,6 +263,19 @@ def align_ids(q_ids: np.ndarray, t_ids: np.ndarray, eq: np.ndarray,
     return result
 
 
+# Exact-spelling fast lookups for the hot align() prologue (the generic
+# enum parses cost ~1us/call at N=30 scale); any other spelling falls back
+# to the full parser.
+_MODE_LUT = {"NW": AlignMode.NW, "SHW": AlignMode.SHW, "HW": AlignMode.HW,
+             AlignMode.NW: AlignMode.NW, AlignMode.SHW: AlignMode.SHW,
+             AlignMode.HW: AlignMode.HW}
+_TASK_LUT = {"distance": AlignTask.DISTANCE, "locations": AlignTask.LOC,
+             "path": AlignTask.PATH, AlignTask.DISTANCE: AlignTask.DISTANCE,
+             AlignTask.LOC: AlignTask.LOC, AlignTask.PATH: AlignTask.PATH}
+_EXT = None
+_EXT_TRIED = False
+
+
 def align(query, target, mode="NW", task="distance", k=-1,
           additionalEqualities=None) -> dict:
     """Align query with target using edit distance.
@@ -271,8 +284,10 @@ def align(query, target, mode="NW", task="distance", k=-1,
     (edlib.pyx:56-155): returns {editDistance, alphabetLength,
     locations: [(start|None, end)], cigar (extended) | None}.
     """
-    mode = AlignMode.parse(mode)
-    task = AlignTask.parse(task)
+    m = _MODE_LUT.get(mode)
+    mode = AlignMode.parse(mode) if m is None else m
+    tk = _TASK_LUT.get(task)
+    task = AlignTask.parse(task) if tk is None else tk
     if k is None:
         k = -1
     qb, tb, eq_pairs = encode.map_to_bytes(query, target, additionalEqualities)
@@ -284,7 +299,11 @@ def align(query, target, mode="NW", task="distance", k=-1,
     nw_huge = (mode == AlignMode.NW
                and _nw_wavefront_enabled(len(qb), len(tb), 0))
     if task != AlignTask.PATH and len(qb) and len(tb) and not nw_huge:
-        ext = native_loader.get_ext()
+        global _EXT, _EXT_TRIED
+        if not _EXT_TRIED:
+            _EXT = native_loader.get_ext()
+            _EXT_TRIED = True
+        ext = _EXT
         if ext is not None:
             eq_a = eq_b = None
             if eq_pairs:
