@@ -146,12 +146,23 @@ def semiglobal_locations_long(query, target, mode: str = "HW", k: int = -1,
         _semiglobal_best_positions, _INF
     k_eff = _INF if k < 0 else k
     if use_wavefront:
-        from edlib_tpu.ops.wavefront import Wavefront
         forced = os.environ.get("EDLIB_TPU_FORCE_PALLAS", "")
+        if mode == "SHW":
+            # Banded full-stream search: sliding window to the pin, then
+            # the stream-emitting tail over the only columns that can
+            # hold values <= k (~8-30x less work on similar pairs).
+            from edlib_tpu.ops.wavefront import BandedWavefront
+            wfb = BandedWavefront(interpret=(forced == "interpret"))
+            return wfb.shw_locations(q_ids.astype(np.uint8),
+                                     t_ids.astype(np.uint8), sigma,
+                                     k=-1 if k_eff is _INF else int(k_eff))
+        # HW has no static band (free start per column); the unbanded
+        # stream wavefront + host filter is output-equivalent.
+        from edlib_tpu.ops.wavefront import Wavefront
         wf = Wavefront(interpret=(forced == "interpret"))
         scores = wf.semiglobal_scores(q_ids.astype(np.uint8),
                                       t_ids.astype(np.uint8), sigma,
-                                      mode_is_hw=(mode == "HW"))
+                                      mode_is_hw=True)
         return _filter_locations(scores, qlen, k_eff)
     eq = np.eye(sigma, dtype=bool)
     return _semiglobal_best_positions(q_ids, t_ids, eq, mode, k_eff)

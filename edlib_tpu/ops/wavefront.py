@@ -63,18 +63,27 @@ def _wf_kernel(d_base_ref, targets_ref, peq_ref, state_in_ref, out_ref,
                state_out_ref, stream_ref, pv_ref, mv_ref, sym_ref,
                hn_ref, hp_ref, sc_ref, rmin_ref, rpos_ref, *, R: int,
                sigma1: int, chunk: int, hin0: int, n_words: int,
-               col_lo: int, col_hi: int, t_scan: int, emit_stream: bool):
+               col_lo: int, col_hi: int, t_scan: int, emit_stream: bool,
+               word0: int = 0):
+    """word0 > 0 runs the SAME recurrences on the word window
+    [word0, word0 + R*128): the pinned-tail phase of the banded wavefront
+    (once its window stops sliding, the banded kernel IS this kernel on
+    the window — band entry/exit only ever acted through slides), which is
+    how banded runs get full bottom-score streams.  Slot 0's hin then uses
+    the banded top-boundary +1 fill via hin0=1, keeping every value an
+    upper bound that is exact wherever <= k."""
     t_step = pl.program_id(0)
     n_chunks = pl.num_programs(0)
     shape = (R, LANES)
     rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     lanes = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    word_idx = rows * LANES + lanes
+    word_idx = word0 + rows * LANES + lanes
     # Bottom word's fixed tile slot (static): its score is sampled each
     # step into a collector tile that shifts one slot per step, flushed to
     # the HBM stream once per chunk — the spatial analogue of a per-step
     # dynamic scalar store, which Mosaic cannot do.
-    row_b, lane_b = (n_words - 1) // LANES, (n_words - 1) % LANES
+    row_b = (n_words - 1 - word0) // LANES
+    lane_b = (n_words - 1 - word0) % LANES
 
     @pl.when(t_step == 0)
     def _init():
@@ -168,10 +177,10 @@ def _wf_kernel(d_base_ref, targets_ref, peq_ref, state_in_ref, out_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "R", "sigma1", "chunk", "hin0", "n_words", "col_lo", "col_hi",
-    "t_scan", "emit_stream", "interpret"))
+    "t_scan", "emit_stream", "word0", "interpret"))
 def _wavefront_call(d_base, targets, peq, state, *, R, sigma1, chunk, hin0,
                     n_words, col_lo, col_hi, t_scan, emit_stream=False,
-                    interpret=False):
+                    word0=0, interpret=False):
     """One resumable segment of the wavefront: runs targets.shape[0]*chunk
     steps from absolute step d_base, returns (out (3,R,128) int32,
     new state (8,R,128) uint32, stream (n_chunks|1, R, 128) int32)."""
@@ -179,7 +188,7 @@ def _wavefront_call(d_base, targets, peq, state, *, R, sigma1, chunk, hin0,
     kernel = functools.partial(_wf_kernel, R=R, sigma1=sigma1, chunk=chunk,
                                hin0=hin0, n_words=n_words, col_lo=col_lo,
                                col_hi=col_hi, t_scan=t_scan,
-                               emit_stream=emit_stream)
+                               emit_stream=emit_stream, word0=word0)
     shape = (R, LANES)
     if emit_stream:
         stream_spec = pl.BlockSpec((None,) + shape, lambda j: (j, 0, 0),
@@ -563,17 +572,13 @@ class BandedWavefront:
         R = min(R, R_full)
         return n_words, lo, R
 
-    def _run_banded(self, q_ids: np.ndarray, t_ids: np.ndarray, sigma: int,
-                    n_words: int, lo: int, R: int, col_lo: int, col_hi: int,
-                    eq=None):
-        """Run the banded sweep; return the final bottom-word slot of the
-        (scores, runmin, runpos) planes as python ints."""
+    def _init(self, q_ids: np.ndarray, t_ids: np.ndarray, sigma: int,
+              n_words: int, R: int, eq=None):
+        """(peq_flat, rows_all, t_ext, state) for a banded run."""
         qlen, tlen = len(q_ids), len(t_ids)
         WINW = R * LANES
         w_pad = n_words * 32 - qlen
         t_scan = tlen + w_pad
-        n_steps_total = t_scan + n_words - 1
-
         if eq is None:
             eq = np.eye(sigma, dtype=bool)
         peq_words = encode.build_peq_words(np.asarray(q_ids, np.uint8), eq,
@@ -598,30 +603,58 @@ class BandedWavefront:
             state[8 + sidx] = peq.reshape(sigma + 1, -1)[sidx][
                 np.minimum(slot.reshape(-1), rows_all * LANES - 1)
             ].reshape(R, LANES)
+        return peq.reshape(sigma + 1, -1), rows_all, t_ext, state
+
+    def _segment(self, state, d, n_steps, peq_flat, rows_all, t_ext, *,
+                 sigma, n_words, lo, R, t_scan, col_lo, col_hi):
+        """One banded segment of n_steps from absolute step d."""
+        WINW = R * LANES
+
+        def base_of(dd):
+            return min(max((dd + lo - 31) // 33, 0),
+                       max(0, n_words - WINW))
+
+        base0 = base_of(d)
+        col0 = max(0, d - base0)
+        tgt_rows = -(-(n_steps + WINW + LANES) // LANES)
+        seg_t = t_ext[col0:col0 + tgt_rows * LANES][None, :]
+        params = np.array([d, col0, base0], np.int32)
+        # Entering-word Peq schedule: slide s brings word
+        # (base0 + s) + WINW - 1 into the window bottom.
+        max_slides = n_steps // 33 + 3
+        ent_words = np.minimum(base0 + np.arange(max_slides) + WINW - 1,
+                               rows_all * LANES - 1)
+        enter = (peq_flat[:, ent_words].T.astype(np.uint32)
+                 .view(np.int32).reshape(1, -1))
+        return _wfb_call(
+            params, np.ascontiguousarray(enter), seg_t, state,
+            R=R, sigma1=sigma + 1, n_steps=n_steps,
+            n_words=n_words, lo=lo, t_scan=t_scan, tgt_rows=tgt_rows,
+            col_lo=col_lo, col_hi=col_hi, interpret=self.interpret)
+
+    def _run_banded(self, q_ids: np.ndarray, t_ids: np.ndarray, sigma: int,
+                    n_words: int, lo: int, R: int, col_lo: int, col_hi: int,
+                    eq=None):
+        """Run the banded sweep; return the final bottom-word slot of the
+        (scores, runmin, runpos) planes as python ints."""
+        qlen, tlen = len(q_ids), len(t_ids)
+        WINW = R * LANES
+        w_pad = n_words * 32 - qlen
+        t_scan = tlen + w_pad
+        n_steps_total = t_scan + n_words - 1
+        peq_flat, rows_all, t_ext, state = self._init(
+            q_ids, t_ids, sigma, n_words, R, eq=eq)
 
         def base_of(d):
             return min(max((d + lo - 31) // 33, 0), max(0, n_words - WINW))
 
         d = 0
-        tgt_rows = -(-(self.seg_steps + WINW + LANES) // LANES)
-        max_slides = self.seg_steps // 33 + 3
-        peq_flat = peq.reshape(sigma + 1, -1)
         while d < n_steps_total:
-            base0 = base_of(d)
-            col0 = max(0, d - base0)
-            seg_t = t_ext[col0:col0 + tgt_rows * LANES][None, :]
-            params = np.array([d, col0, base0], np.int32)
-            # Entering-word Peq schedule: slide s brings word
-            # (base0 + s) + WINW - 1 into the window bottom.
-            ent_words = np.minimum(base0 + np.arange(max_slides) + WINW - 1,
-                                   rows_all * LANES - 1)
-            enter = (peq_flat[:, ent_words].T.astype(np.uint32)
-                     .view(np.int32).reshape(1, -1))
-            state = _wfb_call(
-                params, np.ascontiguousarray(enter), seg_t, state,
-                R=R, sigma1=sigma + 1, n_steps=self.seg_steps,
-                n_words=n_words, lo=lo, t_scan=t_scan, tgt_rows=tgt_rows,
-                col_lo=col_lo, col_hi=col_hi, interpret=self.interpret)
+            state = self._segment(state, d, self.seg_steps, peq_flat,
+                                  rows_all, t_ext, sigma=sigma,
+                                  n_words=n_words, lo=lo, R=R,
+                                  t_scan=t_scan, col_lo=col_lo,
+                                  col_hi=col_hi)
             d += self.seg_steps  # fixed-size segments; overshoot is inert
         state = np.asarray(state)
         # The window kept sliding through the (inactive) overshoot steps;
@@ -671,6 +704,130 @@ class BandedWavefront:
             q_ids, t_eff, sigma, n_words, lo, R,
             col_lo=w_pad, col_hi=w_pad + tlen_eff, eq=eq)
         return (best, pos - w_pad) if best <= k else None
+
+    # Segment-size buckets for landing the banded phase inside the
+    # [window-pin, first-emission] step interval (which is always >= 64
+    # steps wide: 33*WINW - 2k - 33 with WINW >= (2k+31)//33 + 3).
+    _TAIL_BUCKETS = (65536, 32768, 4096, 512, 64)
+
+    def shw_locations_bounded(self, q_ids: np.ndarray, t_ids: np.ndarray,
+                              sigma: int, k: int, eq=None):
+        """SHW (best, [ALL minimal end positions]) if best <= k, else None
+        — the banded full-stream search.
+
+        Phase 1 runs the sliding banded window up to a step in
+        [d_pin, d_emit]: d_pin is where the window stops sliding (base at
+        cap), d_emit the first step at which the bottom word reaches a
+        column that can hold a value <= k (SHW cell(Q-1, p) >= |p-(Q-1)|,
+        so only columns [Q-1-k, Q-1+k] matter).  After the pin the banded
+        kernel's recurrences ARE the unbanded kernel's on the window
+        (slides were the only band-specific action), so phase 2 hands the
+        state to the stream-emitting wavefront kernel with a word0 offset
+        and collects the bottom-score stream over the emission columns —
+        the "banded full streams" the unbanded collector trick could not
+        reach while the window still slid.  Every emitted value <= k is
+        exact (standard banded-Myers upper-bound contract).
+        """
+        from edlib_tpu.align import _filter_locations
+        qlen, tlen = len(q_ids), len(t_ids)
+        k = min(k, max(qlen, tlen))
+        tlen_eff = min(tlen, qlen + k)
+        t_eff = np.asarray(t_ids)[:tlen_eff]
+        n_words = encode.num_words(qlen)
+        lo = -k
+        band_words = (2 * k + 31) // 33 + 3
+        R = self.r_min
+        while R * LANES < band_words:
+            R *= 2
+        rows_all_q = -(-n_words // LANES)
+        R_full = max(SUB_MIN, -(-rows_all_q // SUB_MIN) * SUB_MIN)
+        R = min(R, R_full)
+        WINW = R * LANES
+        w_pad = n_words * 32 - qlen
+        t_scan = tlen_eff + w_pad
+        n_steps_total = t_scan + n_words - 1
+        base_cap = max(0, n_words - WINW)
+        d_pin = 0 if base_cap == 0 else 33 * base_cap + 31 + k
+        c_emit = w_pad + max(0, qlen - 1 - k)  # first scan col that can be <= k
+        d_emit = (n_words - 1) + c_emit
+        if d_pin > d_emit:  # unreachable by the WINW bound; belt-and-braces
+            d_pin = 0
+            base_cap = 0
+            R = R_full
+            WINW = R * LANES
+
+        peq_flat, rows_all, t_ext, state = self._init(
+            q_ids, t_eff, sigma, n_words, R, eq=eq)
+
+        # Phase 1: banded segments to a step d1 in [d_pin, d_emit].
+        d = 0
+        while d < d_pin:
+            b = next((b for b in self._TAIL_BUCKETS if d + b <= d_emit),
+                     None)
+            if b is None:  # cannot happen (interval >= 64); exact fallback
+                b = d_pin - d
+            state = self._segment(state, d, b, peq_flat, rows_all, t_ext,
+                                  sigma=sigma, n_words=n_words, lo=lo, R=R,
+                                  t_scan=t_scan, col_lo=0, col_hi=0)
+            d += b
+
+        # Phase 2: pinned-tail stream (word0 = base_cap).
+        state = np.asarray(state)
+        tail_state = np.ascontiguousarray(state[:8])
+        peq_tile = np.zeros((sigma + 1, R, LANES), np.uint32)
+        wsel = np.minimum(base_cap + np.arange(WINW), rows_all * LANES - 1)
+        peq_tile.reshape(sigma + 1, -1)[:] = peq_flat[:, wsel]
+        chunk = min(512, WINW)
+        tail_steps = n_steps_total - d
+        n_chunks = -(-tail_steps // chunk)
+        seg = 32
+        n_chunks = -(-n_chunks // seg) * seg
+        slab_idx = (d - base_cap) + np.arange(n_chunks * chunk)
+        slab = np.full(n_chunks * chunk, sigma, np.int32)
+        valid = (slab_idx >= 0) & (slab_idx < len(t_ext))
+        slab[valid] = t_ext[slab_idx[valid]]
+        targets = slab.reshape(n_chunks, chunk, 1)
+        tiles = []
+        tstate = tail_state
+        for s0 in range(0, n_chunks, seg):
+            d_base = np.array([d + s0 * chunk], np.int32)
+            _, tstate, stream = _wavefront_call(
+                d_base, targets[s0:s0 + seg], peq_tile, tstate,
+                R=R, sigma1=sigma + 1, chunk=chunk, hin0=1,
+                n_words=n_words, col_lo=0, col_hi=0, t_scan=t_scan,
+                emit_stream=True, word0=base_cap,
+                interpret=self.interpret)
+            tiles.append(np.asarray(stream))
+        tiles = np.concatenate(tiles)  # (n_chunks, R, 128)
+        by_step = tiles.reshape(n_chunks, R * LANES)[:, :chunk][:, ::-1]
+        by_step = by_step.reshape(-1)  # index s = sample after step d + s
+        # Bottom word is at scan col c after step c + n_words - 1.
+        scores_cells = np.full(tlen_eff, _BIG, np.int64)
+        c0 = max(w_pad, d - (n_words - 1))  # cols before d are pre-tail (> k)
+        steps0 = c0 + n_words - 1 - d
+        n_c = t_scan - c0
+        scores_cells[c0 - w_pad:] = by_step[steps0:steps0 + n_c][
+            :tlen_eff - (c0 - w_pad)]
+        best, positions = _filter_locations(scores_cells, qlen, k)
+        return (best, positions) if best >= 0 else None
+
+    def shw_locations(self, q_ids: np.ndarray, t_ids: np.ndarray,
+                      sigma: int, k: int = -1, eq=None):
+        """SHW (best, [all minimal end positions]); (-1, []) when k >= 0
+        and the best exceeds k.  Dynamic-k doubling when k < 0."""
+        qlen = len(q_ids)
+        if k < 0:
+            kk = 64
+            while True:
+                r = self.shw_locations_bounded(q_ids, t_ids, sigma,
+                                               min(kk, qlen), eq=eq)
+                if r is not None:
+                    return r
+                if kk >= qlen:
+                    raise RuntimeError("unreachable: SHW best <= Q")
+                kk *= 2
+        r = self.shw_locations_bounded(q_ids, t_ids, sigma, k, eq=eq)
+        return (-1, []) if r is None else r
 
     def nw_distance(self, q_ids: np.ndarray, t_ids: np.ndarray,
                     sigma: int, k: int = -1, eq=None) -> int:

@@ -127,6 +127,35 @@ def test_banded_wavefront_shw_sliding_window(rng):
     assert wfb.shw_best(q, t, 4) == (int(hs.min()), int(np.argmin(hs)))
 
 
+def test_banded_wavefront_shw_locations(rng):
+    """Banded full-stream SHW: all minimal end positions via the
+    pinned-tail stream phase, vs the host full sweep — including
+    slide-forcing shapes (r_min=1) and every k regime."""
+    from edlib_tpu.align import _filter_locations, _INF
+    for r_min, seg, qlen, tlen, mut in (
+            (1, 512, 1200, 1400, 0.05),   # ~9 slides then tail
+            (1, 512, 2300, 2100, 0.10),
+            (8, 256, 300, 500, 0.10),     # full window from step 0
+            (1, 64, 900, 900, 0.30)):     # wide band, tiny segments
+        wfb = BandedWavefront(seg_steps=seg, interpret=True, r_min=r_min)
+        t = rng.randint(0, 4, tlen).astype(np.uint8)
+        q = t[:min(qlen, tlen)].copy()
+        if len(q) < qlen:
+            q = np.concatenate([q, rng.randint(0, 4, qlen - len(q))
+                                .astype(np.uint8)])
+        m = rng.rand(qlen) < mut
+        q[m] = rng.randint(0, 4, m.sum())
+        hpeq = encode.build_peq_bigint(q, np.eye(4, dtype=bool))
+        hs = host_engine.semiglobal_scores(hpeq, t, qlen, "SHW")
+        want = _filter_locations(hs, qlen, _INF)
+        got = wfb.shw_locations(q, t, 4)
+        assert (got[0], list(got[1])) == (want[0], list(want[1]))
+        # bounded-k regimes: exact at k=best, empty below
+        assert wfb.shw_locations(q, t, 4, k=want[0])[0] == want[0]
+        if want[0] > 0:
+            assert wfb.shw_locations(q, t, 4, k=want[0] - 1) == (-1, [])
+
+
 def test_wavefront_similar_pair(wf, rng):
     # The headline shape: one long ~90%-similar pair, exact NW distance.
     sigma = 4
