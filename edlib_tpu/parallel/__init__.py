@@ -5,6 +5,7 @@ from edlib_tpu.parallel.dist import (
     shard_target_slices,
     sharded_hw_locations,
     sharded_hw_search,
+    sharded_nw_pipeline,
     sharded_reduce_dp,
     sharded_sweep_dp,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "shard_target_slices",
     "sharded_hw_locations",
     "sharded_hw_search",
+    "sharded_nw_pipeline",
     "sharded_reduce_dp",
     "sharded_sweep_dp",
     "pipelined_sweep_summaries",

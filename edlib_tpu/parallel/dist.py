@@ -268,3 +268,70 @@ def sharded_hw_search(mesh: Mesh, peq: np.ndarray, slices: np.ndarray,
         out_specs=(P("dp"), P("sp", "dp")),
     )(peq, slices)
     return best, cores
+
+
+def sharded_nw_pipeline(mesh: Mesh, peq: np.ndarray, target_ids: np.ndarray,
+                        qlen: int, hin0: int = 1):
+    """Sequential (Pv, Mv, score) carry hand-off across "sp": one long NW
+    target streamed through the mesh (SURVEY §5 long-context: a target too
+    large for one device's memory lives shard-resident; only the O(NW*B)
+    carry ever crosses ICI).
+
+    The column recurrence is sequential, so shard s can only run after
+    shard s-1: round r, every device sweeps its own slice with its current
+    carry, device r's result is the real one, and ``lax.ppermute`` hands
+    its exit state to device r+1 for the next round.  The batch axis is
+    sharded over "dp" (those pipelines run concurrently).
+
+    peq: uint32 (B, S1, NW) with the wildcard row at sigma;
+    target_ids (T,) int32 — padded here to sp*C with wildcards so the
+    padded-bottom stream covers the NW corner (wildcard-extension trick).
+    Returns (core_scores (sp, B, C) int32 — scan column s*C + j,
+    C).  The NW distance of lane b is core_scores at scan column
+    tlen + w_pad - 1; values are bit-identical to the single-device
+    resumable chain (tested on the virtual 8-device mesh).
+    """
+    axes = mesh.axis_names
+    sp = mesh.shape["sp"]
+    B, S1, NW = peq.shape
+    sigma = S1 - 1  # wildcard row convention
+    w_pad = NW * 32 - qlen
+    T = len(target_ids)
+    t_scan = T + w_pad
+    C = -(-t_scan // sp)
+    padded = np.full(sp * C, sigma, dtype=np.int32)
+    padded[:T] = target_ids
+    slices = padded.reshape(sp, C)
+
+    def local(peq_l, slices_l):
+        Bl = peq_l.shape[0]
+        idx = jax.lax.axis_index("sp")
+        tg = jnp.broadcast_to(slices_l[0][None, :], (Bl, C))
+        # Initial carry derived from BOTH shard_map inputs so its varying
+        # manual axes are (dp, sp) like the scan outputs' (a narrower
+        # type is rejected: "carry types differ").
+        zv = tg[0, 0].astype(jnp.uint32) * 0  # varies over sp
+        zero_nb = peq_l[:, 0, :].T * 0 + zv   # (NW, Bl), varies dp+sp
+        carry = (jnp.full((NW, Bl), 0xFFFFFFFF, jnp.uint32) | zero_nb,
+                 zero_nb,
+                 jnp.full((Bl,), NW * 32, jnp.int32)
+                 + peq_l[:, 0, 0].astype(jnp.int32) * 0
+                 + zv.astype(jnp.int32))
+        perm = [(i, i + 1) for i in range(sp - 1)]
+        keep = jnp.zeros((Bl, C), jnp.int32)
+        for r in range(sp):
+            scores_r, new = jax_engine.sweep_scores_resumable(
+                peq_l, tg, carry, hin0=hin0)
+            mine = idx == r
+            keep = jnp.where(mine, scores_r, keep)
+            out_carry = jax.tree.map(
+                lambda n, c: jnp.where(mine, n, c), tuple(new), carry)
+            if r < sp - 1:
+                carry = jax.lax.ppermute(out_carry, "sp", perm)
+        return keep[None]
+
+    cores = shard_map(local, mesh=mesh,
+                      in_specs=(P("dp"), P("sp")),
+                      out_specs=P("sp", "dp"))(
+        np.ascontiguousarray(peq), slices)
+    return cores, C

@@ -85,3 +85,46 @@ def test_mesh_factorization():
     assert m.devices.size == 8
     m = make_alignment_mesh(8, dp=4)
     assert dict(zip(m.axis_names, m.devices.shape)) == {"dp": 4, "sp": 2}
+
+
+def test_nw_carry_pipeline_matches_single_device(rng):
+    """Sequential (Pv, Mv, score) hand-off across "sp" (ppermute) must be
+    bit-identical to the single-device resumable chain — the multi-host
+    long-NW capability (SURVEY §5 long-context)."""
+    from edlib_tpu.parallel import sharded_nw_pipeline
+
+    B, sigma, qlen, T = 4, 4, 70, 333
+    eq = np.eye(sigma, dtype=bool)
+    nw = encode.num_words(qlen)
+    w_pad = nw * 32 - qlen
+    peq = np.zeros((B, sigma + 1, nw), np.uint32)
+    queries = []
+    for b in range(B):
+        q = rng.randint(0, sigma, qlen).astype(np.uint8)
+        queries.append(q)
+        peq[b] = encode.build_peq_words(q, eq, n_words=nw)
+    target = rng.randint(0, sigma, T).astype(np.int32)
+
+    for dp, sp in ((1, 8), (2, 4)):
+        mesh = make_alignment_mesh(8, dp=dp, sp=sp)
+        cores, C = sharded_nw_pipeline(mesh, peq, target, qlen)
+        got = np.asarray(cores).transpose(1, 0, 2).reshape(B, sp * C)
+
+        # single-device chain over the same padded scan, two segments
+        padded = np.full(sp * C, sigma, np.int32)
+        padded[:T] = target
+        tg = np.broadcast_to(padded[None, :], (B, sp * C))
+        state = jax_engine.initial_state(B, nw)
+        cut = sp * C // 2
+        s1, state = jax_engine.sweep_scores_resumable(
+            peq, tg[:, :cut], state, hin0=1)
+        s2, _ = jax_engine.sweep_scores_resumable(
+            peq, tg[:, cut:], state, hin0=1)
+        want = np.concatenate([np.asarray(s1), np.asarray(s2)], axis=1)
+        np.testing.assert_array_equal(got, want)
+        # the NW distance sits at scan column T + w_pad - 1
+        from edlib_tpu.oracle import edit_distance_simple
+        for b in range(B):
+            d, _ = edit_distance_simple(queries[b],
+                                        target.astype(np.uint8), "NW")
+            assert got[b, T + w_pad - 1] == d
