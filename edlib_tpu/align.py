@@ -124,7 +124,8 @@ _WAVEFRONT_MIN_CELLS = 10_000_000_000
 def _nw_wavefront_enabled(qlen: int, tlen: int, sigma: int) -> bool:
     # Size gate first: it is a pure integer compare and excludes ~all calls
     # (the env lookups below cost more than the whole small-N fast path).
-    if qlen * tlen < _WAVEFRONT_MIN_CELLS or sigma > 15:
+    from edlib_tpu.ops.wavefront import MAX_SIGMA_WAVEFRONT
+    if qlen * tlen < _WAVEFRONT_MIN_CELLS or sigma >= MAX_SIGMA_WAVEFRONT:
         return False
     if os.environ.get("EDLIB_TPU_DISABLE_DEVICE"):
         return False

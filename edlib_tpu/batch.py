@@ -103,7 +103,8 @@ def _run_sweep(peq: np.ndarray, targets: np.ndarray, hin0: int) -> np.ndarray:
     from edlib_tpu.ops import jax_engine, pallas_kernel
 
     mode = _pallas_mode()
-    if mode and peq.shape[1] <= pallas_kernel.MAX_SIGMA_PALLAS:
+    if mode and peq.shape[1] <= pallas_kernel.max_sigma1(peq.shape[2],
+                                                         shared=False):
         chunk = int(os.environ.get("EDLIB_TPU_PALLAS_CHUNK", "256"))
         sweeper = pallas_kernel.PallasSweeper(
             chunk=chunk, interpret=(mode == "interpret"))
@@ -278,7 +279,7 @@ def _run_bucketed_summary(pairs: List[Tuple[np.ndarray, np.ndarray]],
                 out[i] = summ
             continue
         use_pallas = bool(mode) and (
-            shared or sigma + 1 <= pallas_kernel.MAX_SIGMA_PALLAS)
+            shared or sigma + 1 <= pallas_kernel.max_sigma1(nw_b, False))
         if not use_pallas:
             streams = _sweep_bucket([pairs[i][0] for i in idxs],
                                     [pairs[i][1] for i in idxs],
@@ -362,7 +363,7 @@ def _run_bucketed_nw_banded(pairs: List[Tuple[np.ndarray, np.ndarray]],
         shared = (len(idxs) > 1
                   and all(pairs[i][1] is pairs[idxs[0]][1] for i in idxs))
         use_pallas = bool(mode) and (
-            shared or sigma + 1 <= pallas_kernel.MAX_SIGMA_PALLAS)
+            shared or sigma + 1 <= pallas_kernel.max_sigma1(nw_b, False))
         band_ok = use_pallas and nw_b >= _NW_BAND_MIN_WORDS
 
         if not use_pallas:
@@ -512,8 +513,10 @@ def align_batch_device(queries: Sequence, targets: Sequence,
     from edlib_tpu.ops import pallas_kernel
     all_shared = (len(id_pairs) > 1
                   and all(t is id_pairs[0][1] for _, t in id_pairs))
+    nw_max = max((encode.num_words(len(q)) for q, _ in id_pairs
+                  if len(q)), default=1)
     if (_pallas_mode() == "tpu" and not all_shared
-            and sigma + 1 > pallas_kernel.MAX_SIGMA_PALLAS):
+            and sigma + 1 > pallas_kernel.max_sigma1(nw_max, False)):
         return [align(q, t, mode=mode, task=task, k=k,
                       additionalEqualities=additionalEqualities)
                 for q, t in zip(queries, targets)]

@@ -16,6 +16,11 @@ import numpy as np
 from edlib_tpu import encode
 
 
+def _max_sigma_wf() -> int:
+    from edlib_tpu.ops.wavefront import MAX_SIGMA_WAVEFRONT
+    return MAX_SIGMA_WAVEFRONT
+
+
 def _to_ids(query, target):
     qb = query.encode() if isinstance(query, str) else bytes(query)
     tb = target.encode() if isinstance(target, str) else bytes(target)
@@ -44,7 +49,8 @@ def nw_distance_long(query, target, k: int = -1,
         try:
             import jax
             use_wavefront = (forced or jax.default_backend() == "tpu") \
-                and qlen * tlen >= 10_000_000_000 and sigma <= 15
+                and qlen * tlen >= 10_000_000_000 \
+                and sigma < _max_sigma_wf()
         except Exception:
             use_wavefront = False
 
@@ -86,7 +92,8 @@ def shw_best_long(query, target, k: int = -1,
         try:
             import jax
             use_wavefront = (forced or jax.default_backend() == "tpu") \
-                and qlen * tlen >= 10_000_000_000 and sigma <= 15
+                and qlen * tlen >= 10_000_000_000 \
+                and sigma < _max_sigma_wf()
         except Exception:
             use_wavefront = False
 
@@ -138,7 +145,8 @@ def semiglobal_locations_long(query, target, mode: str = "HW", k: int = -1,
         try:
             import jax
             use_wavefront = (forced or jax.default_backend() == "tpu") \
-                and qlen * tlen >= 10_000_000_000 and sigma <= 15
+                and qlen * tlen >= 10_000_000_000 \
+                and sigma < _max_sigma_wf()
         except Exception:
             use_wavefront = False
 

@@ -199,13 +199,14 @@ def _map_reads_device(read_ids, t_ids, sigma, hin0):
         return None
     from edlib_tpu.ops import pallas_kernel as pk
 
-    if sigma + 1 > pk.MAX_SIGMA_PALLAS:
-        return None
     import jax.numpy as jnp
 
     B = len(read_ids)
     qmax = max(len(r) for r in read_ids)
     n_words = encode.num_words(qmax)
+    # Shared-target kernels have no select chain: cap is VMEM-residency.
+    if sigma + 1 > pk.max_sigma1(n_words, shared=True):
+        return None
     # Uniform word count requirement: the kernel's column->position mapping
     # uses one W per call; group lanes by per-read W on host afterwards.
     # Simplest exact scheme: pad every read's PROFILE to n_words with

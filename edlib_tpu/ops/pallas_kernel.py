@@ -35,7 +35,25 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 SUBLANES = 8
 B_TILE = SUBLANES * LANES  # 1024 alignments per kernel tile
-MAX_SIGMA_PALLAS = 32      # S1 beyond this: fall back to the XLA engine
+MAX_SIGMA_PALLAS = 32      # legacy blanket cap; prefer max_sigma1()
+
+
+def max_sigma1(n_words: int, shared: bool) -> int:
+    """Largest Peq row count (sigma+1, + NULL where used) the kernels
+    accept for this word count.
+
+    Shared-target kernels fetch Eq rows by scalar index (no select
+    chain), so their only bound is Peq residency in VMEM — budget half
+    the ~16MB core VMEM for Peq, leaving room for state tiles and
+    streams: full 256-symbol alphabets fit up to ~64 words (2048bp
+    queries).  General per-lane kernels pay an S1-way select per word
+    per column; 64 keeps the select cost and Mosaic compile time sane
+    (protein + extended alphabets) — beyond that the native host path
+    wins regardless.
+    """
+    vmem_rows = max(1, (8 * 1024 * 1024)
+                    // (max(1, n_words) * SUBLANES * LANES * 4))
+    return min(257 if shared else 64, vmem_rows)
 
 _ONES = np.uint32(0xFFFFFFFF)
 

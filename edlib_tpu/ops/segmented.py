@@ -80,11 +80,11 @@ def hw_stream_segmented(q_ids: np.ndarray, t_ids: np.ndarray, sigma: int,
         return None
     from edlib_tpu.ops import pallas_kernel as pk
 
-    if sigma + 2 > pk.MAX_SIGMA_PALLAS:
-        return None
     qlen = len(q_ids)
     tlen = len(t_ids)
     n_words = encode.num_words(qlen)
+    if sigma + 2 > pk.max_sigma1(n_words, shared=False):
+        return None
     w_pad = n_words * 32 - qlen
     halo = qlen + int(k_eff) - 1
     n_seg, core = plan_segments(tlen, halo, w_pad)

@@ -45,7 +45,10 @@ from edlib_tpu import encode
 LANES = 128
 SUB_MIN = 8
 _BIG = np.int32(0x3FFFFFFF)
-MAX_SIGMA_WAVEFRONT = 16
+# Select-chain cost per step is sigma+1 ops on the (R,128) tile against a
+# ~45-op baseline: 32 covers protein (sigma~25) + quality alphabets at
+# ~1.7x step cost; beyond that the native engine is the faster route.
+MAX_SIGMA_WAVEFRONT = 32
 
 
 def _shift_words(x, fill):
@@ -252,19 +255,21 @@ class Wavefront:
         self.interpret = interpret
         self.seg_chunks = seg_chunks
 
-    def _prepare(self, q_ids: np.ndarray, t_ids: np.ndarray, sigma: int):
+    def _prepare(self, q_ids: np.ndarray, t_ids: np.ndarray, sigma: int,
+                 wildcard_ext: bool = True, eq=None):
         qlen = len(q_ids)
         n_words = encode.num_words(qlen)
         rows_needed = -(-n_words // LANES)
         R = max(SUB_MIN, -(-rows_needed // SUB_MIN) * SUB_MIN)
-        w_pad = n_words * 32 - qlen
+        w_pad = (n_words * 32 - qlen) if wildcard_ext else 0
         t_scan = len(t_ids) + w_pad
         n_steps = t_scan + n_words - 1
         n_chunks = -(-n_steps // self.chunk)
         # Pad to a whole number of segments; surplus steps are inactive.
         seg = min(self.seg_chunks, n_chunks)
         n_chunks = -(-n_chunks // seg) * seg
-        eq = np.eye(sigma, dtype=bool)
+        if eq is None:
+            eq = np.eye(sigma, dtype=bool)
         peq_words = encode.build_peq_words(np.asarray(q_ids, np.uint8), eq,
                                            n_words=n_words)
         peq = np.zeros((sigma + 1, R, LANES), np.uint32)
@@ -287,6 +292,43 @@ class Wavefront:
         state[6] = np.uint32(_BIG)                 # running min
         state[7] = 0xFFFFFFFF                      # running argmin (-1)
         return state
+
+    def column_cells(self, q_ids: np.ndarray, t_ids: np.ndarray, sigma: int,
+                     stop: int, eq=None) -> np.ndarray:
+        """NW column cells cell(r, stop), r in [0, qlen) — the Hirschberg
+        half-sweep on device (device analogue of etn_nw_cells_at /
+        myersCalcEditDistanceNW's targetStopPosition, edlib.cpp:896-908).
+
+        Runs the wavefront over target[:stop+1] with NO wildcard extension,
+        so every word's final (Pv, Mv, score) is its state at exactly
+        column ``stop``; the 32-cells-per-word bit-decode happens on host
+        (O(qlen) scalar work on a tiny transfer).
+        """
+        qlen = len(q_ids)
+        t_trunc = np.asarray(t_ids)[:stop + 1]
+        peq, targets, n_words, R, w_pad, t_scan = self._prepare(
+            q_ids, t_trunc, sigma, wildcard_ext=False, eq=eq)
+        n_chunks = targets.shape[0]
+        seg = min(self.seg_chunks, n_chunks)
+        state = self.initial_state(R)
+        for s0 in range(0, n_chunks, seg):
+            d_base = np.array([s0 * self.chunk], np.int32)
+            _, state, _ = _wavefront_call(
+                d_base, targets[s0:s0 + seg], peq, state,
+                R=R, sigma1=sigma + 1, chunk=self.chunk, hin0=1,
+                n_words=n_words, col_lo=0, col_hi=0,
+                t_scan=t_scan, interpret=self.interpret)
+        state = np.asarray(state).reshape(8, R * LANES)[:, :n_words]
+        Pv, Mv = state[0], state[1]
+        bottom = state[5].astype(np.int32).astype(np.int64)
+        # Decode word w's 32 rows from its bottom score (vectorised):
+        # cell(w, b) = bottom[w] - sum_{j > b} (P_bit(j) - M_bit(j)).
+        bits = np.arange(32, dtype=np.uint32)
+        delta = (((Pv[:, None] >> bits) & 1).astype(np.int64)
+                 - ((Mv[:, None] >> bits) & 1).astype(np.int64))
+        above = np.cumsum(delta[:, ::-1], axis=1)[:, ::-1] - delta
+        cells = (bottom[:, None] - above).reshape(-1)
+        return cells[:qlen]
 
     def run(self, q_ids: np.ndarray, t_ids: np.ndarray, sigma: int,
             hin0: int, col_lo: int, col_hi: int, emit_stream: bool = False):

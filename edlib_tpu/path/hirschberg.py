@@ -14,6 +14,8 @@ the crossing-row search is vectorised numpy instead of a scalar scan.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from edlib_tpu.encode import build_peq_bigint
@@ -26,6 +28,32 @@ from edlib_tpu.types import EDOP_DELETE, EDOP_INSERT
 # traceback-vs-Hirschberg choice matches exactly.
 _REF_WORD_BYTES = 8
 _TRACEBACK_MEM_LIMIT = 1024 * 1024
+
+# Device-side PATH: the Hirschberg half-sweeps (the FLOP-heavy part of
+# reconstruction, edlib.cpp:1252-1260) run as wavefront column captures on
+# TPU.  Opt-in via EDLIB_TPU_DEVICE_PATH=1 (or "interpret" for CPU tests):
+# through this host's slow TPU tunnel each recursion node costs a
+# round-trip, so the threaded native path is the default; on
+# directly-attached hardware set the env to move the sweeps on-chip.
+_DEVICE_PATH_MIN_CELLS = 10_000_000_000
+
+
+def _device_path_enabled(qlen: int, tlen: int, sigma: int) -> bool:
+    dev = os.environ.get("EDLIB_TPU_DEVICE_PATH", "")
+    if not dev:
+        return False
+    from edlib_tpu.ops.wavefront import MAX_SIGMA_WAVEFRONT
+    if sigma >= MAX_SIGMA_WAVEFRONT:
+        return False
+    if dev == "interpret":
+        return True
+    if qlen * tlen < _DEVICE_PATH_MIN_CELLS:
+        return False
+    try:
+        import jax
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def _traceback_mem_estimate(qlen: int, tlen: int) -> int:
@@ -41,6 +69,12 @@ def obtain_alignment(q_ids: np.ndarray, t_ids: np.ndarray,
         # Empty-sequence base case (edlib.cpp:1167-1175).
         op = EDOP_DELETE if qlen == 0 else EDOP_INSERT
         return np.full(qlen + tlen, op, dtype=np.uint8)
+
+    if (_traceback_mem_estimate(qlen, tlen) >= _TRACEBACK_MEM_LIMIT
+            and _device_path_enabled(qlen, tlen, eq.shape[0])):
+        # Device-side PATH: Hirschberg with the half-sweeps on TPU;
+        # small nodes fall back to native via the recursive dispatch.
+        return _hirschberg(q_ids, t_ids, eq, best_score)
 
     if eq.shape[0] <= 255:
         # Full native reconstruction (dispatch + Hirschberg + traceback):
@@ -77,7 +111,18 @@ def _hirschberg(q_ids: np.ndarray, t_ids: np.ndarray,
     # sweep stopped at the last column of the (reversed) right half
     # (edlib.cpp:1250-1260).
     left = rev = None
-    if eq.shape[0] <= 255:
+    if _device_path_enabled(qlen, tlen, eq.shape[0]):
+        # TPU half-sweeps: the wavefront run over target[:stop+1] leaves
+        # every word's state at exactly the stop column (no wildcard
+        # extension), decoded to cells on host.  Forward and reverse are
+        # two resumable kernel runs.
+        from edlib_tpu.ops.wavefront import Wavefront
+        dev = os.environ.get("EDLIB_TPU_DEVICE_PATH", "")
+        wf = Wavefront(interpret=(dev == "interpret"))
+        sigma = eq.shape[0]
+        left = wf.column_cells(q_ids, t_ids, sigma, left_w - 1, eq=eq)
+        rev = wf.column_cells(rq, rt, sigma, right_w - 1, eq=eq)
+    if left is None and eq.shape[0] <= 255:
         from edlib_tpu import native_loader
         if native_loader.available():
             from edlib_tpu.encode import build_peq_words, num_words

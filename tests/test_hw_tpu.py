@@ -186,3 +186,74 @@ print(json.dumps({"unb": int(d_unb), "band": int(d_band),
     assert got["band"] == want_nw
     assert got["shw"][0] == want_shw["editDistance"]
     assert got["shw"][1] == want_shw["locations"][0][1]
+
+
+def test_hw_banded_stream_and_column_cells(tpu_ok):
+    """Round-2 kernels on the chip: banded SHW all-locations (pinned-tail
+    stream) and the Hirschberg column capture — vs host truth."""
+    code = r"""
+from edlib_tpu.ops.wavefront import BandedWavefront, Wavefront
+rng = np.random.RandomState(17)
+q = rng.randint(0, 4, 2600).astype(np.uint8)
+mut = rng.uniform(size=2600) < 0.05
+t0 = np.where(mut, rng.randint(0, 4, 2600), q).astype(np.uint8)
+t = np.concatenate([t0, rng.randint(0, 4, 300).astype(np.uint8)])
+wfb = BandedWavefront()
+best, locs = wfb.shw_locations(q, t, 4, k=-1)
+wf = Wavefront()
+cells = wf.column_cells(q, t, 4, stop=1400)
+print(json.dumps({"best": int(best), "locs": [int(x) for x in locs],
+                  "cells": [int(c) for c in cells[::97]]}))
+"""
+    got = _child_json(code, timeout=900)
+    from edlib_tpu import encode
+    from edlib_tpu.align import _filter_locations, _INF
+    from edlib_tpu.ops import host as host_engine
+    from edlib_tpu.ops.host import decode_cells, nw_run
+    rng = np.random.RandomState(17)
+    q = rng.randint(0, 4, 2600).astype(np.uint8)
+    mut = rng.uniform(size=2600) < 0.05
+    t0 = np.where(mut, rng.randint(0, 4, 2600), q).astype(np.uint8)
+    t = np.concatenate([t0, rng.randint(0, 4, 300).astype(np.uint8)])
+    hpeq = encode.build_peq_bigint(q, np.eye(4, dtype=bool))
+    hs = host_engine.semiglobal_scores(hpeq, t, 2600, "SHW")
+    want_best, want_locs = _filter_locations(hs, 2600, _INF)
+    assert got["best"] == want_best
+    assert got["locs"] == [int(x) for x in want_locs]
+    st, _, _ = nw_run(hpeq, t, 2600, stop=1400)
+    want_cells = np.asarray(decode_cells(st.Pv, st.Mv, 2600, boundary=1401))
+    np.testing.assert_array_equal(np.asarray(got["cells"]),
+                                  want_cells[::97])
+
+
+def test_hw_large_alphabet_shared(tpu_ok):
+    """Protein-alphabet (sigma=26) shared-target mapping on the chip —
+    the scalar-indexed Eq rows have no select chain."""
+    code = r"""
+from edlib_tpu.mapping import map_reads
+AA = b"ACDEFGHIKLMNPQRSTVWYBZXJUO"
+rng = np.random.RandomState(19)
+target = bytes(AA[c] for c in rng.randint(0, 26, 4096))
+reads = []
+for _ in range(32):
+    s = int(rng.randint(0, 4096 - 100))
+    arr = bytearray(target[s:s + 100])
+    for p in rng.choice(100, 5, replace=False):
+        arr[p] = AA[int(rng.randint(26))]
+    reads.append(bytes(arr))
+best, pos = map_reads(reads, target, mode="HW")
+print(json.dumps([best.tolist(), pos.tolist()]))
+"""
+    got = _child_json(code, timeout=900)
+    from edlib_tpu import align
+    AA = b"ACDEFGHIKLMNPQRSTVWYBZXJUO"
+    rng = np.random.RandomState(19)
+    target = bytes(AA[c] for c in rng.randint(0, 26, 4096))
+    for i in range(32):
+        s = int(rng.randint(0, 4096 - 100))
+        arr = bytearray(target[s:s + 100])
+        for p in rng.choice(100, 5, replace=False):
+            arr[p] = AA[int(rng.randint(26))]
+        want = align(bytes(arr), target, mode="HW", task="locations")
+        assert got[0][i] == want["editDistance"], i
+        assert got[1][i] == want["locations"][0][1], i

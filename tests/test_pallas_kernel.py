@@ -46,3 +46,64 @@ def test_pallas_multi_tile_padding(rng):
     s_pallas = sweeper.sweep(peq, tg, hin0=1)
     s_xla = np.asarray(jax_engine.sweep_scores(peq, tg, hin0=1))
     np.testing.assert_array_equal(s_pallas, s_xla)
+
+
+def test_max_sigma1_caps():
+    from edlib_tpu.ops.pallas_kernel import max_sigma1
+    assert max_sigma1(4, shared=True) == 257    # full byte alphabet fits
+    assert max_sigma1(64, shared=True) == 32    # VMEM-bound
+    assert max_sigma1(4, shared=False) == 64    # select-chain bound
+    assert max_sigma1(512, shared=False) == 4   # VMEM-bound
+
+
+@pytest.mark.parametrize("sigma", [25, 60])
+def test_pallas_large_alphabet_general(sigma, rng):
+    """Per-lane-target kernels at protein/extended alphabets (select
+    chain) — exact vs the XLA engine."""
+    B, NW, T = 8, 2, 96
+    eq = np.eye(sigma, dtype=bool)
+    peq = np.zeros((B, sigma + 1, NW), np.uint32)
+    tg = np.full((B, T), sigma, np.int32)
+    for b in range(B):
+        q = rng.randint(0, sigma, rng.randint(30, NW * 32 + 1)
+                        ).astype(np.uint8)
+        tlen = rng.randint(20, T - NW * 32)
+        tg[b, :tlen] = rng.randint(0, sigma, tlen)
+        peq[b] = encode.build_peq_words(q, eq, n_words=NW)
+    sweeper = PallasSweeper(chunk=32, interpret=True)
+    s_pallas = sweeper.sweep(peq, tg, hin0=0)
+    s_xla = np.asarray(jax_engine.sweep_scores(peq, tg, hin0=0))
+    np.testing.assert_array_equal(s_pallas, s_xla)
+
+
+@pytest.mark.parametrize("sigma", [25, 200])
+def test_pallas_large_alphabet_shared(sigma, rng):
+    """Shared-target best+pos kernel at large alphabets (scalar-indexed
+    Eq rows: no select chain, VMEM-only cap) — exact vs the XLA engine."""
+    from edlib_tpu.ops.pallas_kernel import sweep_best_pallas_shared
+    B, NW, chunk = 1024, 2, 32
+    qlen = NW * 32
+    tlen = 100
+    eq = np.eye(sigma, dtype=bool)
+    t = rng.randint(0, sigma, tlen).astype(np.int32)
+    w = NW * 32 - qlen
+    t_scan = tlen + w
+    n_chunks = -(-t_scan // chunk)
+    tg_sh = np.full((n_chunks, 1, chunk), sigma, np.int32)
+    tg_sh.reshape(-1)[:tlen] = t
+    peq = np.zeros((1, B, sigma + 1, NW), np.uint32)  # will reshape to tiles
+    peq_b = np.zeros((B, sigma + 1, NW), np.uint32)
+    for b in range(B):
+        q = rng.randint(0, sigma, qlen).astype(np.uint8)
+        peq_b[b] = encode.build_peq_words(q, eq, n_words=NW)
+    # tile layout (n_tiles, S1, NW, 8, 128)
+    tiles = peq_b.reshape(1, 8, 128, sigma + 1, NW).transpose(0, 3, 4, 1, 2)
+    best, pos = sweep_best_pallas_shared(
+        np.ascontiguousarray(tiles), tg_sh, hin0=0,
+        col_lo=w, col_hi=w + tlen, chunk=chunk, interpret=True)
+    tg_full = np.broadcast_to(
+        tg_sh.reshape(-1)[None, :n_chunks * chunk], (B, n_chunks * chunk))
+    s_xla = np.asarray(jax_engine.sweep_scores(
+        peq_b, np.ascontiguousarray(tg_full), hin0=0))[:, :t_scan]
+    want_best = s_xla[:, w:w + tlen].min(axis=1)
+    np.testing.assert_array_equal(np.asarray(best).reshape(-1), want_best)

@@ -284,3 +284,36 @@ def test_shw_best_long_api(rng, monkeypatch):
     ref2 = edlib_tpu.align(q2, t2, mode="SHW")
     want2 = (ref2["editDistance"], ref2["locations"][0][1])
     assert edlib_tpu.shw_best_long(q2, t2, backend="wavefront") == want2
+
+
+def test_wavefront_column_cells(rng):
+    """Device Hirschberg half-sweep: wavefront over target[:stop+1] with
+    no wildcard extension leaves every word's state at the stop column —
+    cells must equal the host engine's decode."""
+    from edlib_tpu.ops.host import decode_cells, nw_run
+    wf = Wavefront(chunk=32, interpret=True)
+    for qlen, tlen in ((40, 100), (64, 64), (200, 333), (129, 257)):
+        sigma = 4
+        q = rng.randint(0, sigma, qlen).astype(np.uint8)
+        t = rng.randint(0, sigma, tlen).astype(np.uint8)
+        stop = tlen // 2 - 1
+        hpeq = encode.build_peq_bigint(q, np.eye(sigma, dtype=bool))
+        st, _, _ = nw_run(hpeq, t, qlen, stop=stop)
+        want = decode_cells(st.Pv, st.Mv, qlen, boundary=stop + 1)
+        got = wf.column_cells(q, t, sigma, stop)
+        np.testing.assert_array_equal(got, np.asarray(want))
+
+
+def test_device_path_hirschberg(rng, monkeypatch):
+    """EDLIB_TPU_DEVICE_PATH=interpret: PATH through the device
+    half-sweeps is byte-identical to the default native pipeline."""
+    import edlib_tpu
+    t = bytes(rng.choice(list(b"ACGT"), 2800).tolist())
+    q = bytearray(t[:2600])
+    for i in rng.choice(2600, 200, replace=False):
+        q[i] = rng.choice(list(b"ACGT"))
+    q = bytes(q)
+    want = edlib_tpu.align(q, t, mode="NW", task="path")
+    monkeypatch.setenv("EDLIB_TPU_DEVICE_PATH", "interpret")
+    got = edlib_tpu.align(q, t, mode="NW", task="path")
+    assert got == want
