@@ -156,7 +156,14 @@ def _nw_score_host(q_ids, t_ids, eq, k_eff, allow_device: bool = True) -> int:
     if ctx is not None:
         from edlib_tpu import native_loader
         peq64, _, _ = ctx
-        bound = max(qlen, tlen)
+        # Substitution-only cap: d <= hamming(prefixes) + |len diff| — the
+        # ladder run at the cap is guaranteed to succeed, killing the
+        # final overshoot doubling (pruning-only; same cap in etn_align).
+        m = min(qlen, tlen)
+        hb = abs(qlen - tlen) + int(
+            np.count_nonzero(~eq[np.asarray(q_ids[:m], np.intp),
+                                 np.asarray(t_ids[:m], np.intp)]))
+        bound = max(1, min(max(qlen, tlen), hb))
         if k_eff is _INF or k_eff >= (1 << 40):
             k = 64
             while True:
@@ -165,7 +172,7 @@ def _nw_score_host(q_ids, t_ids, eq, k_eff, allow_device: bool = True) -> int:
                 if d >= 0:
                     return d
                 if k >= bound:
-                    return -1  # unreachable: NW distance <= max(Q, T)
+                    return -1  # unreachable: d <= hb == bound
                 k *= 2
         return native_loader.nw_distance_banded_native(
             peq64, t_ids, qlen, int(min(k_eff, bound)))

@@ -740,7 +740,18 @@ static void semiglobal_best(const Word* peq, int64_t n_words,
     // Skipped when tlen >> qlen (read mapping: d_NW is dominated by
     // deletions and useless as a bound).
     if (dynamic && qlen >= 4096 && tlen <= qlen + qlen / 2) {
+        // Hamming cap for the probe's own ladder: eq(q[i], t[i]) is bit i
+        // of Peq[t[i]] (no query needed), so the substitution-only bound
+        // d_NW <= hamming + |diff| costs one O(n) bit-probe pass.
+        int64_t m = qlen < tlen ? qlen : tlen;
+        int64_t hb = (qlen > tlen ? qlen - tlen : tlen - qlen);
+        for (int64_t i = 0; i < m; i++) {
+            hb += !((peq[(size_t)t_ext[i] * n_words + (i >> 6)]
+                     >> (i & 63)) & 1);
+        }
         int64_t bound = qlen > tlen ? qlen : tlen;
+        if (hb < bound) bound = hb;
+        if (bound < 1) bound = 1;
         int32_t d = -1;
         for (int64_t kp = 64;; kp *= 2) {
             int64_t k_run = kp < bound ? kp : bound;
@@ -892,7 +903,18 @@ int etn_align(const uint8_t* query, int64_t qlen,
     *n_locs_out = 0;
 
     if (mode == 0) {  // NW
+        // Substitution-only upper bound: d_NW <= hamming(prefixes) + |diff|
+        // (one O(n) table pass).  It caps BOTH the doubling ladder (the
+        // run at k = hb is guaranteed to succeed, killing the final
+        // overshoot doubling — ~1/3 of ladder cost on similar pairs) and
+        // a finite user k (a smaller exact band).  Pruning-only.
+        int64_t m = qlen < tlen ? qlen : tlen;
+        int64_t hb = (qlen > tlen ? qlen - tlen : tlen - qlen);
+        for (int64_t i = 0; i < m; i++)
+            hb += !eq[(size_t)q_ids[i] * sigma + t_ids[i]];
         int64_t bound = qlen > tlen ? qlen : tlen;
+        if (hb < bound) bound = hb;
+        if (bound < 1) bound = 1;  // banded engine needs k >= 1
         int32_t d = -1;
         if (dynamic) {
             for (int64_t kk = 64;; kk *= 2) {
