@@ -858,23 +858,42 @@ class BandedWavefront:
         """SHW (best, [all minimal end positions]); (-1, []) when k >= 0
         and the best exceeds k.  Dynamic-k doubling when k < 0."""
         qlen = len(q_ids)
+        cap = max(1, min(qlen, self._hamming_cap(q_ids, t_ids, eq)))
         if k < 0:
             kk = 64
             while True:
                 r = self.shw_locations_bounded(q_ids, t_ids, sigma,
-                                               min(kk, qlen), eq=eq)
+                                               min(kk, cap), eq=eq)
                 if r is not None:
                     return r
-                if kk >= qlen:
-                    raise RuntimeError("unreachable: SHW best <= Q")
+                if kk >= cap:
+                    raise RuntimeError("unreachable: SHW best <= cap")
                 kk *= 2
         r = self.shw_locations_bounded(q_ids, t_ids, sigma, k, eq=eq)
         return (-1, []) if r is None else r
 
+    @staticmethod
+    def _hamming_cap(q_ids, t_ids, eq) -> int:
+        """d_NW <= hamming(prefixes) + |len diff| (substitution-only
+        alignment): caps every dynamic-k ladder — the run at the cap is
+        guaranteed to succeed, and at Mbp scale each spared doubling
+        round is ~hundreds of kernel dispatches.  Also a valid cap for
+        semiglobal ladders (semiglobal best <= d_NW)."""
+        m = min(len(q_ids), len(t_ids))
+        if eq is None:
+            mism = int(np.count_nonzero(
+                np.asarray(q_ids[:m]) != np.asarray(t_ids[:m])))
+        else:
+            mism = int(np.count_nonzero(
+                ~eq[np.asarray(q_ids[:m], np.intp),
+                    np.asarray(t_ids[:m], np.intp)]))
+        return abs(len(q_ids) - len(t_ids)) + mism
+
     def nw_distance(self, q_ids: np.ndarray, t_ids: np.ndarray,
                     sigma: int, k: int = -1, eq=None) -> int:
         qlen, tlen = len(q_ids), len(t_ids)
-        bound = max(qlen, tlen)
+        bound = max(1, min(max(qlen, tlen),
+                           self._hamming_cap(q_ids, t_ids, eq)))
         if k < 0:
             kk = 64
             while True:
@@ -883,7 +902,7 @@ class BandedWavefront:
                 if d is not None:
                     return d
                 if kk >= bound:
-                    raise RuntimeError("unreachable: NW <= max(Q,T)")
+                    raise RuntimeError("unreachable: NW <= hamming cap")
                 kk *= 2
         d = self.distance_bounded(q_ids, t_ids, sigma, min(k, bound), eq=eq)
         return -1 if d is None else d
@@ -894,15 +913,16 @@ class BandedWavefront:
         and the best exceeds k.  Dynamic-k doubling when k < 0 (the bottom
         row always holds a value <= qlen, so the loop terminates)."""
         qlen = len(q_ids)
+        cap = max(1, min(qlen, self._hamming_cap(q_ids, t_ids, eq)))
         if k < 0:
             kk = 64
             while True:
                 r = self.shw_best_bounded(q_ids, t_ids, sigma,
-                                          min(kk, qlen), eq=eq)
+                                          min(kk, cap), eq=eq)
                 if r is not None:
                     return r
-                if kk >= qlen:
-                    raise RuntimeError("unreachable: SHW best <= Q")
+                if kk >= cap:
+                    raise RuntimeError("unreachable: SHW best <= cap")
                 kk *= 2
         r = self.shw_best_bounded(q_ids, t_ids, sigma, k, eq=eq)
         return (-1, -1) if r is None else r
