@@ -378,9 +378,21 @@ def align_batch(queries, targets, mode="NW", task="distance", k=-1,
     if len(queries) != len(targets):
         raise ValueError("queries and targets must have equal length")
     if backend == "host" and mesh is None:
-        return [align(q, t, mode=mode, task=task, k=k,
-                      additionalEqualities=additionalEqualities)
-                for q, t in zip(queries, targets)]
+        one = lambda qt: align(qt[0], qt[1], mode=mode, task=task, k=k,
+                               additionalEqualities=additionalEqualities)
+        pairs = list(zip(queries, targets))
+        # PATH batches scale across cores: pairs are independent and the
+        # native engines release the GIL.  distance/locations calls are
+        # usually too short to amortise pool dispatch.
+        if (AlignTask.parse(task) == AlignTask.PATH and len(pairs) >= 4
+                and native_loader.available()
+                and os.environ.get("EDLIB_TPU_THREADS", "") not in
+                ("0", "1")):
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(
+                    max_workers=min(len(pairs), os.cpu_count() or 1)) as p:
+                return list(p.map(one, pairs))
+        return [one(qt) for qt in pairs]
     from edlib_tpu.batch import align_batch_device
     return align_batch_device(queries, targets, mode=mode, task=task, k=k,
                               additionalEqualities=additionalEqualities,

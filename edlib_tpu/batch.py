@@ -20,7 +20,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from edlib_tpu import encode
+from edlib_tpu import encode, native_loader
 from edlib_tpu.align import _filter_locations, align
 from edlib_tpu.path.hirschberg import obtain_alignment
 from edlib_tpu.types import (
@@ -600,10 +600,10 @@ def align_batch_device(queries: Sequence, targets: Sequence,
                               mesh=mesh)
 
     if task == AlignTask.PATH:
-        for i in main_idx:
+        todo = [i for i in main_idx if results[i].edit_distance >= 0]
+
+        def one_path(i):
             res = results[i]
-            if res.edit_distance < 0:
-                continue
             q_ids, t_ids = id_pairs[i]
             start0 = int(res.start_locations[0])
             end0 = int(res.end_locations[0])
@@ -611,6 +611,20 @@ def align_batch_device(queries: Sequence, targets: Sequence,
             res.alignment = obtain_alignment(q_ids.astype(np.uint8), window,
                                              eq, res.edit_distance)
             res.alignment_length = len(res.alignment)
+
+        # Pairs are independent and the native reconstruction releases the
+        # GIL (ctypes), so batched PATH scales across cores; small windows
+        # dispatch to the single-threaded leaf walker, so pool threads
+        # don't stack onto the in-C Hirschberg threads.
+        if (len(todo) >= 4 and native_loader.available()
+                and not os.environ.get("EDLIB_TPU_THREADS", "") in ("0", "1")):
+            from concurrent.futures import ThreadPoolExecutor
+            workers = min(len(todo), os.cpu_count() or 1)
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                list(pool.map(one_path, todo))
+        else:
+            for i in todo:
+                one_path(i)
 
     return [r.to_dict() for r in results]
 
