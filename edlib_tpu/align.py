@@ -389,9 +389,17 @@ def align_batch(queries, targets, mode="NW", task="distance", k=-1,
                 and os.environ.get("EDLIB_TPU_THREADS", "") not in
                 ("0", "1")):
             from concurrent.futures import ThreadPoolExecutor
+            from edlib_tpu.path.hirschberg import PATH_POOL_CTX
+
+            def one_seq(qt):
+                # pool supplies the parallelism; keep the per-pair
+                # recursion single-threaded (nested forking thrashes)
+                PATH_POOL_CTX.sequential = True
+                return one(qt)
+
             with ThreadPoolExecutor(
                     max_workers=min(len(pairs), os.cpu_count() or 1)) as p:
-                return list(p.map(one, pairs))
+                return list(p.map(one_seq, pairs))
         return [one(qt) for qt in pairs]
     from edlib_tpu.batch import align_batch_device
     return align_batch_device(queries, targets, mode=mode, task=task, k=k,

@@ -602,26 +602,27 @@ def align_batch_device(queries: Sequence, targets: Sequence,
     if task == AlignTask.PATH:
         todo = [i for i in main_idx if results[i].edit_distance >= 0]
 
-        def one_path(i):
+        def one_path(i, parallel=True):
             res = results[i]
             q_ids, t_ids = id_pairs[i]
             start0 = int(res.start_locations[0])
             end0 = int(res.end_locations[0])
             window = t_ids[start0:end0 + 1].astype(np.uint8)
             res.alignment = obtain_alignment(q_ids.astype(np.uint8), window,
-                                             eq, res.edit_distance)
+                                             eq, res.edit_distance,
+                                             parallel=parallel)
             res.alignment_length = len(res.alignment)
 
         # Pairs are independent and the native reconstruction releases the
-        # GIL (ctypes), so batched PATH scales across cores; small windows
-        # dispatch to the single-threaded leaf walker, so pool threads
-        # don't stack onto the in-C Hirschberg threads.
+        # GIL (ctypes), so batched PATH scales across cores; each pooled
+        # pair runs its recursion single-threaded (the pool supplies the
+        # parallelism — nested forking thrashes).
         if (len(todo) >= 4 and native_loader.available()
                 and not os.environ.get("EDLIB_TPU_THREADS", "") in ("0", "1")):
             from concurrent.futures import ThreadPoolExecutor
             workers = min(len(todo), os.cpu_count() or 1)
             with ThreadPoolExecutor(max_workers=workers) as pool:
-                list(pool.map(one_path, todo))
+                list(pool.map(lambda i: one_path(i, parallel=False), todo))
         else:
             for i in todo:
                 one_path(i)

@@ -142,6 +142,15 @@ def main(argv: Optional[List[str]] = None) -> int:
             batch = align_batch(queries, [target] * len(queries),
                                 mode=args.mode, task=task, k=args.k)
         results = batch
+    elif (args.find_alignment and not args.silent and args.num_best <= 0
+          and args.num_repeats <= 1 and len(queries) >= 4):
+        # PATH-for-every-query without adaptive-k: pairs are independent,
+        # so fan across cores (align_batch pools).  This branch prints no
+        # per-query progress, so output stays byte-identical.
+        best_heap = []
+        results = align_batch(queries, [target] * len(queries),
+                              mode=args.mode, task=task, k=args.k,
+                              backend="host")
     else:
         best_heap: List[int] = []  # max-heap via negation
         k = args.k

@@ -156,7 +156,7 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.etn_obtain_alignment.restype = c_i64
     lib.etn_obtain_alignment.argtypes = [
         ctypes.c_void_p, c_i64, ctypes.c_void_p, c_i64, ctypes.c_void_p,
-        ctypes.c_int, ctypes.c_int32, ctypes.c_void_p]
+        ctypes.c_int, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int]
     lib.etn_align.restype = ctypes.c_int
     lib.etn_align.argtypes = [
         ctypes.c_char_p, c_i64, ctypes.c_char_p, c_i64,
@@ -431,9 +431,13 @@ def nw_cells_at_native(peq64: np.ndarray, qlen: int, t_ids: np.ndarray,
 
 
 def obtain_alignment_native(q_ids: np.ndarray, t_ids: np.ndarray,
-                            eq: np.ndarray, best_score: int
+                            eq: np.ndarray, best_score: int,
+                            use_threads: int = -1
                             ) -> Optional[np.ndarray]:
-    """Full PATH reconstruction (dispatch + Hirschberg + traceback) in C."""
+    """Full PATH reconstruction (dispatch + Hirschberg + traceback) in C.
+
+    use_threads: 1 fork inside the recursion (single-call latency), 0
+    sequential (callers pooling many alignments), -1 env default."""
     lib = get_lib()
     if lib is None:
         return None
@@ -443,7 +447,8 @@ def obtain_alignment_native(q_ids: np.ndarray, t_ids: np.ndarray,
     ops = np.empty(len(q) + len(t) or 1, dtype=np.uint8)
     n = lib.etn_obtain_alignment(q.ctypes.data, len(q), t.ctypes.data,
                                  len(t), eqb.ctypes.data, eq.shape[0],
-                                 best_score, ops.ctypes.data)
+                                 best_score, ops.ctypes.data,
+                                 int(use_threads))
     if n < 0:
         raise RuntimeError("native path reconstruction inconsistent with "
                            "best_score")

@@ -15,6 +15,7 @@ the crossing-row search is vectorised numpy instead of a scalar scan.
 from __future__ import annotations
 
 import os
+import threading
 
 import numpy as np
 
@@ -36,6 +37,10 @@ _TRACEBACK_MEM_LIMIT = 1024 * 1024
 # round-trip, so the threaded native path is the default; on
 # directly-attached hardware set the env to move the sweeps on-chip.
 _DEVICE_PATH_MIN_CELLS = 10_000_000_000
+
+# Pool workers mark their thread so every obtain_alignment reached through
+# the per-pair call chain stays single-threaded (pool supplies the cores).
+PATH_POOL_CTX = threading.local()
 
 
 def _device_path_enabled(qlen: int, tlen: int, sigma: int) -> bool:
@@ -62,8 +67,17 @@ def _traceback_mem_estimate(qlen: int, tlen: int) -> int:
 
 
 def obtain_alignment(q_ids: np.ndarray, t_ids: np.ndarray,
-                     eq: np.ndarray, best_score: int) -> np.ndarray:
-    """Ops (uint8 EDOP codes) for the NW alignment of query vs window."""
+                     eq: np.ndarray, best_score: int,
+                     parallel: bool = True) -> np.ndarray:
+    """Ops (uint8 EDOP codes) for the NW alignment of query vs window.
+
+    parallel=False keeps the native recursion single-threaded — for
+    callers fanning MANY alignments across a pool (nested forking
+    thrashes the cores).  Pool workers that reach here through deep call
+    chains (align()) set the thread-local flag instead.
+    """
+    if getattr(PATH_POOL_CTX, "sequential", False):
+        parallel = False
     qlen, tlen = len(q_ids), len(t_ids)
     if qlen == 0 or tlen == 0:
         # Empty-sequence base case (edlib.cpp:1167-1175).
@@ -81,8 +95,9 @@ def obtain_alignment(q_ids: np.ndarray, t_ids: np.ndarray,
         # the Python recursion spends most of its time rebuilding profiles.
         from edlib_tpu import native_loader
         if native_loader.available():
-            ops = native_loader.obtain_alignment_native(q_ids, t_ids, eq,
-                                                        best_score)
+            ops = native_loader.obtain_alignment_native(
+                q_ids, t_ids, eq, best_score,
+                use_threads=-1 if parallel else 0)
             if ops is not None:
                 return ops
 

@@ -1141,16 +1141,23 @@ static int64_t obtain_alignment_rec(const PathCtx& cx, PathScratch& sc,
     return n1 + n2;
 }
 
+// use_threads: 1 = fork half-sweeps/children (single-alignment latency),
+// 0 = sequential (callers fanning MANY alignments across cores supply
+// their own parallelism; nested forking thrashes), -1 = env default.
 int64_t etn_obtain_alignment(const uint8_t* q_ids, int64_t qlen,
                              const uint8_t* t_ids, int64_t tlen,
                              const uint8_t* eq, int sigma,
-                             int32_t best_score, uint8_t* ops_out) {
+                             int32_t best_score, uint8_t* ops_out,
+                             int use_threads) {
     std::unique_ptr<uint8_t[]> rq(new uint8_t[qlen ? qlen : 1]);
     std::unique_ptr<uint8_t[]> rt(new uint8_t[tlen ? tlen : 1]);
     for (int64_t i = 0; i < qlen; i++) rq[i] = q_ids[qlen - 1 - i];
     for (int64_t i = 0; i < tlen; i++) rt[i] = t_ids[tlen - 1 - i];
+    bool threads = use_threads < 0 ? path_threads_enabled()
+                                   : (use_threads != 0
+                                      && path_threads_enabled());
     PathCtx cx{q_ids, t_ids, rq.get(), rt.get(), qlen, tlen, eq, sigma,
-               path_threads_enabled()};
+               threads};
     PathScratch sc(qlen, sigma);
     return obtain_alignment_rec(cx, sc, 0, qlen, 0, tlen, best_score,
                                 ops_out, 0);
