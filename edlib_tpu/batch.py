@@ -407,6 +407,19 @@ def _run_bucketed_nw_banded(pairs: List[Tuple[np.ndarray, np.ndarray]],
             continue
 
         k_lim = cap if k_user < 0 else min(k_user, cap)
+        # Hamming cap: d_i <= hamming_i + |len diff|, so the bucket ladder
+        # at max(hb) finishes every lane — the final overshoot doubling
+        # disappears on substitution-dominated buckets (pruning-only; same
+        # cap as the single-pair engines).
+        hb_max = 1
+        for row, i in enumerate(idxs):
+            q_ids, t_ids = pairs[i]
+            m = min(len(q_ids), len(t_ids))
+            hb = abs(len(q_ids) - len(t_ids)) + int(np.count_nonzero(
+                ~eq[np.asarray(q_ids[:m], np.intp),
+                    np.asarray(t_ids[:m], np.intp)]))
+            hb_max = max(hb_max, hb)
+        k_lim = min(k_lim, hb_max)
         k_cur = min(max(64, int(np.abs(D).min(initial=0))), k_lim)
         done = np.zeros(B, bool)
         while True:
@@ -424,6 +437,10 @@ def _run_bucketed_nw_banded(pairs: List[Tuple[np.ndarray, np.ndarray]],
             if done.all() or k_cur >= k_lim:
                 break
             k_cur = min(k_cur * 2, k_lim)
+    if k_user >= 0:
+        # The hamming cap can complete lanes whose distance exceeds the
+        # user k; keep the documented <=k_user-or-minus-1 contract.
+        out[out > k_user] = -1
     return out
 
 

@@ -127,3 +127,37 @@ def test_large_path_hirschberg_parity():
     query[muts] = rng.randint(65, 69, muts.sum(), dtype=np.uint8)
     assert_same(bytes(query), bytes(base), "HW", "path")
     assert_same(bytes(query), bytes(base[:4000]), "NW", "path")
+
+
+def test_large_nearsquare_parity():
+    """Round-2 fast paths only activate on LARGE near-square pairs: the NW
+    upper-bound probe (qlen >= 4096, tlen <= 1.5*qlen), the hamming ladder
+    cap, the threaded Hirschberg, and the inline no-stream semiglobal
+    search.  Randomized differential vs the compiled reference across
+    substitution-heavy, indel-heavy, and random pairs in that regime."""
+    rng = np.random.RandomState(23)
+    shapes = [(4096, 4096), (5000, 4400), (6000, 8000), (9000, 9001),
+              (4200, 4096)]
+    for trial, (qlen, tlen) in enumerate(shapes):
+        base = rng.randint(65, 69, max(qlen, tlen), dtype=np.uint8)
+        kind = trial % 3
+        if kind == 0:      # substitution-heavy (hamming cap ~ exact)
+            q = base[:qlen].copy()
+            muts = rng.rand(qlen) < 0.08
+            q[muts] = rng.randint(65, 69, muts.sum(), dtype=np.uint8)
+        elif kind == 1:    # indel-heavy (cap useless; ladder path)
+            q = np.concatenate([base[:qlen // 3],
+                                base[qlen // 3 + 170:qlen + 170]])[:qlen]
+        else:              # unrelated
+            q = rng.randint(65, 69, qlen, dtype=np.uint8)
+        t = bytes(base[:tlen])
+        qb = bytes(q[:qlen])
+        for mode in ("NW", "SHW", "HW"):
+            for task in ("distance", "locations", "path"):
+                assert_same(qb, t, mode, task)
+        # bounded-k regimes around the true distance
+        import edlib_tpu
+        d = edlib_tpu.align(qb, t, mode="HW")["editDistance"]
+        for mode in ("NW", "HW"):
+            for k in (max(0, d - 1), d, d + 7):
+                assert_same(qb, t, mode, "path", k=k)
