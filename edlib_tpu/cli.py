@@ -139,8 +139,33 @@ def main(argv: Optional[List[str]] = None) -> int:
         # -r repeats the core calculation like the host loop does
         # (aligner.cpp:199: results just overwrite each other).
         for _ in range(max(args.num_repeats, 1)):
-            batch = align_batch(queries, [target] * len(queries),
-                                mode=args.mode, task=task, k=args.k)
+            if args.num_best > 0 and len(queries) > 512:
+                # Adaptive-k on device: process in chunks, tightening k
+                # between chunks from the best-N heap (the device banded
+                # kernels prune with k).  Each chunk's k is >= the
+                # reference's sequential per-query k, so results are a
+                # superset and the heap replay below restores identical
+                # outputs (pruning-only).
+                batch = []
+                heap: List[int] = []
+                k_run = args.k
+                for c0 in range(0, len(queries), 512):
+                    qs = queries[c0:c0 + 512]
+                    part = align_batch(qs, [target] * len(qs),
+                                       mode=args.mode, task=task, k=k_run)
+                    batch.extend(part)
+                    for res in part:
+                        if res["editDistance"] >= 0:
+                            heapq.heappush(heap, -res["editDistance"])
+                            if len(heap) > args.num_best:
+                                heapq.heappop(heap)
+                    if len(heap) == args.num_best:
+                        k_run = -heap[0] - 1
+                        if args.k >= 0 and args.k < k_run:
+                            k_run = args.k
+            else:
+                batch = align_batch(queries, [target] * len(queries),
+                                    mode=args.mode, task=task, k=args.k)
         results = batch
     elif (args.find_alignment and not args.silent and args.num_best <= 0
           and args.num_repeats <= 1 and len(queries) >= 4):
