@@ -118,7 +118,11 @@ def _semiglobal_best_positions(q_ids, t_ids, eq, mode, k_eff
 # Huge-pair NW distances route to the banded wavefront TPU kernel above
 # this many DP cells (one long pair spread across the whole VPU beats the
 # single-core banded CPU loop there; below it, dispatch latency dominates).
-_WAVEFRONT_MIN_CELLS = 10_000_000_000
+# Default = Mbp-square pairs: the only regime with measured device wins
+# through this host's tunnel (docs/PERF.md; a directly-attached chip wins
+# from ~10 Gcells — set EDLIB_TPU_WAVEFRONT_MIN_CELLS accordingly).
+_WAVEFRONT_MIN_CELLS = int(os.environ.get(
+    "EDLIB_TPU_WAVEFRONT_MIN_CELLS", 400_000_000_000))
 
 
 def _nw_wavefront_enabled(qlen: int, tlen: int, sigma: int) -> bool:

@@ -21,6 +21,11 @@ def _max_sigma_wf() -> int:
     return MAX_SIGMA_WAVEFRONT
 
 
+def _wf_min_cells() -> int:
+    from edlib_tpu.align import _WAVEFRONT_MIN_CELLS
+    return _WAVEFRONT_MIN_CELLS
+
+
 def _to_ids(query, target):
     qb = query.encode() if isinstance(query, str) else bytes(query)
     tb = target.encode() if isinstance(target, str) else bytes(target)
@@ -49,7 +54,7 @@ def nw_distance_long(query, target, k: int = -1,
         try:
             import jax
             use_wavefront = (forced or jax.default_backend() == "tpu") \
-                and qlen * tlen >= 10_000_000_000 \
+                and qlen * tlen >= _wf_min_cells() \
                 and sigma < _max_sigma_wf()
         except Exception:
             use_wavefront = False
@@ -92,7 +97,7 @@ def shw_best_long(query, target, k: int = -1,
         try:
             import jax
             use_wavefront = (forced or jax.default_backend() == "tpu") \
-                and qlen * tlen >= 10_000_000_000 \
+                and qlen * tlen >= _wf_min_cells() \
                 and sigma < _max_sigma_wf()
         except Exception:
             use_wavefront = False
@@ -145,7 +150,7 @@ def semiglobal_locations_long(query, target, mode: str = "HW", k: int = -1,
         try:
             import jax
             use_wavefront = (forced or jax.default_backend() == "tpu") \
-                and qlen * tlen >= 10_000_000_000 \
+                and qlen * tlen >= _wf_min_cells() \
                 and sigma < _max_sigma_wf()
         except Exception:
             use_wavefront = False

@@ -647,6 +647,21 @@ class BandedWavefront:
             ].reshape(R, LANES)
         return peq.reshape(sigma + 1, -1), rows_all, t_ext, state
 
+    @staticmethod
+    def _band_dead(state, d, n_words, lo, R, k) -> bool:
+        """Frontier-death test (host-side, between segments): every cell of
+        word w is >= score_w - 31, and DP edges never decrease values, so
+        min over the window's live words of (bottom score) - 31 > k proves
+        every future cell > k — the device analogue of the CPU core's
+        band-vanish early exit (one ~50KB state fetch per segment)."""
+        WINW = R * LANES
+        base = min(max((d - 1 + lo - 31) // 33, 0), max(0, n_words - WINW))
+        scores = np.asarray(state[5]).reshape(-1).astype(np.int64)
+        valid = (base + np.arange(WINW)) < n_words
+        if not valid.any():
+            return False
+        return int(scores[valid].min()) - 31 > k
+
     def _segment(self, state, d, n_steps, peq_flat, rows_all, t_ext, *,
                  sigma, n_words, lo, R, t_scan, col_lo, col_hi):
         """One banded segment of n_steps from absolute step d."""
@@ -676,9 +691,16 @@ class BandedWavefront:
 
     def _run_banded(self, q_ids: np.ndarray, t_ids: np.ndarray, sigma: int,
                     n_words: int, lo: int, R: int, col_lo: int, col_hi: int,
-                    eq=None):
+                    eq=None, k_exit=None):
         """Run the banded sweep; return the final bottom-word slot of the
-        (scores, runmin, runpos) planes as python ints."""
+        (scores, runmin, runpos) planes as python ints.
+
+        k_exit: when set, stop as soon as the frontier provably exceeds it
+        (_band_dead) — failing dynamic-k ladder iterations then cost a few
+        segments instead of the whole sweep, like the CPU band-vanish.
+        Any (runmin, runpos) hit recorded before death is still returned
+        (hits at the bottom keep the frontier <= k, so death can only
+        happen after the last hit)."""
         qlen, tlen = len(q_ids), len(t_ids)
         WINW = R * LANES
         w_pad = n_words * 32 - qlen
@@ -691,6 +713,7 @@ class BandedWavefront:
             return min(max((d + lo - 31) // 33, 0), max(0, n_words - WINW))
 
         d = 0
+        died = False
         while d < n_steps_total:
             state = self._segment(state, d, self.seg_steps, peq_flat,
                                   rows_all, t_ext, sigma=sigma,
@@ -698,14 +721,24 @@ class BandedWavefront:
                                   t_scan=t_scan, col_lo=col_lo,
                                   col_hi=col_hi)
             d += self.seg_steps  # fixed-size segments; overshoot is inert
+            if k_exit is not None and d < n_steps_total and self._band_dead(
+                    state, d, n_words, lo, R, k_exit):
+                died = True
+                break
         state = np.asarray(state)
         # The window kept sliding through the (inactive) overshoot steps;
         # locate the bottom word by the base at the last EXECUTED step.
         base_final = base_of(d - 1)
         slot_idx = (n_words - 1) - base_final
+        if slot_idx >= R * LANES:
+            # Died before the window reached the bottom word: every
+            # bottom-row cell is provably > k_exit, nothing was tracked.
+            return (int(_BIG), int(_BIG), -1)
         flat = state.reshape(8 + sigma + 1, -1)[:, slot_idx]
-        return (int(np.int32(flat[5])), int(np.int32(flat[6])),
-                int(np.int32(flat[7])))
+        # On death the bottom word's FINAL-column score was never reached;
+        # only the tracked (runmin, runpos) hits (all <= k_exit) are valid.
+        score = int(_BIG) if died else int(np.int32(flat[5]))
+        return (score, int(np.int32(flat[6])), int(np.int32(flat[7])))
 
     def distance_bounded(self, q_ids: np.ndarray, t_ids: np.ndarray,
                          sigma: int, k: int, eq=None):
@@ -713,7 +746,7 @@ class BandedWavefront:
         qlen, tlen = len(q_ids), len(t_ids)
         n_words, lo, R = self._band_geometry(qlen, tlen, k)
         score, _, _ = self._run_banded(q_ids, t_ids, sigma, n_words, lo, R,
-                                       col_lo=0, col_hi=0, eq=eq)
+                                       col_lo=0, col_hi=0, eq=eq, k_exit=k)
         return score if score <= k else None
 
     def shw_best_bounded(self, q_ids: np.ndarray, t_ids: np.ndarray,
@@ -744,7 +777,7 @@ class BandedWavefront:
         w_pad = n_words * 32 - qlen
         _, best, pos = self._run_banded(
             q_ids, t_eff, sigma, n_words, lo, R,
-            col_lo=w_pad, col_hi=w_pad + tlen_eff, eq=eq)
+            col_lo=w_pad, col_hi=w_pad + tlen_eff, eq=eq, k_exit=k)
         return (best, pos - w_pad) if best <= k else None
 
     # Segment-size buckets for landing the banded phase inside the
@@ -812,6 +845,9 @@ class BandedWavefront:
                                   sigma=sigma, n_words=n_words, lo=lo, R=R,
                                   t_scan=t_scan, col_lo=0, col_hi=0)
             d += b
+            if d < d_pin and self._band_dead(state, d, n_words, lo, R, k):
+                # Bottom-row columns are all in the future: nothing <= k.
+                return None
 
         # Phase 2: pinned-tail stream (word0 = base_cap).
         state = np.asarray(state)
