@@ -127,9 +127,12 @@ _WAVEFRONT_MIN_CELLS = int(os.environ.get(
 
 def _nw_wavefront_enabled(qlen: int, tlen: int, sigma: int) -> bool:
     # Size gate first: it is a pure integer compare and excludes ~all calls
-    # (the env lookups below cost more than the whole small-N fast path).
+    # (the sigma-cap import below would pull in jax; the env lookups cost
+    # more than the whole small-N fast path).
+    if qlen * tlen < _WAVEFRONT_MIN_CELLS:
+        return False
     from edlib_tpu.ops.wavefront import MAX_SIGMA_WAVEFRONT
-    if qlen * tlen < _WAVEFRONT_MIN_CELLS or sigma >= MAX_SIGMA_WAVEFRONT:
+    if sigma >= MAX_SIGMA_WAVEFRONT:
         return False
     if os.environ.get("EDLIB_TPU_DISABLE_DEVICE"):
         return False
@@ -160,14 +163,9 @@ def _nw_score_host(q_ids, t_ids, eq, k_eff, allow_device: bool = True) -> int:
     if ctx is not None:
         from edlib_tpu import native_loader
         peq64, _, _ = ctx
-        # Substitution-only cap: d <= hamming(prefixes) + |len diff| — the
-        # ladder run at the cap is guaranteed to succeed, killing the
-        # final overshoot doubling (pruning-only; same cap in etn_align).
-        m = min(qlen, tlen)
-        hb = abs(qlen - tlen) + int(
-            np.count_nonzero(~eq[np.asarray(q_ids[:m], np.intp),
-                                 np.asarray(t_ids[:m], np.intp)]))
-        bound = max(1, min(max(qlen, tlen), hb))
+        # Substitution-only cap (same cap in etn_align, encode docstring).
+        bound = max(1, min(max(qlen, tlen),
+                           encode.nw_upper_bound(q_ids, t_ids, eq)))
         if k_eff is _INF or k_eff >= (1 << 40):
             k = 64
             while True:

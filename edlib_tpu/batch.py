@@ -407,18 +407,12 @@ def _run_bucketed_nw_banded(pairs: List[Tuple[np.ndarray, np.ndarray]],
             continue
 
         k_lim = cap if k_user < 0 else min(k_user, cap)
-        # Hamming cap: d_i <= hamming_i + |len diff|, so the bucket ladder
-        # at max(hb) finishes every lane — the final overshoot doubling
-        # disappears on substitution-dominated buckets (pruning-only; same
-        # cap as the single-pair engines).
-        hb_max = 1
-        for row, i in enumerate(idxs):
-            q_ids, t_ids = pairs[i]
-            m = min(len(q_ids), len(t_ids))
-            hb = abs(len(q_ids) - len(t_ids)) + int(np.count_nonzero(
-                ~eq[np.asarray(q_ids[:m], np.intp),
-                    np.asarray(t_ids[:m], np.intp)]))
-            hb_max = max(hb_max, hb)
+        # Hamming cap: the bucket ladder at max over lanes of the bound
+        # finishes every lane — the final overshoot doubling disappears on
+        # substitution-dominated buckets (encode.nw_upper_bound).
+        hb_max = max(max((encode.nw_upper_bound(pairs[i][0], pairs[i][1],
+                                                eq) for i in idxs),
+                         default=1), 1)
         k_lim = min(k_lim, hb_max)
         k_cur = min(max(64, int(np.abs(D).min(initial=0))), k_lim)
         done = np.zeros(B, bool)

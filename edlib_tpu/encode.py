@@ -190,3 +190,22 @@ def build_peq_bigint(q_ids: np.ndarray, eq: np.ndarray) -> List[int]:
             out.append(0)
     out.append((1 << qlen) - 1)  # wildcard row
     return out
+
+
+def nw_upper_bound(q_ids, t_ids, eq=None) -> int:
+    """Substitution-only NW bound: d_NW <= hamming(prefixes) + |len diff|
+    (align position-by-position, delete the overhang).  O(min len); used
+    to cap every dynamic-k doubling ladder — the run at the cap is
+    guaranteed to succeed, so the final overshoot doubling disappears on
+    substitution-dominated pairs (pruning-only: the cap only ever
+    truncates a ladder).  eq: optional sigma x sigma bool matrix
+    (equalities count as matches); identity when None."""
+    m = min(len(q_ids), len(t_ids))
+    if eq is None:
+        mism = int(np.count_nonzero(
+            np.asarray(q_ids[:m]) != np.asarray(t_ids[:m])))
+    else:
+        mism = int(np.count_nonzero(
+            ~eq[np.asarray(q_ids[:m], np.intp),
+                np.asarray(t_ids[:m], np.intp)]))
+    return abs(len(q_ids) - len(t_ids)) + mism

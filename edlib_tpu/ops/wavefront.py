@@ -807,6 +807,9 @@ class BandedWavefront:
         qlen, tlen = len(q_ids), len(t_ids)
         k = min(k, max(qlen, tlen))
         tlen_eff = min(tlen, qlen + k)
+        if qlen - k > tlen_eff:
+            # Every SHW alignment deletes >= qlen - tlen_eff > k chars.
+            return None
         t_eff = np.asarray(t_ids)[:tlen_eff]
         n_words = encode.num_words(qlen)
         lo = -k
@@ -822,7 +825,11 @@ class BandedWavefront:
         t_scan = tlen_eff + w_pad
         n_steps_total = t_scan + n_words - 1
         base_cap = max(0, n_words - WINW)
-        d_pin = 0 if base_cap == 0 else 33 * base_cap + 31 + k
+        # Handoff needs the LAST slide executed: the slide to base_cap
+        # happens at the start of step d with base_of(d) == base_cap, so
+        # the slide-less phase 2 must start at d >= d_pin + 1 (a handoff
+        # AT d_pin would leave the window one word short).
+        d_pin = 0 if base_cap == 0 else 33 * base_cap + 31 + k + 1
         c_emit = w_pad + max(0, qlen - 1 - k)  # first scan col that can be <= k
         d_emit = (n_words - 1) + c_emit
         if d_pin > d_emit:  # unreachable by the WINW bound; belt-and-braces
@@ -835,12 +842,16 @@ class BandedWavefront:
             q_ids, t_eff, sigma, n_words, R, eq=eq)
 
         # Phase 1: banded segments to a step d1 in [d_pin, d_emit].
+        # Bucket sizes are clipped to seg_steps (t_ext's slack is sized
+        # from it) and to the remaining scan.
+        buckets = tuple(b for b in self._TAIL_BUCKETS
+                        if b <= self.seg_steps) or (self.seg_steps,)
         d = 0
         while d < d_pin:
-            b = next((b for b in self._TAIL_BUCKETS if d + b <= d_emit),
-                     None)
-            if b is None:  # cannot happen (interval >= 64); exact fallback
-                b = d_pin - d
+            limit = min(d_emit, n_steps_total)
+            b = next((b for b in buckets if d + b <= limit), None)
+            if b is None:  # tiny remaining gap; exact-size fallback
+                b = min(d_pin - d, self.seg_steps, max(1, limit - d))
             state = self._segment(state, d, b, peq_flat, rows_all, t_ext,
                                   sigma=sigma, n_words=n_words, lo=lo, R=R,
                                   t_scan=t_scan, col_lo=0, col_hi=0)
@@ -910,20 +921,10 @@ class BandedWavefront:
 
     @staticmethod
     def _hamming_cap(q_ids, t_ids, eq) -> int:
-        """d_NW <= hamming(prefixes) + |len diff| (substitution-only
-        alignment): caps every dynamic-k ladder — the run at the cap is
-        guaranteed to succeed, and at Mbp scale each spared doubling
-        round is ~hundreds of kernel dispatches.  Also a valid cap for
-        semiglobal ladders (semiglobal best <= d_NW)."""
-        m = min(len(q_ids), len(t_ids))
-        if eq is None:
-            mism = int(np.count_nonzero(
-                np.asarray(q_ids[:m]) != np.asarray(t_ids[:m])))
-        else:
-            mism = int(np.count_nonzero(
-                ~eq[np.asarray(q_ids[:m], np.intp),
-                    np.asarray(t_ids[:m], np.intp)]))
-        return abs(len(q_ids) - len(t_ids)) + mism
+        """encode.nw_upper_bound, also valid for semiglobal ladders
+        (semiglobal best <= d_NW); at Mbp scale each spared doubling
+        round is ~hundreds of kernel dispatches."""
+        return encode.nw_upper_bound(q_ids, t_ids, eq)
 
     def nw_distance(self, q_ids: np.ndarray, t_ids: np.ndarray,
                     sigma: int, k: int = -1, eq=None) -> int:

@@ -317,3 +317,56 @@ def test_device_path_hirschberg(rng, monkeypatch):
     monkeypatch.setenv("EDLIB_TPU_DEVICE_PATH", "interpret")
     got = edlib_tpu.align(q, t, mode="NW", task="path")
     assert got == want
+
+
+def test_banded_stream_handoff_geometry():
+    """Property test of the phase-1 landing math across thousands of
+    geometries: the greedy bucket walk must end at a step d with the
+    window FULLY slid (base_of(d-1) == base_cap — the slide for step d
+    happens at d's start, which phase 2 never executes) and d <= d_emit
+    (no emission column missed)."""
+    rng = np.random.RandomState(0)
+    wfb = BandedWavefront()
+    for _ in range(4000):
+        qlen = int(rng.randint(64, 2_000_000))
+        k = int(min(rng.choice([64, 128, 1000, 10_000, 100_000]), qlen))
+        tlen_eff = min(int(qlen * rng.uniform(0.7, 1.5)), qlen + k)
+        if qlen - k > tlen_eff:
+            continue
+        n_words = encode.num_words(qlen)
+        band_words = (2 * k + 31) // 33 + 3
+        R = wfb.r_min
+        while R * 128 < band_words:
+            R *= 2
+        rows_all_q = -(-n_words // 128)
+        R_full = max(SUB_MIN_ := 8, -(-rows_all_q // 8) * 8)
+        R = min(R, R_full)
+        WINW = R * 128
+        w_pad = n_words * 32 - qlen
+        t_scan = tlen_eff + w_pad
+        n_steps_total = t_scan + n_words - 1
+        base_cap = max(0, n_words - WINW)
+        d_pin = 0 if base_cap == 0 else 33 * base_cap + 31 + k + 1
+        c_emit = w_pad + max(0, qlen - 1 - k)
+        d_emit = (n_words - 1) + c_emit
+        if d_pin > d_emit:
+            continue  # code path resets to the full window
+
+        def base_of(d):
+            return min(max((d + (-k) - 31) // 33, 0), base_cap)
+
+        buckets = tuple(b for b in wfb._TAIL_BUCKETS
+                        if b <= wfb.seg_steps) or (wfb.seg_steps,)
+        d = 0
+        steps = 0
+        while d < d_pin:
+            limit = min(d_emit, n_steps_total)
+            b = next((b for b in buckets if d + b <= limit), None)
+            if b is None:
+                b = min(d_pin - d, wfb.seg_steps, max(1, limit - d))
+            assert b >= 1
+            d += b
+            steps += 1
+            assert steps < 10_000, "walk does not terminate"
+        assert d <= d_emit, (qlen, k, d, d_emit)
+        assert base_of(d - 1) == base_cap, (qlen, k, d, d_pin)
