@@ -186,10 +186,12 @@ def try_backend(backend: str, timeout: int):
 
 
 def main():
-    # The tunneled TPU in this environment wedges transiently; retry the
-    # device backend with cool-down gaps before accepting the CPU fallback.
+    # The tunneled TPU in this environment wedges transiently (recovery
+    # horizon ~30-60 min); retry the device backend with cool-down gaps
+    # before accepting the CPU fallback — a native-CPU number would
+    # misrepresent the framework's device throughput.
     attempts = [("pallas", 420), ("pallas", 420), ("pallas", 300),
-                ("native", 300)]
+                ("pallas", 300), ("pallas", 300), ("native", 300)]
     result = None
     for i, (backend, timeout) in enumerate(attempts):
         result = try_backend(backend, timeout)
