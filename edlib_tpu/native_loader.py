@@ -92,15 +92,18 @@ def get_ext():
 
 def _build_and_load() -> Optional[ctypes.CDLL]:
     src = os.path.join(_NATIVE_DIR, "edlib_tpu_native.cpp")
+    compat = os.path.join(_NATIVE_DIR, "edlib_compat.cpp")
     lib_path = os.path.join(_build_dir(), _LIB_NAME)
     if not os.path.exists(src):
         return None
+    srcs = [src] + ([compat] if os.path.exists(compat) else [])
+    newest = max(os.path.getmtime(s) for s in srcs)
     if (not os.path.exists(lib_path)
-            or os.path.getmtime(lib_path) < os.path.getmtime(src)):
+            or os.path.getmtime(lib_path) < newest):
         try:
             subprocess.run(
                 ["g++", "-O3", "-std=c++17", "-fPIC", "-march=native", "-pthread",
-                 "-shared", "-o", lib_path, src],
+                 "-shared", "-o", lib_path] + srcs,
                 check=True, capture_output=True, timeout=300)
         except (subprocess.SubprocessError, FileNotFoundError, OSError):
             return None
@@ -264,8 +267,9 @@ def align_native(query: bytes, target: bytes, mode: str, want_starts: bool,
     """Full single-pair DISTANCE/LOC orchestration in C.
 
     Returns {editDistance, alphabetLength, endLocations, startLocations}
-    with numpy arrays, or None when unavailable (no lib / >255 symbols).
-    Empty sequences must be handled by the caller.
+    with numpy arrays, or None when unavailable (no lib).  Handles the
+    full 256-symbol alphabet range.  Empty sequences must be handled by
+    the caller.
     """
     ext = get_ext()
     if ext is not None:

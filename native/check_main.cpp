@@ -6,8 +6,11 @@
 #include <cassert>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
+
+#include "edlib_compat.h"
 
 typedef uint64_t Word;
 
@@ -68,6 +71,25 @@ int main() {
                        8, 2 /*HW*/, 1, -1, nullptr, nullptr, 0, &dist,
                        &alpha, ends, &nl, starts);
     assert(rc == 0 && dist == 0 && nl >= 1 && starts[0] == 2 && ends[0] == 4);
+
+    // Drop-in C ABI (edlib_compat.cpp): result arrays are malloc'd and
+    // released by edlibFreeAlignResult — exercised here so valgrind/ASan
+    // see the whole alloc/free pairing, including the CIGAR string.
+    EdlibAlignConfig ccfg = edlibNewAlignConfig(-1, EDLIB_MODE_HW,
+                                                EDLIB_TASK_PATH, nullptr, 0);
+    EdlibAlignResult cres = edlibAlign("ACT", 3, "CGACTGAC", 8, ccfg);
+    assert(cres.status == EDLIB_STATUS_OK && cres.editDistance == 0);
+    assert(cres.numLocations >= 1 && cres.endLocations[0] == 4
+           && cres.startLocations[0] == 2 && cres.alignmentLength == 3);
+    char* ccig = edlibAlignmentToCigar(cres.alignment, cres.alignmentLength,
+                                       EDLIB_CIGAR_EXTENDED);
+    assert(ccig != nullptr && strcmp(ccig, "3=") == 0);
+    free(ccig);
+    edlibFreeAlignResult(cres);
+    EdlibAlignResult cempty = edlibAlign("", 0, "AC", 2,
+                                         edlibDefaultAlignConfig());
+    assert(cempty.editDistance == 2 && cempty.endLocations[0] == 1);
+    edlibFreeAlignResult(cempty);
 
     printf("native memcheck harness OK\n");
     return 0;

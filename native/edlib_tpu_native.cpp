@@ -241,10 +241,12 @@ static inline bool all_cells_above_k(Word P, Word M, int64_t bottom,
 // all-positions stream path and the inline (best, positions) path share
 // one implementation at zero cost.  emit(c, score) fires for every column
 // where the band reaches the bottom block.
+// TChar: target symbol-id type.  uint8_t everywhere except the sigma=256
+// case, where the wildcard id is 256 and needs uint16_t headroom.
 extern "C++" {
-template <class Emit>
+template <class TChar, class Emit>
 static int64_t sweep_banded_core(const Word* peq, int64_t n_words,
-                                 const uint8_t* target, int64_t t_scan,
+                                 const TChar* target, int64_t t_scan,
                                  int hin0, int64_t k, Emit&& emit) {
     const int64_t maxNB = n_words;
     std::vector<Word> Pv(maxNB, ~(Word)0), Mv(maxNB, 0);
@@ -709,14 +711,16 @@ int64_t etn_nw_path(const uint8_t* q_ids, int64_t qlen,
 // Counterpart of edlibAlign for DISTANCE/LOC (edlib.cpp:146-272); PATH
 // reconstruction stays in the host layer.
 //
-// Returns 0 on success, 1 if the combined alphabet exceeds 255 symbols
-// (the wildcard/NULL convention needs byte headroom; caller falls back).
+// Returns 0 on success (any alphabet up to the full 256 byte values;
+// sigma == 256 routes through uint16 target ids for the wildcard id).
 // Outputs: end_locs (capacity tlen+1), start_locs (capacity tlen+1, filled
 // when want_starts). edit_distance = -1 when above k.
 // ---------------------------------------------------------------------------
 
+extern "C++" {
+template <class TChar>
 static void semiglobal_best(const Word* peq, int64_t n_words,
-                            const uint8_t* t_ext, int64_t t_scan,
+                            const TChar* t_ext, int64_t t_scan,
                             int64_t w_pad, int64_t qlen, int64_t tlen,
                             int hin0, int64_t k, bool dynamic,
                             int32_t* best_out, int32_t* locs,
@@ -753,9 +757,21 @@ static void semiglobal_best(const Word* peq, int64_t n_words,
         if (hb < bound) bound = hb;
         if (bound < 1) bound = 1;
         int32_t d = -1;
+        // The NW probe reads only real symbols (ids < 256); narrow to the
+        // uint8 ABI of etn_nw_distance_banded when TChar is wider.
+        const uint8_t* t_nw;
+        std::unique_ptr<uint8_t[]> t_nw_b;
+        if (sizeof(TChar) == 1) {
+            t_nw = reinterpret_cast<const uint8_t*>(t_ext);
+        } else {
+            t_nw_b.reset(new uint8_t[tlen]);
+            for (int64_t i = 0; i < tlen; i++)
+                t_nw_b[i] = (uint8_t)t_ext[i];
+            t_nw = t_nw_b.get();
+        }
         for (int64_t kp = 64;; kp *= 2) {
             int64_t k_run = kp < bound ? kp : bound;
-            d = etn_nw_distance_banded(peq, n_words, t_ext, tlen, qlen,
+            d = etn_nw_distance_banded(peq, n_words, t_nw, tlen, qlen,
                                        k_run);
             if (d >= 0 || k_run >= bound) break;
         }
@@ -792,6 +808,74 @@ static void semiglobal_best(const Word* peq, int64_t n_words,
         kk *= 2;
     }
 }
+
+// HW/SHW tail of etn_align: the forward search plus (for HW) the
+// reversed-SHW start-location re-runs (edlib.cpp:230-271).  TChar as in
+// sweep_banded_core.
+template <class TChar>
+static void semiglobal_align_tail(const uint8_t* q_ids, const uint8_t* t_ids,
+                                  int64_t qlen, int64_t tlen, int sigma,
+                                  const uint8_t* eq, const Word* peq,
+                                  int64_t n_words, int mode, int want_starts,
+                                  int64_t k, bool dynamic,
+                                  int32_t* edit_distance_out,
+                                  int32_t* end_locs_out, int64_t* n_locs_out,
+                                  int32_t* start_locs_out) {
+    int64_t w_pad = n_words * WBITS - qlen;
+    std::unique_ptr<TChar[]> t_ext_b(new TChar[tlen + w_pad]);
+    TChar* t_ext = t_ext_b.get();
+    for (int64_t i = 0; i < tlen; i++) t_ext[i] = t_ids[i];
+    for (int64_t i = 0; i < w_pad; i++) t_ext[tlen + i] = (TChar)sigma;
+    int hin0 = mode == 2 ? 0 : 1;
+    int32_t best;
+    int64_t n_locs;
+    semiglobal_best(peq, n_words, t_ext, tlen + w_pad, w_pad,
+                    qlen, tlen, hin0, k, dynamic, &best,
+                    end_locs_out, &n_locs);
+    if (best < 0) return;
+    *edit_distance_out = best;
+    *n_locs_out = n_locs;
+
+    if (!want_starts) return;
+    if (mode == 1) {  // SHW: starts are all 0 (edlib.cpp:267-271)
+        for (int64_t i = 0; i < n_locs; i++) start_locs_out[i] = 0;
+        return;
+    }
+    // HW: reversed-SHW per end location, take the LAST minimal position
+    // (edlib.cpp:230-266).
+    std::vector<uint8_t> rq_ids(q_ids, q_ids + qlen);
+    std::reverse(rq_ids.begin(), rq_ids.end());
+    std::vector<Word> rpeq((size_t)(sigma + 1) * n_words);
+    etn_build_peq(rq_ids.data(), qlen, eq, sigma, rpeq.data());
+    std::vector<TChar> rt_ext;
+    std::vector<int32_t> sub_locs;
+    for (int64_t i = 0; i < n_locs; i++) {
+        int64_t e = end_locs_out[i];
+        if (e == -1) {
+            start_locs_out[i] = 0;  // open edge case (edlib.cpp:237-249)
+            continue;
+        }
+        // Any reversed-SHW position p with a minimal value satisfies
+        // p <= qlen-1+best (cell value >= p - (qlen-1)), so only the first
+        // qlen+best reversed columns can matter: truncating bounds the
+        // O(e) prefix copy per end location (the sweep itself already
+        // band-vanish-exits, mirroring edlib.cpp:644-654).
+        int64_t plen = e + 1;
+        int64_t lim = qlen + *edit_distance_out;
+        if (plen > lim) plen = lim;
+        rt_ext.resize(plen + w_pad);
+        for (int64_t j = 0; j < plen; j++) rt_ext[j] = t_ids[e - j];
+        for (int64_t j = 0; j < w_pad; j++) rt_ext[plen + j] = (TChar)sigma;
+        sub_locs.resize(plen + 1);
+        int32_t sub_best;
+        int64_t sub_n;
+        semiglobal_best(rpeq.data(), n_words, rt_ext.data(), plen + w_pad,
+                        w_pad, qlen, plen, 1, *edit_distance_out, false,
+                        &sub_best, sub_locs.data(), &sub_n);
+        start_locs_out[i] = (int32_t)(e - sub_locs[sub_n - 1]);
+    }
+}
+}  // extern "C++"
 
 // Exported inline (best, all minimal end positions) semiglobal search —
 // the no-stream counterpart of etn_sweep_scores_banded for callers that
@@ -869,8 +953,9 @@ int etn_align(const uint8_t* query, int64_t qlen,
     uint8_t* q_ids = q_ids_b.get();
     uint8_t* t_ids = t_ids_b.get();
     uint8_t alphabet[256];
-    // 255-symbol cap: the wildcard/NULL convention needs byte headroom.
-    int64_t sigma64 = etn_transform(query, qlen, target, tlen, 255,
+    // Full 256-symbol alphabets supported (the sigma == 256 case routes
+    // the semiglobal tail through uint16 target ids for the wildcard).
+    int64_t sigma64 = etn_transform(query, qlen, target, tlen, 256,
                                     q_ids, t_ids, alphabet);
     if (sigma64 < 0) return 1;
     int sigma = (int)sigma64;
@@ -936,58 +1021,18 @@ int etn_align(const uint8_t* query, int64_t qlen,
     }
 
     // --- HW / SHW ---
-    int64_t w_pad = n_words * WBITS - qlen;
-    std::unique_ptr<uint8_t[]> t_ext_b(new uint8_t[tlen + w_pad]);
-    uint8_t* t_ext = t_ext_b.get();
-    memcpy(t_ext, t_ids, tlen);
-    for (int64_t i = 0; i < w_pad; i++) t_ext[tlen + i] = (uint8_t)sigma;
-    int hin0 = mode == 2 ? 0 : 1;
-    int32_t best;
-    int64_t n_locs;
-    semiglobal_best(peq.data(), n_words, t_ext, tlen + w_pad, w_pad,
-                    qlen, tlen, hin0, k, dynamic, &best,
-                    end_locs_out, &n_locs);
-    if (best < 0) return 0;
-    *edit_distance_out = best;
-    *n_locs_out = n_locs;
-
-    if (!want_starts) return 0;
-    if (mode == 1) {  // SHW: starts are all 0 (edlib.cpp:267-271)
-        for (int64_t i = 0; i < n_locs; i++) start_locs_out[i] = 0;
-        return 0;
-    }
-    // HW: reversed-SHW per end location, take the LAST minimal position
-    // (edlib.cpp:230-266).
-    std::vector<uint8_t> rq_ids(q_ids, q_ids + qlen);
-    std::reverse(rq_ids.begin(), rq_ids.end());
-    std::vector<Word> rpeq((size_t)(sigma + 1) * n_words);
-    etn_build_peq(rq_ids.data(), qlen, eq.data(), sigma, rpeq.data());
-    std::vector<uint8_t> rt_ext;
-    std::vector<int32_t> sub_locs;
-    for (int64_t i = 0; i < n_locs; i++) {
-        int64_t e = end_locs_out[i];
-        if (e == -1) {
-            start_locs_out[i] = 0;  // open edge case (edlib.cpp:237-249)
-            continue;
-        }
-        // Any reversed-SHW position p with a minimal value satisfies
-        // p <= qlen-1+best (cell value >= p - (qlen-1)), so only the first
-        // qlen+best reversed columns can matter: truncating bounds the
-        // O(e) prefix copy per end location (the sweep itself already
-        // band-vanish-exits, mirroring edlib.cpp:644-654).
-        int64_t plen = e + 1;
-        int64_t lim = qlen + *edit_distance_out;
-        if (plen > lim) plen = lim;
-        rt_ext.resize(plen + w_pad);
-        for (int64_t j = 0; j < plen; j++) rt_ext[j] = t_ids[e - j];
-        for (int64_t j = 0; j < w_pad; j++) rt_ext[plen + j] = (uint8_t)sigma;
-        sub_locs.resize(plen + 1);
-        int32_t sub_best;
-        int64_t sub_n;
-        semiglobal_best(rpeq.data(), n_words, rt_ext.data(), plen + w_pad,
-                        w_pad, qlen, plen, 1, *edit_distance_out, false,
-                        &sub_best, sub_locs.data(), &sub_n);
-        start_locs_out[i] = (int32_t)(e - sub_locs[sub_n - 1]);
+    // uint8 ids in the common case; uint16 only for sigma == 256, where
+    // the wildcard id (== sigma) needs headroom beyond a byte.
+    if (sigma < 256) {
+        semiglobal_align_tail<uint8_t>(
+            q_ids, t_ids, qlen, tlen, sigma, eq.data(), peq.data(), n_words,
+            mode, want_starts, k, dynamic, edit_distance_out, end_locs_out,
+            n_locs_out, start_locs_out);
+    } else {
+        semiglobal_align_tail<uint16_t>(
+            q_ids, t_ids, qlen, tlen, sigma, eq.data(), peq.data(), n_words,
+            mode, want_starts, k, dynamic, edit_distance_out, end_locs_out,
+            n_locs_out, start_locs_out);
     }
     return 0;
 }
