@@ -243,9 +243,60 @@ def _run_bucket_mesh(mesh, idxs, pairs, metas, sigma, eq, nw_b, t_scan,
 _BIG_SENTINEL = 0x3FFFFFFF
 
 
+def _shw_banded_bucket(sweeper, peq, targets, lo, hi, kb, k_user,
+                       want_hits, shared):
+    """Banded SHW bucket: k-doubling ladder over the sliding-window
+    kernel, capped at the per-lane guaranteed bounds kb (>= each lane's
+    true best, so the capped run always completes every lane within the
+    k_user cutoff) — the device counterpart of the reference's SHW under
+    the doubling loop (edlib.cpp:58-78 banding + 154-160 boundaries).
+
+    Returns (best, pos_first, pos_last, positions) over the first len(kb)
+    lanes, scan-column space; not-found lanes (true best > k_user) report
+    _BIG_SENTINEL / empty positions.
+    """
+    B = len(kb)
+    k_lim = max(int(kb.max(initial=1)), 1)
+    if k_user >= 0:
+        k_lim = min(k_lim, max(int(k_user), 1))
+    best = np.full(B, _BIG_SENTINEL, np.int64)
+    pf = np.full(B, -1, np.int64)
+    pl_ = np.full(B, -1, np.int64)
+    done = np.zeros(B, bool)
+    k_cur = min(64, k_lim)
+    while True:
+        rb, rf, rl = sweeper.reduce_shw_banded(peq, targets, lo, hi, k_cur,
+                                               shared=shared)
+        newly = ~done & (rb[:B] <= k_cur)
+        best[newly] = rb[:B][newly]
+        pf[newly] = rf[:B][newly]
+        pl_[newly] = rl[:B][newly]
+        done |= newly
+        if done.all() or k_cur >= k_lim:
+            break
+        k_cur = min(k_cur * 2, k_lim)
+    positions: List[Optional[np.ndarray]] = [None] * B
+    if want_hits:
+        if done.any():
+            # All minimal cells of a found lane lie within +-best of the
+            # diagonal, so one hits pass at the found maximum covers all.
+            k_h = max(int(best[done].max()), 1)
+            bb = np.full(peq.shape[0], -(1 << 30), np.int64)
+            bb[:B][done] = best[done]
+            hits = sweeper.hits_shw_banded(peq, targets, lo, hi, bb, k_h,
+                                           shared=shared)
+            for b in range(B):
+                positions[b] = hits[b] if done[b] \
+                    else np.empty(0, np.int64)
+        else:
+            positions = [np.empty(0, np.int64) for _ in range(B)]
+    return best, pf, pl_, positions
+
+
 def _run_bucketed_summary(pairs: List[Tuple[np.ndarray, np.ndarray]],
                           sigma: int, eq: np.ndarray, hin0: int,
-                          want_hits: bool, mesh=None) -> List[PairSummary]:
+                          want_hits: bool, mesh=None, shw_kb=None,
+                          k_user: int = -1) -> List[PairSummary]:
     """Bucketed sweeps returning per-pair summaries (real position space).
 
     On TPU this is the two-phase Pallas path: a register-resident reduction
@@ -311,6 +362,21 @@ def _run_bucketed_summary(pairs: List[Tuple[np.ndarray, np.ndarray]],
         chunk = int(os.environ.get("EDLIB_TPU_PALLAS_CHUNK", "256"))
         sweeper = pallas_kernel.PallasSweeper(
             chunk=chunk, interpret=(mode == "interpret"))
+        if shw_kb is not None and hin0 == 1 \
+                and nw_b >= _band_min_words():
+            kb = np.array([shw_kb[i] for i in idxs], np.int64)
+            bbest, bpf, bpl, bpos = _shw_banded_bucket(
+                sweeper, peq, targets, lo, hi, kb, k_user, want_hits,
+                shared)
+            for row, i in enumerate(idxs):
+                w = metas[i][1]
+                positions = None
+                if want_hits:
+                    positions = bpos[row] - w
+                out[i] = PairSummary(int(bbest[row]), int(bpf[row]) - w,
+                                     int(bpl[row]) - w, _BIG_SENTINEL,
+                                     positions)
+            continue
         best, pf, pl_, last = sweeper.reduce(peq, targets, lo, hi, hin0,
                                              shared=shared)
         if want_hits:
@@ -328,6 +394,14 @@ def _run_bucketed_summary(pairs: List[Tuple[np.ndarray, np.ndarray]],
 
 
 _NW_BAND_MIN_WORDS = 8  # band pruning pays only for multi-word queries
+
+
+def _band_min_words() -> int:
+    """Minimum bucket word count for the banded kernels (env-overridable so
+    interpreter-mode tests can exercise the banded drivers on tiny shapes
+    without paying the full kernels' unrolled compile)."""
+    return int(os.environ.get("EDLIB_TPU_BAND_MIN_WORDS",
+                              _NW_BAND_MIN_WORDS))
 
 
 def _run_bucketed_nw_banded(pairs: List[Tuple[np.ndarray, np.ndarray]],
@@ -364,7 +438,7 @@ def _run_bucketed_nw_banded(pairs: List[Tuple[np.ndarray, np.ndarray]],
                   and all(pairs[i][1] is pairs[idxs[0]][1] for i in idxs))
         use_pallas = bool(mode) and (
             shared or sigma + 1 <= pallas_kernel.max_sigma1(nw_b, False))
-        band_ok = use_pallas and nw_b >= _NW_BAND_MIN_WORDS
+        band_ok = use_pallas and nw_b >= _band_min_words()
 
         if not use_pallas:
             streams = _sweep_bucket([pairs[i][0] for i in idxs],
@@ -586,8 +660,19 @@ def align_batch_device(queries: Sequence, targets: Sequence,
                     t_ids = slice_cache[key]
                 trunc.append((q_ids, t_ids))
             sweep_pairs = trunc
+        shw_kb = None
+        if mode == AlignMode.SHW and mesh is None:
+            # Guaranteed per-pair bounds on the SHW best: best <= d_NW
+            # (the full truncated target is one candidate prefix) <= the
+            # hamming bound, and best <= Q (align against one target
+            # char, delete the rest of the query) — so the banded ladder
+            # capped there always completes every lane.
+            shw_kb = np.array(
+                [min(encode.nw_upper_bound(q, t, eq), max(len(q), 1))
+                 for q, t in sweep_pairs], np.int64)
         summaries = _run_bucketed_summary(sweep_pairs, sigma, eq, hin0,
-                                          want_hits, mesh=mesh)
+                                          want_hits, mesh=mesh,
+                                          shw_kb=shw_kb, k_user=k)
         for i, summ in zip(main_idx, summaries):
             res = results[i]
             qlen = len(id_pairs[i][0])
@@ -683,7 +768,15 @@ def _fill_start_locations(results, id_pairs, main_idx, mode, sigma, eq,
     # reversed-SHW best always equals the pair's edit distance (e is a
     # minimal end position), so positions attaining the stream best are
     # exactly the minimal ones.
+    # Each reversed-SHW best IS the pair's edit distance (e is a minimal
+    # end position), so the banded kernel gets exact per-lane k bounds:
+    # one-shot band-pruned sweeps, no ladder overshoot.
+    sub_kb = None
+    if mesh is None:
+        sub_kb = np.array([results[i].edit_distance for i, _, _ in sub_owner],
+                          np.int64)
     summaries = _run_bucketed_summary(sub_pairs, sigma, eq, hin0=1,
-                                      want_hits=False, mesh=mesh)
+                                      want_hits=False, mesh=mesh,
+                                      shw_kb=sub_kb)
     for (i, j, e), summ in zip(sub_owner, summaries):
         results[i].start_locations[j] = e - summ.pos_last

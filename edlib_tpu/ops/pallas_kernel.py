@@ -775,6 +775,285 @@ def sweep_nw_banded_pallas(peq: jnp.ndarray, targets: jnp.ndarray,
     )(woff, targets, peq, hi)
 
 
+def _shw_banded_kernel(woff_ref, targets_ref, peq_ref, lo_ref, hi_ref,
+                       best_ref, pfirst_ref, plast_ref,
+                       pv_ref, mv_ref, sb_ref, rb_ref, rpf_ref, rpl_ref, *,
+                       n_words: int, n_win: int, sigma1: int, chunk: int,
+                       shared: bool, unroll: int):
+    """Banded SHW reduce: (best, first-pos, last-pos) over the bottom row,
+    band-pruned with the same sliding word window as the banded NW kernel.
+
+    SHW cells are prefix-vs-prefix global distances (reference SHW shares
+    NW's boundary conditions, edlib.cpp:154-160), so every cell of value
+    <= k lies on scan diagonals row - col in [-k, k] — and, because scan
+    columns carry no per-lane W shift, that range is LANE-INDEPENDENT:
+    real cell (i, j) sits at scan (i, j) with |i - j| <= k, and the
+    wildcard drain from (qlen-1, j) to the padded bottom row rides the
+    constant diagonal qlen-1-j in [-k, k].  The band-top hin = +1 is
+    exactly SHW's row boundary at word 0 and the pessimistic band
+    boundary elsewhere, so values are overestimates everywhere and exact
+    wherever the true value is <= k: min/argmin over the window read
+    columns is exact whenever the true best is <= k (pruning-only,
+    k-ladder on host).  Reads only count where the window has reached the
+    bottom word — the schedule guarantees it has at every k-feasible read
+    column (w_hi = n_words there by the drain-diagonal bound).
+    """
+    t_step = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    off = woff_ref[t_step]
+
+    @pl.when(t_step == 0)
+    def _reset():
+        pv_ref[...] = jnp.full((n_words, SUBLANES, LANES), _ONES, jnp.uint32)
+        mv_ref[...] = jnp.zeros((n_words, SUBLANES, LANES), jnp.uint32)
+        sb_ref[...] = jnp.full((SUBLANES, LANES), (off + n_win) * 32,
+                               jnp.int32)
+        rb_ref[...] = jnp.full((SUBLANES, LANES), _BIG, jnp.int32)
+        rpf_ref[...] = jnp.full((SUBLANES, LANES), -1, jnp.int32)
+        rpl_ref[...] = jnp.full((SUBLANES, LANES), -1, jnp.int32)
+
+    @pl.when(t_step > 0)
+    def _slide():
+        prev = woff_ref[jnp.maximum(t_step - 1, 0)]
+        sb_ref[...] = sb_ref[...] + (off - prev) * 32
+
+    lo = lo_ref[...]
+    hi = hi_ref[...]
+    at_bottom = off == n_words - n_win
+
+    pv_blk = pv_ref[pl.ds(off, n_win)]
+    mv_blk = mv_ref[pl.ds(off, n_win)]
+    peq_win = peq_ref[:, pl.ds(off, n_win)]
+
+    def column(c, carry):
+        pvs, mvs, sb, rb, rpf, rpl = carry
+        sym = targets_ref[0, c] if shared else targets_ref[c]
+        hn = jnp.zeros((SUBLANES, LANES), jnp.uint32)
+        hp = jnp.ones((SUBLANES, LANES), jnp.uint32)  # SHW/band-top boundary
+        new_pvs, new_mvs = [], []
+        for w in range(n_win):
+            eq = _fetch_eq_win(peq_win, sym, w, sigma1, shared)
+            pv, mv, hn, hp = _advance_word(pvs[w], mvs[w], eq, hn, hp)
+            new_pvs.append(pv)
+            new_mvs.append(mv)
+        sb = sb + hp.astype(jnp.int32) - hn.astype(jnp.int32)
+        col = t_step * chunk + c
+        in_win = at_bottom & (col >= lo) & (col < hi)
+        upd = (sb < rb) & in_win
+        rpf = jnp.where(upd, col, rpf)
+        rpl = jnp.where((sb <= rb) & in_win, col, rpl)
+        rb = jnp.where(upd, sb, rb)
+        return tuple(new_pvs), tuple(new_mvs), sb, rb, rpf, rpl
+
+    carry0 = (tuple(pv_blk[w] for w in range(n_win)),
+              tuple(mv_blk[w] for w in range(n_win)),
+              sb_ref[...], rb_ref[...], rpf_ref[...], rpl_ref[...])
+
+    def columns(i, carry):
+        for j in range(unroll):
+            carry = column(i * unroll + j, carry)
+        return carry
+
+    pvs, mvs, sb, rb, rpf, rpl = jax.lax.fori_loop(0, chunk // unroll,
+                                                   columns, carry0)
+    pv_ref[pl.ds(off, n_win)] = jnp.stack(list(pvs))
+    mv_ref[pl.ds(off, n_win)] = jnp.stack(list(mvs))
+    sb_ref[...] = sb
+    rb_ref[...] = rb
+    rpf_ref[...] = rpf
+    rpl_ref[...] = rpl
+
+    @pl.when(t_step == n_chunks - 1)
+    def _emit():
+        best_ref[...] = rb_ref[...]
+        pfirst_ref[...] = rpf_ref[...]
+        plast_ref[...] = rpl_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("n_win", "chunk", "shared",
+                                             "interpret"))
+def sweep_shw_banded_pallas(peq: jnp.ndarray, targets: jnp.ndarray,
+                            woff: jnp.ndarray, lo: jnp.ndarray,
+                            hi: jnp.ndarray, n_win: int, chunk: int = 256,
+                            shared: bool = False, interpret: bool = False):
+    """Banded batched SHW reduce: (best, pfirst, plast) each
+    int32 (n_tiles, 8, 128) in scan-column space; exact wherever the true
+    best is <= the banding k, else garbage > k (host retries)."""
+    n_tiles, sigma1, n_words = peq.shape[:3]
+    assert 0 < n_win <= n_words
+    n_chunks = targets.shape[0] if shared else targets.shape[1]
+    if interpret:
+        unroll = 1
+    else:
+        unroll = 16 if chunk % 16 == 0 else (8 if chunk % 8 == 0 else 1)
+    kernel = functools.partial(_shw_banded_kernel, n_words=n_words,
+                               n_win=n_win, sigma1=sigma1, chunk=chunk,
+                               shared=shared, unroll=unroll)
+    if shared:
+        t_spec = pl.BlockSpec((None, 1, chunk), lambda i, j: (j, 0, 0),
+                              memory_space=pltpu.SMEM)
+    else:
+        t_spec = pl.BlockSpec((None, None, chunk, SUBLANES, LANES),
+                              lambda i, j: (i, j, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((None, SUBLANES, LANES), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_chunks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            t_spec,
+            pl.BlockSpec((None, sigma1, n_words, SUBLANES, LANES),
+                         lambda i, j: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            tile_spec, tile_spec,
+        ],
+        out_specs=(tile_spec, tile_spec, tile_spec),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((n_tiles, SUBLANES, LANES), jnp.int32)
+            for _ in range(3)),
+        scratch_shapes=[
+            pltpu.VMEM((n_words, SUBLANES, LANES), jnp.uint32),
+            pltpu.VMEM((n_words, SUBLANES, LANES), jnp.uint32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(woff, targets, peq, lo, hi)
+
+
+def _shw_banded_hits_kernel(woff_ref, targets_ref, peq_ref, lo_ref, hi_ref,
+                            best_ref, hits_ref, pv_ref, mv_ref, sb_ref, *,
+                            n_words: int, n_win: int, sigma1: int,
+                            chunk: int, shared: bool, unroll32: bool):
+    """Banded phase-2: packed bitmask of window-read columns with
+    score == best (the banded analogue of _hits_kernel; exact for lanes
+    whose best is <= the banding k, by the _shw_banded_kernel argument).
+
+    unroll32: statically unroll each 32-column bit group (Mosaic — static
+    bit positions); False keeps the loop rolled with a dynamic shift,
+    which the interpreter needs (32 x n_win unrolled advance bodies are
+    minutes-slow XLA:CPU compiles)."""
+    t_step = pl.program_id(1)
+    off = woff_ref[t_step]
+
+    @pl.when(t_step == 0)
+    def _reset():
+        pv_ref[...] = jnp.full((n_words, SUBLANES, LANES), _ONES, jnp.uint32)
+        mv_ref[...] = jnp.zeros((n_words, SUBLANES, LANES), jnp.uint32)
+        sb_ref[...] = jnp.full((SUBLANES, LANES), (off + n_win) * 32,
+                               jnp.int32)
+
+    @pl.when(t_step > 0)
+    def _slide():
+        prev = woff_ref[jnp.maximum(t_step - 1, 0)]
+        sb_ref[...] = sb_ref[...] + (off - prev) * 32
+
+    lo = lo_ref[...]
+    hi = hi_ref[...]
+    best = best_ref[...]
+    at_bottom = off == n_words - n_win
+
+    pv_blk = pv_ref[pl.ds(off, n_win)]
+    mv_blk = mv_ref[pl.ds(off, n_win)]
+    peq_win = peq_ref[:, pl.ds(off, n_win)]
+
+    def column(c, bit, carry):
+        pvs, mvs, sb, mask = carry
+        sym = targets_ref[0, c] if shared else targets_ref[c]
+        hn = jnp.zeros((SUBLANES, LANES), jnp.uint32)
+        hp = jnp.ones((SUBLANES, LANES), jnp.uint32)
+        new_pvs, new_mvs = [], []
+        for w in range(n_win):
+            eq = _fetch_eq_win(peq_win, sym, w, sigma1, shared)
+            pv, mv, hn, hp = _advance_word(pvs[w], mvs[w], eq, hn, hp)
+            new_pvs.append(pv)
+            new_mvs.append(mv)
+        sb = sb + hp.astype(jnp.int32) - hn.astype(jnp.int32)
+        col = t_step * chunk + c
+        hit = ((sb == best) & at_bottom & (col >= lo) & (col < hi)) \
+            .astype(jnp.uint32)
+        mask = mask | (hit << bit)
+        return tuple(new_pvs), tuple(new_mvs), sb, mask
+
+    def group(g, carry):
+        pvs, mvs, sb = carry
+        mask = jnp.zeros((SUBLANES, LANES), jnp.uint32)
+        inner = (pvs, mvs, sb, mask)
+        if unroll32:
+            for j in range(32):  # static bit positions, one VMEM store
+                inner = column(g * 32 + j, jnp.uint32(j), inner)
+        else:
+            inner = jax.lax.fori_loop(
+                0, 32,
+                lambda j, car: column(g * 32 + j, j.astype(jnp.uint32),
+                                      car),
+                inner)
+        pvs, mvs, sb, mask = inner
+        hits_ref[g] = mask
+        return pvs, mvs, sb
+
+    carry0 = (tuple(pv_blk[w] for w in range(n_win)),
+              tuple(mv_blk[w] for w in range(n_win)), sb_ref[...])
+    pvs, mvs, sb = jax.lax.fori_loop(0, chunk // 32, group, carry0)
+    pv_ref[pl.ds(off, n_win)] = jnp.stack(list(pvs))
+    mv_ref[pl.ds(off, n_win)] = jnp.stack(list(mvs))
+    sb_ref[...] = sb
+
+
+@functools.partial(jax.jit, static_argnames=("n_win", "chunk", "shared",
+                                             "interpret"))
+def sweep_shw_banded_hits_pallas(peq: jnp.ndarray, targets: jnp.ndarray,
+                                 woff: jnp.ndarray, lo: jnp.ndarray,
+                                 hi: jnp.ndarray, best: jnp.ndarray,
+                                 n_win: int, chunk: int = 256,
+                                 shared: bool = False,
+                                 interpret: bool = False) -> jnp.ndarray:
+    """Banded packed hit bitmasks: uint32
+    (n_tiles, n_chunks, chunk//32, 8, 128); chunk % 32 == 0."""
+    n_tiles, sigma1, n_words = peq.shape[:3]
+    assert 0 < n_win <= n_words and chunk % 32 == 0
+    n_chunks = targets.shape[0] if shared else targets.shape[1]
+    kernel = functools.partial(_shw_banded_hits_kernel, n_words=n_words,
+                               n_win=n_win, sigma1=sigma1, chunk=chunk,
+                               shared=shared, unroll32=not interpret)
+    if shared:
+        t_spec = pl.BlockSpec((None, 1, chunk), lambda i, j: (j, 0, 0),
+                              memory_space=pltpu.SMEM)
+    else:
+        t_spec = pl.BlockSpec((None, None, chunk, SUBLANES, LANES),
+                              lambda i, j: (i, j, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((None, SUBLANES, LANES), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_chunks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            t_spec,
+            pl.BlockSpec((None, sigma1, n_words, SUBLANES, LANES),
+                         lambda i, j: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            tile_spec, tile_spec, tile_spec,
+        ],
+        out_specs=pl.BlockSpec((None, None, chunk // 32, SUBLANES, LANES),
+                               lambda i, j: (i, j, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_tiles, n_chunks, chunk // 32, SUBLANES, LANES), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((n_words, SUBLANES, LANES), jnp.uint32),
+            pltpu.VMEM((n_words, SUBLANES, LANES), jnp.uint32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(woff, targets, peq, lo, hi, best)
+
+
 def nw_band_schedule(n_words: int, n_chunks: int, chunk: int,
                      d_lo: int, d_hi: int):
     """(per-chunk window offsets, static window width) for the band.
@@ -974,6 +1253,98 @@ class PallasSweeper:
                                      shared=shared,
                                      interpret=self.interpret)
         return self.unpack_lanes(np.asarray(out), B).astype(np.int64)
+
+    def reduce_shw_banded(self, peq_flat: np.ndarray, targets,
+                          lo: np.ndarray, hi: np.ndarray, k: int,
+                          shared: bool = False):
+        """Banded SHW reduce: (best, pos_first, pos_last) each (B,) int64
+        in scan-column space; exact for lanes whose true best <= k
+        (pruning-only — the caller retries or falls back otherwise).
+
+        The band is lane-independent: every SHW cell of value <= k and
+        its wildcard drain lie on scan diagonals in [-k, k]
+        (see _shw_banded_kernel).
+        """
+        import jax.numpy as jnp
+        B = peq_flat.shape[0]
+        n_words = peq_flat.shape[2]
+        cached = getattr(self, "_last_banded", None)
+        if cached is not None and cached[0] == id(peq_flat) \
+                and cached[1] == id(targets):
+            peq, tg = cached[2], cached[3]
+        else:
+            peq = self.pack_peq(peq_flat)
+            if shared:
+                sigma1 = peq_flat.shape[1]
+                tg = self.pack_target_shared(
+                    np.asarray(targets, np.int32), sigma1 - 1,
+                    t_scan=int(np.max(hi, initial=0)))
+            else:
+                tg = self.pack_targets_general(targets)
+        n_chunks = tg.shape[0] if shared else tg.shape[1]
+        woff, n_win = nw_band_schedule(n_words, n_chunks, self.chunk,
+                                       -k, k)
+        lo_t = self.pack_lanes(lo)
+        hi_t = self.pack_lanes(hi)
+        outs = sweep_shw_banded_pallas(jnp.asarray(peq), jnp.asarray(tg),
+                                       jnp.asarray(woff),
+                                       jnp.asarray(lo_t), jnp.asarray(hi_t),
+                                       n_win, chunk=self.chunk,
+                                       shared=shared,
+                                       interpret=self.interpret)
+        self._last_banded = (id(peq_flat), id(targets), peq, tg)
+        return tuple(self.unpack_lanes(np.asarray(o), B).astype(np.int64)
+                     for o in outs)
+
+    def hits_shw_banded(self, peq_flat: np.ndarray, targets, lo: np.ndarray,
+                        hi: np.ndarray, best: np.ndarray, k: int,
+                        shared: bool = False):
+        """Banded phase-2: per-lane sorted scan columns with score == best
+        (exact for lanes whose best <= k).  Returns list of int64 arrays."""
+        import jax.numpy as jnp
+        B = peq_flat.shape[0]
+        n_words = peq_flat.shape[2]
+        cached = getattr(self, "_last_banded", None)
+        if cached is not None and cached[0] == id(peq_flat) \
+                and cached[1] == id(targets):
+            peq, tg = cached[2], cached[3]
+        else:
+            peq = self.pack_peq(peq_flat)
+            if shared:
+                sigma1 = peq_flat.shape[1]
+                tg = self.pack_target_shared(
+                    np.asarray(targets, np.int32), sigma1 - 1,
+                    t_scan=int(np.max(hi, initial=0)))
+            else:
+                tg = self.pack_targets_general(targets)
+        n_chunks = tg.shape[0] if shared else tg.shape[1]
+        woff, n_win = nw_band_schedule(n_words, n_chunks, self.chunk,
+                                       -k, k)
+        lo_t = self.pack_lanes(lo)
+        hi_t = self.pack_lanes(hi)
+        best_t = self.pack_lanes(np.asarray(best, np.int64), fill=-(1 << 30))
+        masks = sweep_shw_banded_hits_pallas(
+            jnp.asarray(peq), jnp.asarray(tg), jnp.asarray(woff),
+            jnp.asarray(lo_t), jnp.asarray(hi_t), jnp.asarray(best_t),
+            n_win, chunk=self.chunk, shared=shared,
+            interpret=self.interpret)
+        masks = np.asarray(masks)
+        n_tiles, n_chunks_m, G = masks.shape[:3]
+        m = masks.transpose(0, 3, 4, 1, 2).reshape(n_tiles * B_TILE,
+                                                   n_chunks_m * G)
+        out = []
+        shifts = np.arange(32, dtype=np.uint32)
+        for b in range(B):
+            words = m[b]
+            nz = np.nonzero(words)[0]
+            if nz.size == 0:
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            bits = (words[nz, None] >> shifts) & 1
+            g_idx, b_idx = np.nonzero(bits)
+            cols = nz[g_idx].astype(np.int64) * 32 + b_idx
+            out.append(np.sort(cols))
+        return out
 
     def hits(self, peq_flat: np.ndarray, targets, lo: np.ndarray,
              hi: np.ndarray, best: np.ndarray, hin0: int,

@@ -257,3 +257,43 @@ print(json.dumps([best.tolist(), pos.tolist()]))
         want = align(bytes(arr), target, mode="HW", task="locations")
         assert got[0][i] == want["editDistance"], i
         assert got[1][i] == want["locations"][0][1], i
+
+
+def _gen_shw_pairs():
+    """Multi-word SHW workload: 2kbp queries vs prefix-similar targets
+    (banded ladder + banded hits + banded reversed-SHW start locations)."""
+    rng = np.random.RandomState(23)
+    queries, targets = [], []
+    for i in range(12):
+        q = rng.randint(0, 4, 2000 + 16 * i)
+        keep = rng.uniform(size=len(q)) >= 0.02
+        t_core = np.where(rng.uniform(size=len(q)) < 0.03,
+                          rng.randint(0, 4, len(q)), q)[keep]
+        t = np.concatenate([t_core, rng.randint(0, 4, 300)])
+        queries.append(bytes(bytearray(b"ACGT"[c] for c in q)))
+        targets.append(bytes(bytearray(b"ACGT"[c] for c in t)))
+    return queries, targets
+
+
+def test_hw_shw_banded_batch(tpu_ok):
+    """Banded SHW reduce/hits + banded reversed-SHW start locations on the
+    chip (sliding word window, n_win < n_words) vs per-pair host truth."""
+    code = r"""
+from tests.test_hw_tpu import _gen_shw_pairs
+from edlib_tpu.batch import align_batch_device
+queries, targets = _gen_shw_pairs()
+out = [align_batch_device(queries, targets, mode="SHW", task="locations",
+                          k=-1),
+       align_batch_device(queries, targets, mode="HW", task="locations",
+                          k=-1)]
+print(json.dumps(out))
+"""
+    got = _child_json(code, timeout=900)
+    from edlib_tpu import align
+    queries, targets = _gen_shw_pairs()
+    for m, mode in enumerate(("SHW", "HW")):
+        want = [align(q, t, mode=mode, task="locations")
+                for q, t in zip(queries, targets)]
+        want = [{**w, "locations": [list(p) for p in w["locations"]]}
+                for w in want]
+        assert got[m] == want, mode
