@@ -366,7 +366,10 @@ def align_batch(queries, targets, mode="NW", task="distance", k=-1,
     Results match per-pair ``align`` exactly.
 
     backend: "auto" | "jax" | "host".  The device path buckets by shape,
-    packs the batch, and runs the batched Myers sweep on TPU.
+    packs the batch, and runs the batched Myers sweep on TPU.  "auto"
+    uses the device path only when a device is attached (or forced via
+    EDLIB_TPU_FORCE_PALLAS); otherwise the native host engines run the
+    batch — "jax" forces the device driver regardless.
 
     mesh: optional ``jax.sharding.Mesh`` with axes ("dp", "sp") — shards the
     work across devices with the location merge done ON device (pmin/pmax
@@ -379,7 +382,15 @@ def align_batch(queries, targets, mode="NW", task="distance", k=-1,
         targets = [targets] * len(queries)
     if len(queries) != len(targets):
         raise ValueError("queries and targets must have equal length")
-    if backend == "host" and mesh is None:
+    use_host = backend == "host"
+    if backend == "auto" and mesh is None:
+        # No device (and none forced): the batched XLA scan engine on CPU
+        # is latency-pathological (~20x the native loop) — route to the
+        # native host engines.  backend="jax" still forces the device
+        # driver (tests/debugging).
+        from edlib_tpu.batch import _pallas_mode
+        use_host = not _pallas_mode()
+    if use_host and mesh is None:
         one = lambda qt: align(qt[0], qt[1], mode=mode, task=task, k=k,
                                additionalEqualities=additionalEqualities)
         pairs = list(zip(queries, targets))

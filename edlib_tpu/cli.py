@@ -127,8 +127,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     backend = args.backend
     if backend == "auto":
         # Device batching pays off for many queries; sequential host wins on
-        # latency for a handful (adaptive-k also prunes best on host).
-        backend = "jax" if len(queries) >= 256 and task == "distance" else "host"
+        # latency for a handful (adaptive-k also prunes best on host) —
+        # and only when a device is actually attached (the CPU XLA
+        # fallback is far slower than the native loop).  Check the cheap
+        # signals FIRST: _pallas_mode() initialises the jax backend
+        # (seconds of latency the host path never pays).
+        backend = "host"
+        if len(queries) >= 256 and task == "distance":
+            from edlib_tpu.batch import _pallas_mode
+            if _pallas_mode():
+                backend = "jax"
 
     print("\nComparing queries to target...")
     start_time = time.process_time()
@@ -152,7 +160,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                 for c0 in range(0, len(queries), 512):
                     qs = queries[c0:c0 + 512]
                     part = align_batch(qs, [target] * len(qs),
-                                       mode=args.mode, task=task, k=k_run)
+                                       mode=args.mode, task=task, k=k_run,
+                                       backend="jax")
                     batch.extend(part)
                     for res in part:
                         if res["editDistance"] >= 0:
@@ -165,7 +174,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                             k_run = args.k
             else:
                 batch = align_batch(queries, [target] * len(queries),
-                                    mode=args.mode, task=task, k=args.k)
+                                    mode=args.mode, task=task, k=args.k,
+                                    backend="jax")
         results = batch
     elif (args.find_alignment and not args.silent and args.num_best <= 0
           and args.num_repeats <= 1 and len(queries) >= 4):

@@ -28,7 +28,8 @@ def shared_pairs():
 @pytest.mark.parametrize("mode", ["NW", "SHW", "HW"])
 def test_batch_matches_single(mode, task, shared_pairs):
     queries, targets = shared_pairs
-    batch = align_batch(queries, targets, mode=mode, task=task)
+    batch = align_batch(queries, targets, mode=mode, task=task,
+                        backend="jax")
     for q, t, got in zip(queries, targets, batch):
         want = align(q, t, mode=mode, task=task)
         assert got == want, f"mode={mode} task={task} q={q!r} t={t!r}"
@@ -39,7 +40,7 @@ def test_batch_with_k_and_equalities(rng):
     eqs = [("A", "C")]
     for k in (-1, 3, 0):
         batch = align_batch(queries, targets, mode="HW", task="locations",
-                            k=k, additionalEqualities=eqs)
+                            k=k, additionalEqualities=eqs, backend="jax")
         for q, t, got in zip(queries, targets, batch):
             want = align(q, t, mode="HW", task="locations", k=k,
                          additionalEqualities=eqs)
@@ -48,11 +49,13 @@ def test_batch_with_k_and_equalities(rng):
 
 def test_batch_broadcast_target_and_empty(rng):
     queries = [b"ACGT", b"", b"TTTT", b"ACG"]
-    res = align_batch(queries, b"ACGTACGT", mode="HW", task="path")
+    res = align_batch(queries, b"ACGTACGT", mode="HW", task="path",
+                      backend="jax")
     for q, got in zip(queries, res):
         assert got == align(q, b"ACGTACGT", mode="HW", task="path")
     # Empty target in the batch.
-    res = align_batch([b"AC", b"A"], [b"", b"G"], mode="NW")
+    res = align_batch([b"AC", b"A"], [b"", b"G"], mode="NW",
+                      backend="jax")
     assert res[0] == align(b"AC", b"")
     assert res[1] == align(b"A", b"G")
 
@@ -64,7 +67,8 @@ def test_batch_word_boundaries(rng):
         queries.append(bytes(rng.choice(list(b"AB"), qlen).tolist()))
         targets.append(b"B")
     for mode in ("HW", "SHW", "NW"):
-        batch = align_batch(queries, targets, mode=mode, task="locations")
+        batch = align_batch(queries, targets, mode=mode,
+                            task="locations", backend="jax")
         for q, t, got in zip(queries, targets, batch):
             assert got == align(q, t, mode=mode, task="locations")
 
@@ -72,3 +76,28 @@ def test_batch_word_boundaries(rng):
 def test_batch_hashable_fallback():
     res = align_batch([[1, 2, 3]], [[1, 2, 4]])
     assert res[0]["editDistance"] == 1
+
+
+def test_batch_auto_routes_host_without_device(rng, monkeypatch):
+    """backend="auto" with no device (and none forced) must use the native
+    host loop — the CPU XLA fallback is ~20x slower — with identical
+    results; "jax" still forces the device driver."""
+    monkeypatch.delenv("EDLIB_TPU_FORCE_PALLAS", raising=False)
+    monkeypatch.setenv("EDLIB_TPU_DISABLE_DEVICE", "1")
+    import edlib_tpu.align as align_mod
+    calls = []
+    import edlib_tpu.batch as batch_mod
+    orig = batch_mod.align_batch_device
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(batch_mod, "align_batch_device", spy)
+    queries, targets = make_pairs(rng, n=6)
+    auto = align_batch(queries, targets, mode="HW", task="locations")
+    assert not calls  # host loop, device driver untouched
+    forced = align_batch(queries, targets, mode="HW", task="locations",
+                         backend="jax")
+    assert calls
+    assert auto == forced
