@@ -1,0 +1,49 @@
+"""Wheel packaging: build, install to a clean target, import from outside
+the repo, and confirm the native fast path ships (SURVEY §1 build layer;
+round-1 ADVICE: installed wheels must not silently lose the native
+engines).  Skips when pip/wheel tooling is unavailable."""
+
+import os
+import subprocess
+import sys
+import tempfile
+
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_wheel_builds_installs_and_keeps_native():
+    tmp = tempfile.mkdtemp(prefix="edlib_tpu_wheel_")
+    build = subprocess.run(
+        [sys.executable, "-m", "pip", "wheel", _REPO, "--no-deps",
+         "--no-build-isolation", "-w", tmp],
+        capture_output=True, text=True, timeout=300)
+    if build.returncode != 0:
+        pytest.skip(f"pip wheel unavailable: {build.stderr[-300:]}")
+    wheels = [f for f in os.listdir(tmp) if f.endswith(".whl")]
+    assert wheels, build.stdout[-500:]
+    site = os.path.join(tmp, "site")
+    inst = subprocess.run(
+        [sys.executable, "-m", "pip", "install", "-q", "--no-deps",
+         "--target", site, os.path.join(tmp, wheels[0])],
+        capture_output=True, text=True, timeout=300)
+    assert inst.returncode == 0, inst.stderr[-500:]
+
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        "import os, edlib_tpu\n"
+        "assert os.path.dirname(edlib_tpu.__file__).startswith(%r), \\\n"
+        "    edlib_tpu.__file__\n"
+        "r = edlib_tpu.align('ACT','CGACTGAC',mode='HW',task='path')\n"
+        "assert (r['editDistance'], r['cigar']) == (0, '3='), r\n"
+        "from edlib_tpu import native_loader\n"
+        "assert native_loader.available()\n"
+        "print('WHEEL_OK')\n" % site)
+    env = dict(os.environ, PYTHONPATH=site)
+    env.pop("EDLIB_TPU_FORCE_PALLAS", None)
+    run = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=300, cwd=tmp, env=env)
+    assert run.returncode == 0 and "WHEEL_OK" in run.stdout, \
+        run.stdout[-800:] + run.stderr[-800:]
