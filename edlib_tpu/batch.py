@@ -244,7 +244,7 @@ _BIG_SENTINEL = 0x3FFFFFFF
 
 
 def _shw_banded_bucket(sweeper, peq, targets, lo, hi, kb, k_user,
-                       want_hits, shared):
+                       want_hits, shared, exact_k=False):
     """Banded SHW bucket: k-doubling ladder over the sliding-window
     kernel, capped at the per-lane guaranteed bounds kb (>= each lane's
     true best, so the capped run always completes every lane within the
@@ -263,7 +263,12 @@ def _shw_banded_bucket(sweeper, peq, targets, lo, hi, kb, k_user,
     pf = np.full(B, -1, np.int64)
     pl_ = np.full(B, -1, np.int64)
     done = np.zeros(B, bool)
-    k_cur = min(64, k_lim)
+    # With EXACT per-lane k (reversed-SHW start locations), a ladder is
+    # strictly wasted work: every pass re-sweeps all columns, so total
+    # window work is >= the single pass at max(kb) that the last rung
+    # needs anyway.  Loose bounds (hamming cap) keep the ladder — early
+    # narrow rungs usually finish most lanes below the bound.
+    k_cur = k_lim if exact_k else min(64, k_lim)
     while True:
         rb, rf, rl = sweeper.reduce_shw_banded(peq, targets, lo, hi, k_cur,
                                                shared=shared)
@@ -296,7 +301,8 @@ def _shw_banded_bucket(sweeper, peq, targets, lo, hi, kb, k_user,
 def _run_bucketed_summary(pairs: List[Tuple[np.ndarray, np.ndarray]],
                           sigma: int, eq: np.ndarray, hin0: int,
                           want_hits: bool, mesh=None, shw_kb=None,
-                          k_user: int = -1) -> List[PairSummary]:
+                          k_user: int = -1,
+                          shw_kb_exact: bool = False) -> List[PairSummary]:
     """Bucketed sweeps returning per-pair summaries (real position space).
 
     On TPU this is the two-phase Pallas path: a register-resident reduction
@@ -367,7 +373,7 @@ def _run_bucketed_summary(pairs: List[Tuple[np.ndarray, np.ndarray]],
             kb = np.array([shw_kb[i] for i in idxs], np.int64)
             bbest, bpf, bpl, bpos = _shw_banded_bucket(
                 sweeper, peq, targets, lo, hi, kb, k_user, want_hits,
-                shared)
+                shared, exact_k=shw_kb_exact)
             for row, i in enumerate(idxs):
                 w = metas[i][1]
                 positions = None
@@ -777,6 +783,6 @@ def _fill_start_locations(results, id_pairs, main_idx, mode, sigma, eq,
                           np.int64)
     summaries = _run_bucketed_summary(sub_pairs, sigma, eq, hin0=1,
                                       want_hits=False, mesh=mesh,
-                                      shw_kb=sub_kb)
+                                      shw_kb=sub_kb, shw_kb_exact=True)
     for (i, j, e), summ in zip(sub_owner, summaries):
         results[i].start_locations[j] = e - summ.pos_last
