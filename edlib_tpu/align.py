@@ -387,9 +387,14 @@ def align_batch(queries, targets, mode="NW", task="distance", k=-1,
         # No device (and none forced): the batched XLA scan engine on CPU
         # is latency-pathological (~20x the native loop) — route to the
         # native host engines.  backend="jax" still forces the device
-        # driver (tests/debugging).
-        from edlib_tpu.batch import _pallas_mode
-        use_host = not _pallas_mode()
+        # driver (tests/debugging).  Tiny batches skip the probe entirely:
+        # device dispatch never wins at this size, and _pallas_mode()
+        # initialises the jax backend (seconds the host loop never pays).
+        if len(queries) <= 8 and "EDLIB_TPU_FORCE_PALLAS" not in os.environ:
+            use_host = True
+        else:
+            from edlib_tpu.batch import _pallas_mode
+            use_host = not _pallas_mode()
     if use_host and mesh is None:
         one = lambda qt: align(qt[0], qt[1], mode=mode, task=task, k=k,
                                additionalEqualities=additionalEqualities)

@@ -1153,6 +1153,48 @@ class PallasSweeper:
 
     # -- two-phase reduce/hits path (round 2) --------------------------------
 
+    def _packed(self, peq_flat, targets, hi, shared: bool):
+        """Packed (peq, tg) for the reduce/hits/banded kernels, cached by
+        input OBJECT IDENTITY so k-ladders and reduce-then-hits pairs pack
+        once.  Contract: callers keep peq_flat/targets alive for the
+        sweeper's lifetime (per-bucket sweepers do) — a freed-and-reused
+        id would alias the cache."""
+        cached = getattr(self, "_pack_cache", None)
+        key = (id(peq_flat), id(targets))
+        if cached is not None and cached[0] == key:
+            return cached[1], cached[2]
+        peq = self.pack_peq(peq_flat)
+        if shared:
+            sigma1 = peq_flat.shape[1]
+            tg = self.pack_target_shared(np.asarray(targets, np.int32),
+                                         sigma1 - 1,
+                                         t_scan=int(np.max(hi, initial=0)))
+        else:
+            tg = self.pack_targets_general(targets)
+        self._pack_cache = (key, peq, tg)
+        return peq, tg
+
+    @staticmethod
+    def _decode_mask_rows(masks, B: int):
+        """Packed hit bitmasks (n_tiles, n_chunks, G, 8, 128) -> per-lane
+        sorted scan columns for the first B lanes."""
+        masks = np.asarray(masks)
+        n_tiles, n_chunks, G = masks.shape[:3]
+        m = masks.transpose(0, 3, 4, 1, 2).reshape(n_tiles * B_TILE,
+                                                   n_chunks * G)
+        out = []
+        shifts = np.arange(32, dtype=np.uint32)
+        for b in range(B):
+            words = m[b]
+            nz = np.nonzero(words)[0]
+            if nz.size == 0:
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            bits = (words[nz, None] >> shifts) & 1
+            g_idx, b_idx = np.nonzero(bits)
+            out.append(np.sort(nz[g_idx].astype(np.int64) * 32 + b_idx))
+        return out
+
     def pack_lanes(self, vals: np.ndarray, fill: int = 0) -> np.ndarray:
         """(B,) int -> (n_tiles, 8, 128) int32 in the lanes-major layout."""
         B = vals.shape[0]
@@ -1204,21 +1246,13 @@ class PallasSweeper:
         """
         import jax.numpy as jnp
         B = peq_flat.shape[0]
-        peq = self.pack_peq(peq_flat)
-        if shared:
-            sigma1 = peq_flat.shape[1]
-            tg = self.pack_target_shared(np.asarray(targets, np.int32),
-                                         sigma1 - 1,
-                                         t_scan=int(np.max(hi, initial=0)))
-        else:
-            tg = self.pack_targets_general(targets)
+        peq, tg = self._packed(peq_flat, targets, hi, shared)
         lo_t = self.pack_lanes(lo)
         hi_t = self.pack_lanes(hi)  # fill 0: empty window for pad lanes
         outs = sweep_reduce_pallas(jnp.asarray(peq), jnp.asarray(tg),
                                    jnp.asarray(lo_t), jnp.asarray(hi_t),
                                    hin0=hin0, chunk=self.chunk,
                                    shared=shared, interpret=self.interpret)
-        self._last_packed = (id(peq_flat), id(targets), peq, tg)
         return tuple(self.unpack_lanes(o, B).astype(np.int64) for o in outs)
 
     def reduce_nw_banded(self, peq_flat: np.ndarray, targets,
@@ -1234,16 +1268,8 @@ class PallasSweeper:
         import jax.numpy as jnp
         B = peq_flat.shape[0]
         n_words = peq_flat.shape[2]
-        peq = self.pack_peq(peq_flat)
-        if shared:
-            sigma1 = peq_flat.shape[1]
-            tg = self.pack_target_shared(np.asarray(targets, np.int32),
-                                         sigma1 - 1,
-                                         t_scan=int(np.max(hi, initial=0)))
-            n_chunks = tg.shape[0]
-        else:
-            tg = self.pack_targets_general(targets)
-            n_chunks = tg.shape[1]
+        peq, tg = self._packed(peq_flat, targets, hi, shared)
+        n_chunks = tg.shape[0] if shared else tg.shape[1]
         woff, n_win = nw_band_schedule(n_words, n_chunks, self.chunk,
                                        d_lo, d_hi)
         hi_t = self.pack_lanes(hi)
@@ -1268,19 +1294,7 @@ class PallasSweeper:
         import jax.numpy as jnp
         B = peq_flat.shape[0]
         n_words = peq_flat.shape[2]
-        cached = getattr(self, "_last_banded", None)
-        if cached is not None and cached[0] == id(peq_flat) \
-                and cached[1] == id(targets):
-            peq, tg = cached[2], cached[3]
-        else:
-            peq = self.pack_peq(peq_flat)
-            if shared:
-                sigma1 = peq_flat.shape[1]
-                tg = self.pack_target_shared(
-                    np.asarray(targets, np.int32), sigma1 - 1,
-                    t_scan=int(np.max(hi, initial=0)))
-            else:
-                tg = self.pack_targets_general(targets)
+        peq, tg = self._packed(peq_flat, targets, hi, shared)
         n_chunks = tg.shape[0] if shared else tg.shape[1]
         woff, n_win = nw_band_schedule(n_words, n_chunks, self.chunk,
                                        -k, k)
@@ -1292,7 +1306,6 @@ class PallasSweeper:
                                        n_win, chunk=self.chunk,
                                        shared=shared,
                                        interpret=self.interpret)
-        self._last_banded = (id(peq_flat), id(targets), peq, tg)
         return tuple(self.unpack_lanes(np.asarray(o), B).astype(np.int64)
                      for o in outs)
 
@@ -1304,19 +1317,7 @@ class PallasSweeper:
         import jax.numpy as jnp
         B = peq_flat.shape[0]
         n_words = peq_flat.shape[2]
-        cached = getattr(self, "_last_banded", None)
-        if cached is not None and cached[0] == id(peq_flat) \
-                and cached[1] == id(targets):
-            peq, tg = cached[2], cached[3]
-        else:
-            peq = self.pack_peq(peq_flat)
-            if shared:
-                sigma1 = peq_flat.shape[1]
-                tg = self.pack_target_shared(
-                    np.asarray(targets, np.int32), sigma1 - 1,
-                    t_scan=int(np.max(hi, initial=0)))
-            else:
-                tg = self.pack_targets_general(targets)
+        peq, tg = self._packed(peq_flat, targets, hi, shared)
         n_chunks = tg.shape[0] if shared else tg.shape[1]
         woff, n_win = nw_band_schedule(n_words, n_chunks, self.chunk,
                                        -k, k)
@@ -1328,23 +1329,7 @@ class PallasSweeper:
             jnp.asarray(lo_t), jnp.asarray(hi_t), jnp.asarray(best_t),
             n_win, chunk=self.chunk, shared=shared,
             interpret=self.interpret)
-        masks = np.asarray(masks)
-        n_tiles, n_chunks_m, G = masks.shape[:3]
-        m = masks.transpose(0, 3, 4, 1, 2).reshape(n_tiles * B_TILE,
-                                                   n_chunks_m * G)
-        out = []
-        shifts = np.arange(32, dtype=np.uint32)
-        for b in range(B):
-            words = m[b]
-            nz = np.nonzero(words)[0]
-            if nz.size == 0:
-                out.append(np.empty(0, dtype=np.int64))
-                continue
-            bits = (words[nz, None] >> shifts) & 1
-            g_idx, b_idx = np.nonzero(bits)
-            cols = nz[g_idx].astype(np.int64) * 32 + b_idx
-            out.append(np.sort(cols))
-        return out
+        return self._decode_mask_rows(masks, B)
 
     def hits(self, peq_flat: np.ndarray, targets, lo: np.ndarray,
              hi: np.ndarray, best: np.ndarray, hin0: int,
@@ -1355,19 +1340,7 @@ class PallasSweeper:
         """
         import jax.numpy as jnp
         B = peq_flat.shape[0]
-        cached = getattr(self, "_last_packed", None)
-        if cached is not None and cached[0] == id(peq_flat) \
-                and cached[1] == id(targets):
-            peq, tg = cached[2], cached[3]
-        else:
-            peq = self.pack_peq(peq_flat)
-            if shared:
-                sigma1 = peq_flat.shape[1]
-                tg = self.pack_target_shared(
-                    np.asarray(targets, np.int32), sigma1 - 1,
-                    t_scan=int(np.max(hi, initial=0)))
-            else:
-                tg = self.pack_targets_general(targets)
+        peq, tg = self._packed(peq_flat, targets, hi, shared)
         lo_t = self.pack_lanes(lo)
         hi_t = self.pack_lanes(hi)
         best_t = self.pack_lanes(np.asarray(best, np.int64), fill=-(1 << 30))
@@ -1376,21 +1349,4 @@ class PallasSweeper:
                                   jnp.asarray(best_t), hin0=hin0,
                                   chunk=self.chunk, shared=shared,
                                   interpret=self.interpret)
-        masks = np.asarray(masks)  # (n_tiles, n_chunks, chunk//32, 8, 128)
-        n_tiles, n_chunks, G = masks.shape[:3]
-        # -> (B_pad, n_chunks*G) uint32 word streams per lane
-        m = masks.transpose(0, 3, 4, 1, 2).reshape(n_tiles * B_TILE,
-                                                   n_chunks * G)
-        out = []
-        shifts = np.arange(32, dtype=np.uint32)
-        for b in range(B):
-            words = m[b]
-            nz = np.nonzero(words)[0]
-            if nz.size == 0:
-                out.append(np.empty(0, dtype=np.int64))
-                continue
-            bits = (words[nz, None] >> shifts) & 1
-            g_idx, b_idx = np.nonzero(bits)
-            cols = nz[g_idx].astype(np.int64) * 32 + b_idx
-            out.append(np.sort(cols))
-        return out
+        return self._decode_mask_rows(masks, B)

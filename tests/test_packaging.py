@@ -15,13 +15,17 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 @pytest.mark.slow
 def test_wheel_builds_installs_and_keeps_native():
+    probe = subprocess.run([sys.executable, "-m", "pip", "--version"],
+                           capture_output=True, text=True, timeout=60)
+    if probe.returncode != 0:
+        pytest.skip("pip unavailable")  # only missing TOOLING skips
     tmp = tempfile.mkdtemp(prefix="edlib_tpu_wheel_")
     build = subprocess.run(
         [sys.executable, "-m", "pip", "wheel", _REPO, "--no-deps",
          "--no-build-isolation", "-w", tmp],
         capture_output=True, text=True, timeout=300)
-    if build.returncode != 0:
-        pytest.skip(f"pip wheel unavailable: {build.stderr[-300:]}")
+    # A failing BUILD is the regression this test exists to catch.
+    assert build.returncode == 0, build.stderr[-800:]
     wheels = [f for f in os.listdir(tmp) if f.endswith(".whl")]
     assert wheels, build.stdout[-500:]
     site = os.path.join(tmp, "site")
