@@ -183,6 +183,9 @@ def _run_bucket_mesh(mesh, idxs, pairs, metas, sigma, eq, nw_b, t_scan,
         qmax = max(qlens)
         w_max = int(ws.max())
         halo = 2 * qmax - 1
+        # Word-align the core start so the kernel engine's packed hit
+        # bitmask slices on uint32 boundaries (bigger halo stays exact).
+        halo += (-(halo + w_max)) % 32
         peq = np.zeros((B_pad, sigma + 2, nw_b), np.uint32)
         peq[:, :sigma + 1] = 0xFFFFFFFF  # pad lanes: wildcard profiles
         w_lanes = np.full(B_pad, w_max, np.int32)

@@ -438,18 +438,13 @@ def _reduce_kernel(targets_ref, peq_ref, lo_ref, hi_ref,
         last_ref[...] = rl_ref[...]
 
 
-@functools.partial(jax.jit, static_argnames=("hin0", "chunk", "shared",
-                                             "interpret"))
-def sweep_reduce_pallas(peq: jnp.ndarray, targets: jnp.ndarray,
-                        lo: jnp.ndarray, hi: jnp.ndarray, hin0: int,
-                        chunk: int = 256, shared: bool = False,
-                        interpret: bool = False):
-    """Phase-1 sweep: (best, first-pos, last-pos, final-col score) per lane.
-
-    peq: uint32 (n_tiles, S1, NW, 8, 128); lo/hi: int32 (n_tiles, 8, 128).
-    targets: int32 (n_tiles, n_chunks, chunk, 8, 128), or, when shared,
-    (n_chunks, 1, chunk) — one wildcard-extended target for every lane.
-    """
+def _sweep_reduce_call(peq: jnp.ndarray, targets: jnp.ndarray,
+                       lo: jnp.ndarray, hi: jnp.ndarray, hin0: int,
+                       chunk: int = 256, shared: bool = False,
+                       interpret: bool = False):
+    """Unjitted body of sweep_reduce_pallas — callable inside shard_map
+    (a nested top-level jit carries its own device assignment, which the
+    manual mesh context rejects)."""
     n_tiles, sigma1, n_words = peq.shape[:3]
     n_chunks = targets.shape[0] if shared else targets.shape[1]
     unroll = 16 if chunk % 16 == 0 else (8 if chunk % 8 == 0 else 1)
@@ -490,6 +485,22 @@ def sweep_reduce_pallas(peq: jnp.ndarray, targets: jnp.ndarray,
         ],
         interpret=interpret,
     )(targets, peq, lo, hi)
+
+
+@functools.partial(jax.jit, static_argnames=("hin0", "chunk", "shared",
+                                             "interpret"))
+def sweep_reduce_pallas(peq: jnp.ndarray, targets: jnp.ndarray,
+                        lo: jnp.ndarray, hi: jnp.ndarray, hin0: int,
+                        chunk: int = 256, shared: bool = False,
+                        interpret: bool = False):
+    """Phase-1 sweep: (best, first-pos, last-pos, final-col score) per lane.
+
+    peq: uint32 (n_tiles, S1, NW, 8, 128); lo/hi: int32 (n_tiles, 8, 128).
+    targets: int32 (n_tiles, n_chunks, chunk, 8, 128), or, when shared,
+    (n_chunks, 1, chunk) — one wildcard-extended target for every lane.
+    """
+    return _sweep_reduce_call(peq, targets, lo, hi, hin0, chunk=chunk,
+                              shared=shared, interpret=interpret)
 
 
 def _hits_kernel(targets_ref, peq_ref, lo_ref, hi_ref, best_ref, hits_ref,
@@ -555,16 +566,11 @@ def _hits_kernel(targets_ref, peq_ref, lo_ref, hi_ref, best_ref, hits_ref,
     score_ref[...] = score
 
 
-@functools.partial(jax.jit, static_argnames=("hin0", "chunk", "shared",
-                                             "interpret"))
-def sweep_hits_pallas(peq: jnp.ndarray, targets: jnp.ndarray,
-                      lo: jnp.ndarray, hi: jnp.ndarray, best: jnp.ndarray,
-                      hin0: int, chunk: int = 256, shared: bool = False,
-                      interpret: bool = False) -> jnp.ndarray:
-    """Phase-2 sweep: packed per-lane hit bitmasks for score == best.
-
-    Returns uint32 (n_tiles, n_chunks, chunk//32, 8, 128).  chunk % 32 == 0.
-    """
+def _sweep_hits_call(peq: jnp.ndarray, targets: jnp.ndarray,
+                     lo: jnp.ndarray, hi: jnp.ndarray, best: jnp.ndarray,
+                     hin0: int, chunk: int = 256, shared: bool = False,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Unjitted body of sweep_hits_pallas (shard_map-safe)."""
     n_tiles, sigma1, n_words = peq.shape[:3]
     n_chunks = targets.shape[0] if shared else targets.shape[1]
     assert chunk % 32 == 0
@@ -601,6 +607,20 @@ def sweep_hits_pallas(peq: jnp.ndarray, targets: jnp.ndarray,
         ],
         interpret=interpret,
     )(targets, peq, lo, hi, best)
+
+
+@functools.partial(jax.jit, static_argnames=("hin0", "chunk", "shared",
+                                             "interpret"))
+def sweep_hits_pallas(peq: jnp.ndarray, targets: jnp.ndarray,
+                      lo: jnp.ndarray, hi: jnp.ndarray, best: jnp.ndarray,
+                      hin0: int, chunk: int = 256, shared: bool = False,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Phase-2 sweep: packed per-lane hit bitmasks for score == best.
+
+    Returns uint32 (n_tiles, n_chunks, chunk//32, 8, 128).  chunk % 32 == 0.
+    """
+    return _sweep_hits_call(peq, targets, lo, hi, best, hin0, chunk=chunk,
+                            shared=shared, interpret=interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -1105,6 +1125,113 @@ def pack_tiles_device(peq_flat: jnp.ndarray) -> jnp.ndarray:
     n_tiles = B // B_TILE
     p = peq_flat.reshape(n_tiles, SUBLANES, LANES, S1, NW)
     return jnp.transpose(p, (0, 3, 4, 1, 2))
+
+
+def _pack_lanes_device(vals: jnp.ndarray, n_tiles: int, fill) -> jnp.ndarray:
+    """(B,) -> (n_tiles, 8, 128) lanes-major, padded with fill (device)."""
+    B = vals.shape[0]
+    out = jnp.full((n_tiles * B_TILE,), fill, vals.dtype)
+    out = out.at[:B].set(vals)
+    return out.reshape(n_tiles, SUBLANES, LANES)
+
+
+def reduce_flat_device(peq: jnp.ndarray, targets: jnp.ndarray,
+                       lo: jnp.ndarray, hi: jnp.ndarray, hin0: int,
+                       chunk: int = 256, want_hits: bool = False,
+                       interpret: bool = False):
+    """Flat-layout batched reduce for mesh-sharded callers (parallel/dist):
+    packs (B, S1, NW) / (B, T) into kernel tiles ON DEVICE, runs the
+    two-phase reduce (+ hits) kernels, and unpacks back to (B,) vectors —
+    traceable inside shard_map, so every shard of a mesh runs the same
+    register-resident kernels as the single-chip path instead of the
+    latency-bound XLA scan engine.
+
+    Returns (best, pos_first, pos_last, last_score) each (B,) int32 in
+    scan-column space, plus (B, ceil_32(T)) uint32 packed hit words when
+    want_hits (bit j of word g = scan column 32g + j).
+    """
+    B, S1, NW = peq.shape
+    T = targets.shape[1]
+    n_tiles = -(-B // B_TILE)
+    n_chunks = -(-T // chunk)
+    Bp, Tp = n_tiles * B_TILE, n_chunks * chunk
+    peq_p = jnp.full((Bp, S1, NW), _ONES, jnp.uint32).at[:B].set(peq)
+    peq_t = jnp.transpose(
+        peq_p.reshape(n_tiles, SUBLANES, LANES, S1, NW), (0, 3, 4, 1, 2))
+    # wildcard(S1-1) fill keeps pad columns inert (reads masked by hi)
+    tg_p = jnp.full((Bp, Tp), S1 - 1, jnp.int32).at[:B, :T].set(targets)
+    tg_t = jnp.transpose(
+        tg_p.reshape(n_tiles, SUBLANES, LANES, n_chunks, chunk),
+        (0, 3, 4, 1, 2))
+    lo_t = _pack_lanes_device(lo.astype(jnp.int32), n_tiles, jnp.int32(0))
+    hi_t = _pack_lanes_device(hi.astype(jnp.int32), n_tiles, jnp.int32(0))
+    outs = _sweep_reduce_call(peq_t, tg_t, lo_t, hi_t, hin0=hin0,
+                              chunk=chunk, interpret=interpret)
+    flat = tuple(o.reshape(-1)[:B] for o in outs)
+    if not want_hits:
+        return flat
+    best_t = _pack_lanes_device(flat[0], n_tiles, jnp.int32(-(1 << 30)))
+    masks = _sweep_hits_call(peq_t, tg_t, lo_t, hi_t, best_t, hin0=hin0,
+                             chunk=chunk, interpret=interpret)
+    G = chunk // 32
+    hits = jnp.transpose(masks, (0, 3, 4, 1, 2)).reshape(Bp, n_chunks * G)
+    return flat + (hits[:B],)
+
+
+def _pack_shared_flat(peq: jnp.ndarray, target_scan: jnp.ndarray,
+                      fill_sym: int, chunk: int):
+    B, S1, NW = peq.shape
+    L = target_scan.shape[0]
+    n_tiles = -(-B // B_TILE)
+    n_chunks = -(-L // chunk)
+    peq_p = jnp.full((n_tiles * B_TILE, S1, NW), _ONES,
+                     jnp.uint32).at[:B].set(peq)
+    peq_t = jnp.transpose(
+        peq_p.reshape(n_tiles, SUBLANES, LANES, S1, NW), (0, 3, 4, 1, 2))
+    tg = jnp.full((n_chunks * chunk,), fill_sym,
+                  jnp.int32).at[:L].set(target_scan.astype(jnp.int32))
+    return peq_t, tg.reshape(n_chunks, 1, chunk), n_tiles
+
+
+def reduce_flat_device_shared(peq: jnp.ndarray, target_scan: jnp.ndarray,
+                              lo: jnp.ndarray, hi: jnp.ndarray, hin0: int,
+                              fill_sym: int, chunk: int = 256,
+                              interpret: bool = False):
+    """Shared-target flat reduce for mesh-sharded callers: every lane of
+    this shard sweeps ONE target (scalar SMEM symbols, no select chain).
+    peq (B, S1, NW) uint32, target_scan (L,) int32 (padded out with
+    fill_sym; reads are masked by hi).  Returns (best, pos_first,
+    pos_last, last_score) each (B,) int32 in scan-column space."""
+    B = peq.shape[0]
+    peq_t, tg_t, n_tiles = _pack_shared_flat(peq, target_scan, fill_sym,
+                                             chunk)
+    lo_t = _pack_lanes_device(lo.astype(jnp.int32), n_tiles, jnp.int32(0))
+    hi_t = _pack_lanes_device(hi.astype(jnp.int32), n_tiles, jnp.int32(0))
+    outs = _sweep_reduce_call(peq_t, tg_t, lo_t, hi_t, hin0=hin0,
+                              chunk=chunk, shared=True, interpret=interpret)
+    return tuple(o.reshape(-1)[:B] for o in outs)
+
+
+def hits_flat_device_shared(peq: jnp.ndarray, target_scan: jnp.ndarray,
+                            lo: jnp.ndarray, hi: jnp.ndarray,
+                            best: jnp.ndarray, hin0: int, fill_sym: int,
+                            chunk: int = 256,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Shared-target packed hit bitmasks: (B, ceil_32(L)) uint32, bit j of
+    word g = scan column 32g + j has score == best (per lane)."""
+    B = peq.shape[0]
+    peq_t, tg_t, n_tiles = _pack_shared_flat(peq, target_scan, fill_sym,
+                                             chunk)
+    lo_t = _pack_lanes_device(lo.astype(jnp.int32), n_tiles, jnp.int32(0))
+    hi_t = _pack_lanes_device(hi.astype(jnp.int32), n_tiles, jnp.int32(0))
+    best_t = _pack_lanes_device(best.astype(jnp.int32), n_tiles,
+                                jnp.int32(-(1 << 30)))
+    masks = _sweep_hits_call(peq_t, tg_t, lo_t, hi_t, best_t, hin0=hin0,
+                             chunk=chunk, shared=True, interpret=interpret)
+    n_chunks, G = masks.shape[1], chunk // 32
+    Bp = n_tiles * B_TILE
+    return jnp.transpose(masks, (0, 3, 4, 1, 2)).reshape(
+        Bp, n_chunks * G)[:B]
 
 
 class PallasSweeper:

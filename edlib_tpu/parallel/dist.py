@@ -117,7 +117,7 @@ _BIG = 0x3FFFFFFF
 def sharded_hw_locations(mesh: Mesh, peq: np.ndarray, slices: np.ndarray,
                          halo: int, w_pad: int, tlen: int,
                          w_lanes: Optional[np.ndarray] = None,
-                         want_hits: bool = True):
+                         want_hits: bool = True, engine: str = "auto"):
     """HW search with the location merge ON DEVICE (SURVEY §2.3 target).
 
     peq:     uint32 (B, S2, NW) — rows sigma=wildcard, sigma+1=null; B
@@ -141,16 +141,54 @@ def sharded_hw_locations(mesh: Mesh, peq: np.ndarray, slices: np.ndarray,
     exceed qlen, edlib.cpp:566-568) every *minimal* score is exact, so the
     merged locations are exact for any k.
     """
+    from edlib_tpu.ops import pallas_kernel
+
     D, L = slices.shape
     C = L - halo - w_pad
     B = peq.shape[0]
+    eng = _resolve_engine(mesh, engine)
     if want_hits and C % 32:
         raise ValueError("core width must be a multiple of 32 for hits")
+    if want_hits and eng != "xla" and (halo + w_pad) % 32:
+        raise ValueError("halo + w_pad must be a multiple of 32 for the "
+                         "kernel engine's hit bitmasks (round the halo up "
+                         "— a larger halo is still exact)")
     if w_lanes is None:
         w_lanes = np.full(B, w_pad, np.int32)
     delta = (w_pad - np.asarray(w_lanes)).astype(np.int32)  # (B,) >= 0
+    null_sym = peq.shape[1] - 1  # sharded convention: last row = NULL
+
+    def local_kernel(peq_l, delta_l, slices_l):
+        """Per-shard scalar-symbol reduce kernel + collective merge."""
+        Bl = peq_l.shape[0]
+        d = jax.lax.axis_index("sp")
+        # Valid core columns j < tlen - d*C - delta_l (per lane) — as a
+        # scan-column window for the in-kernel reduction.
+        lo_scan = jnp.full((Bl,), halo + w_pad, jnp.int32)
+        n_valid = jnp.clip(tlen - d * C - delta_l, 0, C).astype(jnp.int32)
+        hi_scan = lo_scan + n_valid
+        interp = eng == "interpret"
+        best_s, pf_s, pl_s, _ = pallas_kernel.reduce_flat_device_shared(
+            peq_l, slices_l[0], lo_scan, hi_scan, hin0=0,
+            fill_sym=null_sym, interpret=interp)
+        best = jax.lax.pmin(best_s, "sp")
+        base = d * C - (halo + w_pad) + delta_l  # gpos = scan col + base
+        pos_f = jnp.where((best_s == best) & (pf_s >= 0), pf_s + base, _BIG)
+        pos_f = jax.lax.pmin(pos_f, "sp")
+        pos_l = jnp.where((best_s == best) & (pl_s >= 0), pl_s + base, -1)
+        pos_l = jax.lax.pmax(pos_l, "sp")
+        if want_hits:
+            masks = pallas_kernel.hits_flat_device_shared(
+                peq_l, slices_l[0], lo_scan, hi_scan, best, hin0=0,
+                fill_sym=null_sym, interpret=interp)
+            hits = masks[:, (halo + w_pad) // 32:
+                         (halo + w_pad) // 32 + C // 32]
+            return best, pos_f, pos_l, hits
+        return best, pos_f, pos_l
 
     def local(peq_l, delta_l, slices_l):
+        if eng != "xla":
+            return local_kernel(peq_l, delta_l, slices_l)
         tg = jnp.broadcast_to(slices_l[0][None, :], (peq_l.shape[0], L))
         scores = jax_engine.sweep_scores(peq_l, tg, hin0=0)
         core = scores[:, halo + w_pad:]          # (Bl, C)
@@ -176,32 +214,57 @@ def sharded_hw_locations(mesh: Mesh, peq: np.ndarray, slices: np.ndarray,
     out_specs = (P("dp"), P("dp"), P("dp"))
     if want_hits:
         out_specs = out_specs + (P("dp", "sp"),)
-    out = shard_map(local, mesh=mesh,
-                    in_specs=(P("dp"), P("dp"), P("sp")),
-                    out_specs=out_specs)(peq, delta, slices)
+    import contextlib
+    ctx = jax.set_mesh(mesh) if eng != "xla" else contextlib.nullcontext()
+    with ctx:
+        out = shard_map(local, mesh=mesh,
+                        in_specs=(P("dp"), P("dp"), P("sp")),
+                        out_specs=out_specs,
+                        check_vma=(eng == "xla"))(peq, delta, slices)
     if want_hits:
         return out
     return out + (None,)
 
 
+def _resolve_engine(mesh: Mesh, engine: str) -> str:
+    """'pallas' on an all-TPU mesh, 'xla' otherwise (CPU virtual meshes:
+    the scan engine compiles fast and is exact; 'interpret' forces the
+    Pallas interpreter for kernel-path tests)."""
+    if engine != "auto":
+        return engine
+    return "pallas" if all(d.platform == "tpu"
+                           for d in mesh.devices.flat) else "xla"
+
+
 def sharded_reduce_dp(mesh: Mesh, peq: np.ndarray, targets: np.ndarray,
                       lo: np.ndarray, hi: np.ndarray, hin0: int,
-                      want_hits: bool = False):
+                      want_hits: bool = False, engine: str = "auto"):
     """Data-parallel batched sweep with the reduction ON each device.
 
     Batch axis sharded over every mesh axis (pairs are independent — no
     collectives).  peq (B, S1, NW) uint32, targets (B, T) int32, lo/hi
     (B,) int32 scan-column windows.  Returns (best, pos_first, pos_last,
     last_score) each (B,) int32 — and, when want_hits, a packed uint32
-    bitmask (B, ceil(T/32)) of window columns with score == best (bit j of
-    word g = scan column 32g + j; caller shifts by per-lane W) — so host
-    transfer is O(B) / O(B*T/32), never the O(B*T) stream.
+    bitmask (B, >=ceil(T/32) words) of window columns with score == best
+    (bit j of word g = scan column 32g + j; caller shifts by per-lane W) —
+    so host transfer is O(B) / O(B*T/32), never the O(B*T) stream.
+
+    engine: on a TPU mesh each shard runs the register-resident Pallas
+    reduce/hits kernels (the single-chip hot path); the XLA scan engine
+    is the CPU/virtual-mesh fallback.
     """
+    from edlib_tpu.ops import pallas_kernel
+
     axes = mesh.axis_names
     T = targets.shape[1]
     T32 = -(-T // 32)
+    eng = _resolve_engine(mesh, engine)
 
     def local(peq_l, tg_l, lo_l, hi_l):
+        if eng in ("pallas", "interpret"):
+            return pallas_kernel.reduce_flat_device(
+                peq_l, tg_l, lo_l, hi_l, hin0=hin0, want_hits=want_hits,
+                interpret=(eng == "interpret"))
         scores = jax_engine.sweep_scores(peq_l, tg_l, hin0=hin0)  # (Bl, T)
         cols = jnp.arange(T, dtype=jnp.int32)[None, :]
         in_win = (cols >= lo_l[:, None]) & (cols < hi_l[:, None])
@@ -223,10 +286,18 @@ def sharded_reduce_dp(mesh: Mesh, peq: np.ndarray, targets: np.ndarray,
         return best, pos_f, pos_l, last
 
     n_out = 5 if want_hits else 4
-    out = shard_map(local, mesh=mesh,
-                    in_specs=(P(axes), P(axes), P(axes), P(axes)),
-                    out_specs=tuple(P(axes) for _ in range(n_out)))(
-        peq, targets, lo.astype(np.int32), hi.astype(np.int32))
+    # Kernel engine: pallas_call out_shapes carry no vma annotations
+    # (jax 0.9) so the vma check must be off — sound here, the map is
+    # purely data-parallel (no collectives) — and the interpreter's
+    # gathers need the mesh entered as context.
+    import contextlib
+    ctx = jax.set_mesh(mesh) if eng != "xla" else contextlib.nullcontext()
+    with ctx:
+        out = shard_map(local, mesh=mesh,
+                        in_specs=(P(axes), P(axes), P(axes), P(axes)),
+                        out_specs=tuple(P(axes) for _ in range(n_out)),
+                        check_vma=(eng == "xla"))(
+            peq, targets, lo.astype(np.int32), hi.astype(np.int32))
     if want_hits:
         return out
     return out + (None,)

@@ -1,0 +1,87 @@
+"""Mesh-sharded Pallas kernel engine == XLA scan engine (virtual mesh).
+
+On a TPU mesh every shard of parallel/dist runs the same register-resident
+reduce/hits kernels as the single-chip hot path (the XLA scan engine is
+latency-pathological on TPU); on CPU the scan engine stays the default.
+These tests pin the two engines to identical outputs on the 8-virtual-
+device mesh, driving the kernels through shard_map via the Pallas
+interpreter (engine="interpret").
+"""
+
+import numpy as np
+import pytest
+
+from edlib_tpu import encode
+from edlib_tpu.parallel import dist
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return dist.make_alignment_mesh(8, dp=2, sp=4)
+
+
+def test_sharded_reduce_dp_engines_match(mesh8):
+    rng = np.random.RandomState(9)
+    sigma = 4
+    eq = np.eye(sigma, dtype=bool)
+    B, nw = 16, 2
+    qlens = [40 + i for i in range(B)]
+    peq = np.stack([encode.build_peq_words(
+        rng.randint(0, sigma, ql).astype(np.int32), eq, n_words=nw)
+        for ql in qlens])
+    T = 160
+    targets = np.full((B, T), sigma, np.int32)
+    lo = np.zeros(B, np.int64)
+    hi = np.zeros(B, np.int64)
+    for b in range(B):
+        t = rng.randint(0, sigma, 100 + b)
+        targets[b, :len(t)] = t
+        w = nw * 32 - qlens[b]
+        lo[b] = w
+        hi[b] = w + len(t)
+    outs = {}
+    for eng in ("xla", "interpret"):
+        r = dist.sharded_reduce_dp(mesh8, peq, targets, lo, hi, 0,
+                                   want_hits=True, engine=eng)
+        outs[eng] = tuple(np.asarray(x) for x in r)
+    for i in range(4):
+        assert np.array_equal(outs["xla"][i], outs["interpret"][i]), i
+    hx, hp = outs["xla"][4], outs["interpret"][4]
+    w = min(hx.shape[1], hp.shape[1])
+    assert np.array_equal(hx[:, :w], hp[:, :w])
+    assert not hp[:, w:].any() and not hx[:, w:].any()
+
+
+def test_sharded_hw_locations_engines_match(mesh8):
+    rng = np.random.RandomState(13)
+    sigma = 4
+    eq = np.eye(sigma, dtype=bool)
+    B, nw = 8, 2
+    qlens = [40 + 2 * i for i in range(B)]
+    peq = np.zeros((B, sigma + 2, nw), np.uint32)
+    w_lanes = np.zeros(B, np.int32)
+    qs = [rng.randint(0, sigma, ql).astype(np.int32) for ql in qlens]
+    for b in range(B):
+        peq[b, :sigma + 1] = encode.build_peq_words(qs[b], eq, n_words=nw)
+        peq[b, sigma + 1] = 0  # NULL row (halo padding)
+        w_lanes[b] = nw * 32 - qlens[b]
+    t_ids = rng.randint(0, sigma, 1000).astype(np.int32)
+    for b in range(0, B, 2):  # plant matches so minima are non-trivial
+        s = rng.randint(0, 900)
+        t_ids[s:s + qlens[b]] = qs[b]
+    qmax, w_max = max(qlens), int(w_lanes.max())
+    halo = 2 * qmax - 1
+    halo += (-(halo + w_max)) % 32  # word-align the core start
+    slices, C = dist.shard_target_slices(t_ids, sigma, 4, halo, w_max,
+                                         c_multiple=32)
+    outs = {}
+    for eng in ("xla", "interpret"):
+        r = dist.sharded_hw_locations(mesh8, peq, slices, halo, w_max,
+                                      len(t_ids), w_lanes=w_lanes,
+                                      want_hits=True, engine=eng)
+        outs[eng] = tuple(np.asarray(x) for x in r)
+    for i in range(4):
+        assert np.array_equal(outs["xla"][i], outs["interpret"][i]), i
