@@ -503,6 +503,201 @@ def sweep_reduce_pallas(peq: jnp.ndarray, targets: jnp.ndarray,
                               shared=shared, interpret=interpret)
 
 
+def _reduce_resumable_kernel(targets_ref, peq_ref, lo_ref, hi_ref,
+                             pv0_ref, mv0_ref, s0_ref,
+                             best_ref, pfirst_ref, plast_ref, last_ref,
+                             pvo_ref, mvo_ref, so_ref,
+                             pv_ref, mv_ref, score_ref, rb_ref, rpf_ref,
+                             rpl_ref, rl_ref, *, n_words: int, sigma1: int,
+                             chunk: int, hin0: int, shared: bool,
+                             unroll: int):
+    """Phase-1 reduce with (Pv, Mv, score) carry I/O: the DP state starts
+    from the inputs instead of the fresh-sweep reset and the final state
+    is emitted — the kernel analogue of jax_engine.sweep_scores_resumable,
+    so sequential multi-shard pipelines (ppermute carry hand-off) run the
+    register-resident kernel per segment."""
+    t_step = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+
+    @pl.when(t_step == 0)
+    def _load():
+        pv_ref[...] = pv0_ref[...]
+        mv_ref[...] = mv0_ref[...]
+        score_ref[...] = s0_ref[...]
+        rb_ref[...] = jnp.full((SUBLANES, LANES), _BIG, jnp.int32)
+        rpf_ref[...] = jnp.full((SUBLANES, LANES), -1, jnp.int32)
+        rpl_ref[...] = jnp.full((SUBLANES, LANES), -1, jnp.int32)
+        rl_ref[...] = jnp.full((SUBLANES, LANES), _BIG, jnp.int32)
+
+    lo = lo_ref[...]
+    hi = hi_ref[...]
+
+    def column(c, carry):
+        pvs, mvs, score, rb, rpf, rpl, rl = carry
+        sym = targets_ref[0, c] if shared else targets_ref[c]
+        hin_neg = jnp.zeros((SUBLANES, LANES), jnp.uint32)
+        if hin0 == 0:
+            hin_pos = jnp.zeros((SUBLANES, LANES), jnp.uint32)
+        else:
+            hin_pos = jnp.ones((SUBLANES, LANES), jnp.uint32)
+        new_pvs, new_mvs = [], []
+        for w in range(n_words):
+            eq = _fetch_eq(peq_ref, sym, w, sigma1, shared)
+            pv, mv, hin_neg, hin_pos = _advance_word(
+                pvs[w], mvs[w], eq, hin_neg, hin_pos)
+            new_pvs.append(pv)
+            new_mvs.append(mv)
+        score = score + hin_pos.astype(jnp.int32) \
+            - hin_neg.astype(jnp.int32)
+        col = t_step * chunk + c
+        in_win = (col >= lo) & (col < hi)
+        upd = (score < rb) & in_win
+        rpf = jnp.where(upd, col, rpf)
+        rpl = jnp.where((score <= rb) & in_win, col, rpl)
+        rb = jnp.where(upd, score, rb)
+        rl = jnp.where(col == hi - 1, score, rl)
+        return tuple(new_pvs), tuple(new_mvs), score, rb, rpf, rpl, rl
+
+    carry0 = (tuple(pv_ref[w] for w in range(n_words)),
+              tuple(mv_ref[w] for w in range(n_words)),
+              score_ref[...], rb_ref[...], rpf_ref[...], rpl_ref[...],
+              rl_ref[...])
+
+    def columns(i, carry):
+        for j in range(unroll):
+            carry = column(i * unroll + j, carry)
+        return carry
+
+    pvs, mvs, score, rb, rpf, rpl, rl = jax.lax.fori_loop(
+        0, chunk // unroll, columns, carry0)
+    for w in range(n_words):
+        pv_ref[w] = pvs[w]
+        mv_ref[w] = mvs[w]
+    score_ref[...] = score
+    rb_ref[...] = rb
+    rpf_ref[...] = rpf
+    rpl_ref[...] = rpl
+    rl_ref[...] = rl
+
+    @pl.when(t_step == n_chunks - 1)
+    def _emit():
+        best_ref[...] = rb_ref[...]
+        pfirst_ref[...] = rpf_ref[...]
+        plast_ref[...] = rpl_ref[...]
+        last_ref[...] = rl_ref[...]
+        pvo_ref[...] = pv_ref[...]
+        mvo_ref[...] = mv_ref[...]
+        so_ref[...] = score_ref[...]
+
+
+def _sweep_reduce_resumable_call(peq, targets, lo, hi, pv0, mv0, s0,
+                                 hin0: int, chunk: int = 256,
+                                 shared: bool = False,
+                                 interpret: bool = False):
+    """Resumable phase-1 reduce (unjitted, shard_map-safe).
+
+    State tiles: pv0/mv0 uint32 (n_tiles, NW, 8, 128), s0 int32
+    (n_tiles, 8, 128).  Returns (best, pfirst, plast, last, pv, mv, s).
+    """
+    n_tiles, sigma1, n_words = peq.shape[:3]
+    n_chunks = targets.shape[0] if shared else targets.shape[1]
+    if interpret:
+        unroll = 1
+    else:
+        unroll = 16 if chunk % 16 == 0 else (8 if chunk % 8 == 0 else 1)
+    kernel = functools.partial(_reduce_resumable_kernel, n_words=n_words,
+                               sigma1=sigma1, chunk=chunk, hin0=hin0,
+                               shared=shared, unroll=unroll)
+    if shared:
+        t_spec = pl.BlockSpec((None, 1, chunk), lambda i, j: (j, 0, 0),
+                              memory_space=pltpu.SMEM)
+    else:
+        t_spec = pl.BlockSpec((None, None, chunk, SUBLANES, LANES),
+                              lambda i, j: (i, j, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((None, SUBLANES, LANES), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((None, n_words, SUBLANES, LANES),
+                              lambda i, j: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_chunks),
+        in_specs=[
+            t_spec,
+            pl.BlockSpec((None, sigma1, n_words, SUBLANES, LANES),
+                         lambda i, j: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            tile_spec, tile_spec, state_spec, state_spec, tile_spec,
+        ],
+        out_specs=(tile_spec, tile_spec, tile_spec, tile_spec,
+                   state_spec, state_spec, tile_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, n_words, SUBLANES, LANES),
+                                 jnp.uint32),
+            jax.ShapeDtypeStruct((n_tiles, n_words, SUBLANES, LANES),
+                                 jnp.uint32),
+            jax.ShapeDtypeStruct((n_tiles, SUBLANES, LANES), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n_words, SUBLANES, LANES), jnp.uint32),
+            pltpu.VMEM((n_words, SUBLANES, LANES), jnp.uint32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(targets, peq, lo, hi, pv0, mv0, s0)
+
+
+def reduce_resumable_flat_device(peq, targets, lo, hi, pv0, mv0, s0,
+                                 hin0: int, chunk: int = 256,
+                                 interpret: bool = False):
+    """Flat-layout resumable reduce for mesh pipelines: (B, S1, NW) /
+    (B, T) / state (B, NW) uint32 x2 + (B,) int32 in, flat outputs
+    (best, pfirst, plast, last) (B,) int32 + state (B, NW) x2 + (B,).
+    B and T are padded to kernel tiles on device (pad lanes sweep
+    wildcard profiles; reads masked by hi)."""
+    B, S1, NW = peq.shape
+    T = targets.shape[1]
+    n_tiles = -(-B // B_TILE)
+    n_chunks = -(-T // chunk)
+    Bp, Tp = n_tiles * B_TILE, n_chunks * chunk
+    peq_p = jnp.full((Bp, S1, NW), _ONES, jnp.uint32).at[:B].set(peq)
+    peq_t = jnp.transpose(
+        peq_p.reshape(n_tiles, SUBLANES, LANES, S1, NW), (0, 3, 4, 1, 2))
+    tg_p = jnp.full((Bp, Tp), S1 - 1, jnp.int32).at[:B, :T].set(targets)
+    tg_t = jnp.transpose(
+        tg_p.reshape(n_tiles, SUBLANES, LANES, n_chunks, chunk),
+        (0, 3, 4, 1, 2))
+    lo_t = _pack_lanes_device(lo.astype(jnp.int32), n_tiles, jnp.int32(0))
+    hi_t = _pack_lanes_device(hi.astype(jnp.int32), n_tiles, jnp.int32(0))
+
+    def pack_state(st, fill):
+        stp = jnp.full((Bp, NW), fill, st.dtype).at[:B].set(st)
+        return jnp.transpose(
+            stp.reshape(n_tiles, SUBLANES, LANES, NW), (0, 3, 1, 2))
+
+    pv_t = pack_state(pv0, _ONES)
+    mv_t = pack_state(mv0, jnp.uint32(0))
+    s_t = _pack_lanes_device(s0.astype(jnp.int32), n_tiles,
+                             jnp.int32(NW * 32))
+    outs = _sweep_reduce_resumable_call(peq_t, tg_t, lo_t, hi_t, pv_t,
+                                        mv_t, s_t, hin0=hin0, chunk=chunk,
+                                        interpret=interpret)
+    flat4 = tuple(o.reshape(-1)[:B] for o in outs[:4])
+    pv = jnp.transpose(outs[4], (0, 2, 3, 1)).reshape(Bp, NW)[:B]
+    mv = jnp.transpose(outs[5], (0, 2, 3, 1)).reshape(Bp, NW)[:B]
+    s = outs[6].reshape(-1)[:B]
+    return flat4 + (pv, mv, s)
+
+
 def _hits_kernel(targets_ref, peq_ref, lo_ref, hi_ref, best_ref, hits_ref,
                  pv_ref, mv_ref, score_ref, *, n_words: int, sigma1: int,
                  chunk: int, hin0: int, shared: bool):

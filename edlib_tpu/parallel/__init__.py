@@ -6,6 +6,7 @@ from edlib_tpu.parallel.dist import (
     sharded_hw_locations,
     sharded_hw_search,
     sharded_nw_pipeline,
+    sharded_reduce_pipeline,
     sharded_reduce_dp,
     sharded_sweep_dp,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "sharded_hw_locations",
     "sharded_hw_search",
     "sharded_nw_pipeline",
+    "sharded_reduce_pipeline",
     "sharded_reduce_dp",
     "sharded_sweep_dp",
     "pipelined_sweep_summaries",

@@ -341,6 +341,119 @@ def sharded_hw_search(mesh: Mesh, peq: np.ndarray, slices: np.ndarray,
     return best, cores
 
 
+def sharded_reduce_pipeline(mesh: Mesh, peq: np.ndarray,
+                            target_ids: np.ndarray, qlen: int,
+                            lo: np.ndarray, hi: np.ndarray,
+                            hin0: int = 1, engine: str = "auto",
+                            chunk: int = 256):
+    """Sequential multi-shard REDUCE: one long scan streamed through "sp"
+    (ppermute carry hand-off, like sharded_nw_pipeline) but with the
+    per-shard reduction done in place of score streams — O(B) leaves the
+    mesh instead of O(B*T).  On an all-TPU mesh each round runs the
+    carry-I/O Pallas reduce kernel; the resumable XLA scan engine is the
+    CPU/virtual-mesh fallback.
+
+    peq (B, S1, NW) uint32 with the wildcard row at sigma; target_ids
+    (T,) int32; lo/hi (B,) int64 GLOBAL scan-column windows (per-lane
+    wildcard pads W .. W + tlen, exactly as the single-device reduce).
+    Returns (best, pos_first, pos_last, last_score) each (B,) int32 in
+    global scan-column space — bit-identical to the single-device
+    two-phase reduce.
+    """
+    from edlib_tpu.ops import pallas_kernel
+
+    eng = _resolve_engine(mesh, engine)
+    sp = mesh.shape["sp"]
+    B, S1, NW = peq.shape
+    sigma = S1 - 1
+    w_pad = NW * 32 - qlen
+    T = len(target_ids)
+    t_scan = T + w_pad
+    # Shard width must be a chunk multiple for the kernel engine: the
+    # flat wrapper pads each call's scan to whole chunks and SWEEPS the
+    # padding, which would corrupt the carry mid-pipeline otherwise.
+    # Trailing wildcard columns on the LAST shard are harmless (nothing
+    # past hi is ever read).
+    step = chunk if eng != "xla" else 32
+    C = -(-t_scan // (sp * step)) * step
+    padded = np.full(sp * C, sigma, dtype=np.int32)
+    padded[:T] = target_ids
+    slices = padded.reshape(sp, C)
+    lo32 = np.asarray(lo, np.int32)
+    hi32 = np.asarray(hi, np.int32)
+
+    def local(peq_l, lo_l, hi_l, slices_l):
+        Bl = peq_l.shape[0]
+        idx = jax.lax.axis_index("sp")
+        tg1 = slices_l[0]  # (C,) this shard's columns
+        lo_loc = jnp.clip(lo_l - idx * C, 0, C)
+        hi_loc = jnp.clip(hi_l - idx * C, 0, C)
+        base = idx * C
+        acc = (jnp.full((Bl,), _BIG, jnp.int32),
+               jnp.full((Bl,), -1, jnp.int32),
+               jnp.full((Bl,), -1, jnp.int32),
+               jnp.full((Bl,), _BIG, jnp.int32))
+        if eng != "xla":
+            carry = (jnp.full((Bl, NW), 0xFFFFFFFF, jnp.uint32),
+                     jnp.zeros((Bl, NW), jnp.uint32),
+                     jnp.full((Bl,), NW * 32, jnp.int32))
+        else:
+            carry = (jnp.full((NW, Bl), 0xFFFFFFFF, jnp.uint32),
+                     jnp.zeros((NW, Bl), jnp.uint32),
+                     jnp.full((Bl,), NW * 32, jnp.int32))
+        perm = [(i, i + 1) for i in range(sp - 1)]
+        for r in range(sp):
+            if eng != "xla":
+                outs = pallas_kernel.reduce_resumable_flat_device(
+                    peq_l, jnp.broadcast_to(tg1[None, :], (Bl, C)),
+                    lo_loc, hi_loc, carry[0], carry[1], carry[2],
+                    hin0=hin0, chunk=chunk,
+                    interpret=(eng == "interpret"))
+                red, new = outs[:4], outs[4:]
+            else:
+                tg = jnp.broadcast_to(tg1[None, :], (Bl, C))
+                scores, new = jax_engine.sweep_scores_resumable(
+                    peq_l, tg, carry, hin0=hin0)
+                cols = jnp.arange(C, dtype=jnp.int32)[None, :]
+                in_win = (cols >= lo_loc[:, None]) & (cols < hi_loc[:, None])
+                sc = jnp.where(in_win, scores, _BIG)
+                b = jnp.min(sc, axis=1)
+                at_b = sc == b[:, None]
+                pf = jnp.min(jnp.where(at_b, cols, _BIG), axis=1)
+                pl_ = jnp.max(jnp.where(at_b, cols, -1), axis=1)
+                li = jnp.clip(hi_loc - 1, 0, C - 1)
+                ls = jnp.take_along_axis(scores, li[:, None], axis=1)[:, 0]
+                red = (b, pf, pl_, ls)
+            mine = idx == r
+            acc = tuple(jnp.where(mine, n.astype(jnp.int32), a)
+                        for n, a in zip(red, acc))
+            out_carry = jax.tree.map(
+                lambda n, c: jnp.where(mine, n, c), tuple(new), carry)
+            if r < sp - 1:
+                carry = jax.lax.ppermute(out_carry, "sp", perm)
+        best_s, pf_s, pl_s, rl_s = acc
+        best = jax.lax.pmin(best_s, "sp")
+        pf_g = jnp.where((best_s == best) & (pf_s >= 0), pf_s + base, _BIG)
+        pf = jax.lax.pmin(pf_g, "sp")
+        pl_g = jnp.where((best_s == best) & (pl_s >= 0), pl_s + base, -1)
+        pl_ = jax.lax.pmax(pl_g, "sp")
+        # Only the shard truly containing hi-1 holds the final-column
+        # score (middle shards read their own last column at hi_loc=C).
+        has_last = (hi_l > base) & (hi_l <= base + C)
+        last = jax.lax.pmin(jnp.where(has_last, rl_s, _BIG), "sp")
+        return best, pf, pl_, last
+
+    import contextlib
+    ctx = jax.set_mesh(mesh) if eng != "xla" else contextlib.nullcontext()
+    with ctx:
+        out = shard_map(local, mesh=mesh,
+                        in_specs=(P("dp"), P("dp"), P("dp"), P("sp")),
+                        out_specs=tuple(P("dp") for _ in range(4)),
+                        check_vma=False)(
+            np.ascontiguousarray(peq), lo32, hi32, slices)
+    return out
+
+
 def sharded_nw_pipeline(mesh: Mesh, peq: np.ndarray, target_ids: np.ndarray,
                         qlen: int, hin0: int = 1):
     """Sequential (Pv, Mv, score) carry hand-off across "sp": one long NW

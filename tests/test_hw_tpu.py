@@ -297,3 +297,28 @@ print(json.dumps(out))
         want = [{**w, "locations": [list(p) for p in w["locations"]]}
                 for w in want]
         assert got[m] == want, mode
+
+
+def test_hw_mesh_kernel_engine(tpu_ok):
+    """Pallas kernels under shard_map on the real chip: a 1-device mesh
+    resolves engine='pallas' (all-TPU), so align_batch(mesh=) exercises
+    Mosaic inside the manual mesh context — vs per-pair host truth."""
+    code = r"""
+from edlib_tpu import align_batch
+from edlib_tpu.parallel import make_alignment_mesh
+from tests.test_hw_tpu import _gen_pairs
+queries, targets = _gen_pairs(seed=29, n=16)
+mesh = make_alignment_mesh(1, dp=1, sp=1)
+out = [align_batch(queries, targets, mode=m, task="locations", mesh=mesh)
+       for m in ("NW", "HW", "SHW")]
+print(json.dumps(out))
+"""
+    got = _child_json(code, timeout=900)
+    from edlib_tpu import align
+    queries, targets = _gen_pairs(seed=29, n=16)
+    for m, mode in enumerate(("NW", "HW", "SHW")):
+        want = [align(q, t, mode=mode, task="locations")
+                for q, t in zip(queries, targets)]
+        want = [{**w, "locations": [list(p) for p in w["locations"]]}
+                for w in want]
+        assert got[m] == want, mode

@@ -85,3 +85,43 @@ def test_sharded_hw_locations_engines_match(mesh8):
         outs[eng] = tuple(np.asarray(x) for x in r)
     for i in range(4):
         assert np.array_equal(outs["xla"][i], outs["interpret"][i]), i
+
+
+def test_sharded_reduce_pipeline_engines_match_truth(mesh8):
+    """Sequential carry pipeline (ppermute) with per-shard reductions ==
+    the single-device stream reduce, for BOTH engines, with per-lane
+    windows ending mid-shard and minima straddling shard boundaries."""
+    from edlib_tpu.ops import jax_engine
+
+    rng = np.random.RandomState(21)
+    sigma = 4
+    eq = np.eye(sigma, dtype=bool)
+    B, nw, qlen = 8, 2, 50
+    qs = [rng.randint(0, sigma, qlen).astype(np.int32) for _ in range(B)]
+    peq = np.stack([encode.build_peq_words(q, eq, n_words=nw) for q in qs])
+    T = 700
+    t_ids = rng.randint(0, sigma, T).astype(np.int32)
+    for b in range(0, B, 2):  # plant matches near shard boundaries
+        s = min(170 * (b // 2 + 1) - qlen // 2, T - qlen)
+        t_ids[s:s + qlen] = qs[b]
+    w = nw * 32 - qlen
+    lo = np.full(B, w, np.int64)
+    hi = np.array([w + T - 37 * b for b in range(B)], np.int64)
+    tg = np.full((B, T + w), sigma, np.int32)
+    tg[:, :T] = t_ids
+    stream = np.asarray(jax_engine.sweep_scores(peq, tg, hin0=1))
+
+    def truth(b):
+        win = stream[b, lo[b]:hi[b]]
+        best = int(win.min())
+        hits = np.nonzero(win == best)[0] + lo[b]
+        return best, int(hits[0]), int(hits[-1]), int(stream[b, hi[b] - 1])
+
+    import edlib_tpu.parallel.dist as dist_mod
+    for eng, chunk in (("xla", 256), ("interpret", 32)):
+        r = dist_mod.sharded_reduce_pipeline(mesh8, peq, t_ids, qlen, lo,
+                                             hi, hin0=1, engine=eng,
+                                             chunk=chunk)
+        r = tuple(np.asarray(x) for x in r)
+        for b in range(B):
+            assert tuple(int(x[b]) for x in r) == truth(b), (eng, b)
