@@ -163,3 +163,25 @@ def test_align_batch_hw_start_locations_banded(monkeypatch):
                                    mode="HW", task=task)
         for q, got in zip(queries, batch):
             assert got == align(q, target, mode="HW", task=task)
+
+
+def test_shw_banded_protein_alphabet(monkeypatch):
+    """General-variant banded kernels at sigma=26 (S1-way select chain)."""
+    monkeypatch.setenv("EDLIB_TPU_FORCE_PALLAS", "interpret")
+    monkeypatch.setenv("EDLIB_TPU_PALLAS_CHUNK", "32")
+    monkeypatch.setenv("EDLIB_TPU_BAND_MIN_WORDS", "2")
+    from edlib_tpu.batch import align_batch_device
+    AA = b"ACDEFGHIKLMNPQRSTVWYBZXJUO"
+    rng = np.random.RandomState(53)
+    queries, targets = [], []
+    for i in range(3):
+        q_ids = rng.randint(0, 26, 60 + 4 * i)
+        t_ids = np.concatenate([_mutate(rng, q_ids, 0.08, 26),
+                                rng.randint(0, 26, 40)])
+        queries.append(bytes(AA[c] for c in q_ids))
+        targets.append(bytes(AA[c] for c in t_ids))
+    for k in (-1, 8):
+        batch = align_batch_device(queries, targets, mode="SHW",
+                                   task="locations", k=k)
+        for q, t, got in zip(queries, targets, batch):
+            assert got == align(q, t, mode="SHW", task="locations", k=k), k
