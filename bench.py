@@ -185,11 +185,41 @@ def try_backend(backend: str, timeout: int):
             pass
 
 
+_PROBE_CODE = r"""
+import sys
+import jax, jax.numpy as jnp
+x = jnp.ones((128, 128))
+s = float((x @ x).sum())
+sys.exit(0 if s == 128.0 * 128 * 128 else 1)
+"""
+
+
+def wait_for_device(max_wait_s: float) -> bool:
+    """Cheap matmul probes until the tunneled device answers (wedges have
+    been observed to last hours; a 60s probe fails ~7x faster than a full
+    bench attempt, so waiting here costs little and avoids burning the
+    expensive attempts into a dead tunnel)."""
+    start = time.time()
+    while True:
+        try:
+            proc = subprocess.run([sys.executable, "-c", _PROBE_CODE],
+                                  capture_output=True, timeout=60)
+            if proc.returncode == 0:
+                return True
+        except (subprocess.TimeoutExpired, OSError):
+            pass
+        if time.time() - start >= max_wait_s:
+            return False
+        time.sleep(60)
+
+
 def main():
     # The tunneled TPU in this environment wedges transiently (recovery
-    # horizon ~30-60 min); retry the device backend with cool-down gaps
-    # before accepting the CPU fallback — a native-CPU number would
-    # misrepresent the framework's device throughput.
+    # horizon 30 min - several HOURS); probe-wait first, then retry the
+    # device backend with cool-down gaps before accepting the CPU
+    # fallback — a native-CPU number would misrepresent the framework's
+    # device throughput.
+    wait_for_device(float(os.environ.get("EDLIB_TPU_BENCH_WAIT", "2400")))
     attempts = [("pallas", 420), ("pallas", 420), ("pallas", 300),
                 ("pallas", 300), ("pallas", 300), ("native", 300)]
     result = None
