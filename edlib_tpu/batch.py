@@ -283,6 +283,11 @@ def _shw_banded_bucket(sweeper, peq, targets, lo, hi, kb, k_user,
         if done.all() or k_cur >= k_lim:
             break
         k_cur = min(k_cur * 2, k_lim)
+        if 2 * k_cur >= peq.shape[2] * 32:
+            # The next window would span every word — no pruning left to
+            # buy, so go straight to the guaranteed cap (one final rung
+            # instead of log2 full-width rungs).
+            k_cur = k_lim
     positions: List[Optional[np.ndarray]] = [None] * B
     if want_hits:
         if done.any():

@@ -129,11 +129,20 @@ def check_pair(align, reference_align, q, t, eqs, rng, batch_fn=None):
     return checks
 
 
-def worker(seed: int, deadline: float, use_batch: bool) -> dict:
+def worker(seed: int, deadline: float, use_batch: bool,
+           device: bool = False) -> dict:
     # Pin CPU: this sandbox force-registers a flaky tunneled-TPU backend
     # in every process; the fuzz targets host semantics (device kernels
-    # have their own interpret-mode and on-chip suites).
-    os.environ.setdefault("EDLIB_TPU_DISABLE_DEVICE", "1")
+    # have their own interpret-mode and on-chip suites).  --device mode
+    # instead drives the Pallas drivers through the interpreter at
+    # bounded shapes (<=4-word buckets: the full kernels' unrolled
+    # column groups are minutes-slow XLA:CPU compiles beyond that).
+    if device:
+        os.environ["EDLIB_TPU_FORCE_PALLAS"] = "interpret"
+        os.environ["EDLIB_TPU_PALLAS_CHUNK"] = "32"
+        os.environ["EDLIB_TPU_BAND_MIN_WORDS"] = "2"
+    else:
+        os.environ.setdefault("EDLIB_TPU_DISABLE_DEVICE", "1")
     import jax
     jax.config.update("jax_platforms", "cpu")
     from edlib_tpu import align
@@ -141,9 +150,15 @@ def worker(seed: int, deadline: float, use_batch: bool) -> dict:
     from tests.reference_oracle import reference_align
     rng = np.random.RandomState(seed)
     trials = checks = 0
-    batch_fn = align_batch_device if use_batch else None
+    batch_fn = align_batch_device if (use_batch or device) else None
     while time.time() < deadline:
         q, t, eqs = make_pair(rng)
+        if device:
+            # Bound the interpret-compile universe: small shapes AND a
+            # collapsed alphabet (the full kernels' unrolled column
+            # groups scale compile time with sigma x words).
+            q = bytes(b % 4 for b in q[:120])
+            t = bytes(b % 4 for b in t[:400])
         checks += check_pair(align, reference_align, q, t, eqs, rng,
                              batch_fn=batch_fn)
         trials += 1
@@ -153,9 +168,9 @@ def worker(seed: int, deadline: float, use_batch: bool) -> dict:
             # (XLA:CPU retains every compiled shape).
             print(json.dumps({"seed": seed, "trials": trials,
                               "checks": checks}), flush=True)
-            if use_batch:
+            if use_batch and not device:
                 import jax
-                jax.clear_caches()
+                jax.clear_caches()  # device mode keeps warm interp kernels
     return {"seed": seed, "trials": trials, "checks": checks}
 
 
@@ -166,13 +181,17 @@ def main():
     ap.add_argument("--seed", type=int, default=int(time.time()) & 0xFFFF)
     ap.add_argument("--batch", action="store_true",
                     help="also differential-check align_batch_device")
+    ap.add_argument("--device", action="store_true",
+                    help="drive the Pallas drivers (interpreter) at "
+                         "bounded shapes instead of the host engines")
     ap.add_argument("--worker", type=int, default=None, help=argparse.SUPPRESS)
     ap.add_argument("--deadline", type=float, default=None,
                     help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     if args.worker is not None:
-        print(json.dumps(worker(args.worker, args.deadline, args.batch)))
+        print(json.dumps(worker(args.worker, args.deadline, args.batch,
+                                device=args.device)))
         return 0
 
     deadline = time.time() + args.minutes * 60
@@ -183,6 +202,8 @@ def main():
                "--deadline", str(deadline)]
         if args.batch:
             cmd.append("--batch")
+        if args.device:
+            cmd.append("--device")
         procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE,
                                       stderr=subprocess.PIPE, text=True))
     total = {"trials": 0, "checks": 0, "failures": 0}
