@@ -188,6 +188,8 @@ def try_backend(backend: str, timeout: int):
 _PROBE_CODE = r"""
 import sys
 import jax, jax.numpy as jnp
+if jax.default_backend() != "tpu":
+    sys.exit(3)  # no TPU platform at all (jax fell back to CPU)
 x = jnp.ones((128, 128))
 s = float((x @ x).sum())
 sys.exit(0 if s == 128.0 * 128 * 128 else 1)
@@ -200,14 +202,21 @@ def wait_for_device(max_wait_s: float) -> bool:
     bench attempt, so waiting here costs little and avoids burning the
     expensive attempts into a dead tunnel)."""
     start = time.time()
+    no_tpu = 0
     while True:
         try:
             proc = subprocess.run([sys.executable, "-c", _PROBE_CODE],
                                   capture_output=True, timeout=60)
             if proc.returncode == 0:
                 return True
+            if proc.returncode == 3:
+                # jax fell back to CPU: no TPU platform registered at
+                # all — waiting cannot help (two in a row to be sure).
+                no_tpu += 1
+                if no_tpu >= 2:
+                    return False
         except (subprocess.TimeoutExpired, OSError):
-            pass
+            no_tpu = 0
         if time.time() - start >= max_wait_s:
             return False
         time.sleep(60)

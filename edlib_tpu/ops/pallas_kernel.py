@@ -351,11 +351,9 @@ def _fetch_eq(peq_ref, sym, w, sigma1, shared):
     return eq
 
 
-def _reduce_kernel(targets_ref, peq_ref, lo_ref, hi_ref,
-                   best_ref, pfirst_ref, plast_ref, last_ref,
-                   pv_ref, mv_ref, score_ref, rb_ref, rpf_ref, rpl_ref,
-                   rl_ref, *, n_words: int, sigma1: int, chunk: int,
-                   hin0: int, shared: bool, unroll: int):
+def _reduce_kernel(*refs, n_words: int, sigma1: int, chunk: int,
+                   hin0: int, shared: bool, unroll: int,
+                   resume: bool = False):
     """Phase-1 kernel: in-register reduction over the score stream.
 
     lo/hi_ref: (8,128) int32 per-lane scan-column windows [lo, hi) — lo is
@@ -366,15 +364,39 @@ def _reduce_kernel(targets_ref, peq_ref, lo_ref, hi_ref,
       plast  = last column attaining it           (reversed-SHW start rule,
                                                    edlib.cpp:258-260)
       last   = score at column hi-1               (NW distance)
+
+    resume: the DP state starts from (pv0, mv0, s0) input refs instead of
+    the fresh-sweep reset, and the final (Pv, Mv, score) is emitted —
+    the kernel analogue of jax_engine.sweep_scores_resumable, so
+    sequential multi-shard pipelines (ppermute carry hand-off) run this
+    same body per segment.
     """
+    if resume:
+        (targets_ref, peq_ref, lo_ref, hi_ref, pv0_ref, mv0_ref, s0_ref,
+         best_ref, pfirst_ref, plast_ref, last_ref,
+         pvo_ref, mvo_ref, so_ref,
+         pv_ref, mv_ref, score_ref, rb_ref, rpf_ref, rpl_ref,
+         rl_ref) = refs
+    else:
+        (targets_ref, peq_ref, lo_ref, hi_ref,
+         best_ref, pfirst_ref, plast_ref, last_ref,
+         pv_ref, mv_ref, score_ref, rb_ref, rpf_ref, rpl_ref,
+         rl_ref) = refs
     t_step = pl.program_id(1)
     n_chunks = pl.num_programs(1)
 
     @pl.when(t_step == 0)
     def _reset():
-        pv_ref[...] = jnp.full((n_words, SUBLANES, LANES), _ONES, jnp.uint32)
-        mv_ref[...] = jnp.zeros((n_words, SUBLANES, LANES), jnp.uint32)
-        score_ref[...] = jnp.full((SUBLANES, LANES), n_words * 32, jnp.int32)
+        if resume:
+            pv_ref[...] = pv0_ref[...]
+            mv_ref[...] = mv0_ref[...]
+            score_ref[...] = s0_ref[...]
+        else:
+            pv_ref[...] = jnp.full((n_words, SUBLANES, LANES), _ONES,
+                                   jnp.uint32)
+            mv_ref[...] = jnp.zeros((n_words, SUBLANES, LANES), jnp.uint32)
+            score_ref[...] = jnp.full((SUBLANES, LANES), n_words * 32,
+                                      jnp.int32)
         rb_ref[...] = jnp.full((SUBLANES, LANES), _BIG, jnp.int32)
         rpf_ref[...] = jnp.full((SUBLANES, LANES), -1, jnp.int32)
         rpl_ref[...] = jnp.full((SUBLANES, LANES), -1, jnp.int32)
@@ -436,6 +458,10 @@ def _reduce_kernel(targets_ref, peq_ref, lo_ref, hi_ref,
         pfirst_ref[...] = rpf_ref[...]
         plast_ref[...] = rpl_ref[...]
         last_ref[...] = rl_ref[...]
+        if resume:
+            pvo_ref[...] = pv_ref[...]
+            mvo_ref[...] = mv_ref[...]
+            so_ref[...] = score_ref[...]
 
 
 def _sweep_reduce_call(peq: jnp.ndarray, targets: jnp.ndarray,
@@ -447,7 +473,10 @@ def _sweep_reduce_call(peq: jnp.ndarray, targets: jnp.ndarray,
     manual mesh context rejects)."""
     n_tiles, sigma1, n_words = peq.shape[:3]
     n_chunks = targets.shape[0] if shared else targets.shape[1]
-    unroll = 16 if chunk % 16 == 0 else (8 if chunk % 8 == 0 else 1)
+    if interpret:
+        unroll = 1  # unrolled bodies are minutes-slow XLA:CPU compiles
+    else:
+        unroll = 16 if chunk % 16 == 0 else (8 if chunk % 8 == 0 else 1)
     kernel = functools.partial(_reduce_kernel, n_words=n_words,
                                sigma1=sigma1, chunk=chunk, hin0=hin0,
                                shared=shared, unroll=unroll)
@@ -503,93 +532,6 @@ def sweep_reduce_pallas(peq: jnp.ndarray, targets: jnp.ndarray,
                               shared=shared, interpret=interpret)
 
 
-def _reduce_resumable_kernel(targets_ref, peq_ref, lo_ref, hi_ref,
-                             pv0_ref, mv0_ref, s0_ref,
-                             best_ref, pfirst_ref, plast_ref, last_ref,
-                             pvo_ref, mvo_ref, so_ref,
-                             pv_ref, mv_ref, score_ref, rb_ref, rpf_ref,
-                             rpl_ref, rl_ref, *, n_words: int, sigma1: int,
-                             chunk: int, hin0: int, shared: bool,
-                             unroll: int):
-    """Phase-1 reduce with (Pv, Mv, score) carry I/O: the DP state starts
-    from the inputs instead of the fresh-sweep reset and the final state
-    is emitted — the kernel analogue of jax_engine.sweep_scores_resumable,
-    so sequential multi-shard pipelines (ppermute carry hand-off) run the
-    register-resident kernel per segment."""
-    t_step = pl.program_id(1)
-    n_chunks = pl.num_programs(1)
-
-    @pl.when(t_step == 0)
-    def _load():
-        pv_ref[...] = pv0_ref[...]
-        mv_ref[...] = mv0_ref[...]
-        score_ref[...] = s0_ref[...]
-        rb_ref[...] = jnp.full((SUBLANES, LANES), _BIG, jnp.int32)
-        rpf_ref[...] = jnp.full((SUBLANES, LANES), -1, jnp.int32)
-        rpl_ref[...] = jnp.full((SUBLANES, LANES), -1, jnp.int32)
-        rl_ref[...] = jnp.full((SUBLANES, LANES), _BIG, jnp.int32)
-
-    lo = lo_ref[...]
-    hi = hi_ref[...]
-
-    def column(c, carry):
-        pvs, mvs, score, rb, rpf, rpl, rl = carry
-        sym = targets_ref[0, c] if shared else targets_ref[c]
-        hin_neg = jnp.zeros((SUBLANES, LANES), jnp.uint32)
-        if hin0 == 0:
-            hin_pos = jnp.zeros((SUBLANES, LANES), jnp.uint32)
-        else:
-            hin_pos = jnp.ones((SUBLANES, LANES), jnp.uint32)
-        new_pvs, new_mvs = [], []
-        for w in range(n_words):
-            eq = _fetch_eq(peq_ref, sym, w, sigma1, shared)
-            pv, mv, hin_neg, hin_pos = _advance_word(
-                pvs[w], mvs[w], eq, hin_neg, hin_pos)
-            new_pvs.append(pv)
-            new_mvs.append(mv)
-        score = score + hin_pos.astype(jnp.int32) \
-            - hin_neg.astype(jnp.int32)
-        col = t_step * chunk + c
-        in_win = (col >= lo) & (col < hi)
-        upd = (score < rb) & in_win
-        rpf = jnp.where(upd, col, rpf)
-        rpl = jnp.where((score <= rb) & in_win, col, rpl)
-        rb = jnp.where(upd, score, rb)
-        rl = jnp.where(col == hi - 1, score, rl)
-        return tuple(new_pvs), tuple(new_mvs), score, rb, rpf, rpl, rl
-
-    carry0 = (tuple(pv_ref[w] for w in range(n_words)),
-              tuple(mv_ref[w] for w in range(n_words)),
-              score_ref[...], rb_ref[...], rpf_ref[...], rpl_ref[...],
-              rl_ref[...])
-
-    def columns(i, carry):
-        for j in range(unroll):
-            carry = column(i * unroll + j, carry)
-        return carry
-
-    pvs, mvs, score, rb, rpf, rpl, rl = jax.lax.fori_loop(
-        0, chunk // unroll, columns, carry0)
-    for w in range(n_words):
-        pv_ref[w] = pvs[w]
-        mv_ref[w] = mvs[w]
-    score_ref[...] = score
-    rb_ref[...] = rb
-    rpf_ref[...] = rpf
-    rpl_ref[...] = rpl
-    rl_ref[...] = rl
-
-    @pl.when(t_step == n_chunks - 1)
-    def _emit():
-        best_ref[...] = rb_ref[...]
-        pfirst_ref[...] = rpf_ref[...]
-        plast_ref[...] = rpl_ref[...]
-        last_ref[...] = rl_ref[...]
-        pvo_ref[...] = pv_ref[...]
-        mvo_ref[...] = mv_ref[...]
-        so_ref[...] = score_ref[...]
-
-
 def _sweep_reduce_resumable_call(peq, targets, lo, hi, pv0, mv0, s0,
                                  hin0: int, chunk: int = 256,
                                  shared: bool = False,
@@ -605,9 +547,9 @@ def _sweep_reduce_resumable_call(peq, targets, lo, hi, pv0, mv0, s0,
         unroll = 1
     else:
         unroll = 16 if chunk % 16 == 0 else (8 if chunk % 8 == 0 else 1)
-    kernel = functools.partial(_reduce_resumable_kernel, n_words=n_words,
+    kernel = functools.partial(_reduce_kernel, n_words=n_words,
                                sigma1=sigma1, chunk=chunk, hin0=hin0,
-                               shared=shared, unroll=unroll)
+                               shared=shared, unroll=unroll, resume=True)
     if shared:
         t_spec = pl.BlockSpec((None, 1, chunk), lambda i, j: (j, 0, 0),
                               memory_space=pltpu.SMEM)
@@ -660,22 +602,32 @@ def reduce_resumable_flat_device(peq, targets, lo, hi, pv0, mv0, s0,
                                  hin0: int, chunk: int = 256,
                                  interpret: bool = False):
     """Flat-layout resumable reduce for mesh pipelines: (B, S1, NW) /
-    (B, T) / state (B, NW) uint32 x2 + (B,) int32 in, flat outputs
+    targets / state (B, NW) uint32 x2 + (B,) int32 in, flat outputs
     (best, pfirst, plast, last) (B,) int32 + state (B, NW) x2 + (B,).
-    B and T are padded to kernel tiles on device (pad lanes sweep
-    wildcard profiles; reads masked by hi)."""
+    targets: (B, T) per-lane, or 1-D (T,) — one SHARED target for every
+    lane (scalar SMEM symbols, no select chain).  B is padded to kernel
+    tiles on device (pad lanes sweep wildcard profiles; reads masked by
+    hi).  T must be a multiple of chunk: padding columns would be SWEPT
+    into the returned carry and corrupt the next chained segment."""
     B, S1, NW = peq.shape
-    T = targets.shape[1]
+    shared = targets.ndim == 1
+    T = targets.shape[0] if shared else targets.shape[1]
+    assert T % chunk == 0, (
+        f"resumable segments need T % chunk == 0 (T={T}, chunk={chunk}): "
+        "pad columns would corrupt the carry")
     n_tiles = -(-B // B_TILE)
-    n_chunks = -(-T // chunk)
-    Bp, Tp = n_tiles * B_TILE, n_chunks * chunk
+    n_chunks = T // chunk
+    Bp = n_tiles * B_TILE
     peq_p = jnp.full((Bp, S1, NW), _ONES, jnp.uint32).at[:B].set(peq)
     peq_t = jnp.transpose(
         peq_p.reshape(n_tiles, SUBLANES, LANES, S1, NW), (0, 3, 4, 1, 2))
-    tg_p = jnp.full((Bp, Tp), S1 - 1, jnp.int32).at[:B, :T].set(targets)
-    tg_t = jnp.transpose(
-        tg_p.reshape(n_tiles, SUBLANES, LANES, n_chunks, chunk),
-        (0, 3, 4, 1, 2))
+    if shared:
+        tg_t = targets.astype(jnp.int32).reshape(n_chunks, 1, chunk)
+    else:
+        tg_p = jnp.zeros((Bp, T), jnp.int32).at[:B].set(targets)
+        tg_t = jnp.transpose(
+            tg_p.reshape(n_tiles, SUBLANES, LANES, n_chunks, chunk),
+            (0, 3, 4, 1, 2))
     lo_t = _pack_lanes_device(lo.astype(jnp.int32), n_tiles, jnp.int32(0))
     hi_t = _pack_lanes_device(hi.astype(jnp.int32), n_tiles, jnp.int32(0))
 
@@ -690,7 +642,7 @@ def reduce_resumable_flat_device(peq, targets, lo, hi, pv0, mv0, s0,
                              jnp.int32(NW * 32))
     outs = _sweep_reduce_resumable_call(peq_t, tg_t, lo_t, hi_t, pv_t,
                                         mv_t, s_t, hin0=hin0, chunk=chunk,
-                                        interpret=interpret)
+                                        shared=shared, interpret=interpret)
     flat4 = tuple(o.reshape(-1)[:B] for o in outs[:4])
     pv = jnp.transpose(outs[4], (0, 2, 3, 1)).reshape(Bp, NW)[:B]
     mv = jnp.transpose(outs[5], (0, 2, 3, 1)).reshape(Bp, NW)[:B]
@@ -1342,8 +1294,9 @@ def reduce_flat_device(peq: jnp.ndarray, targets: jnp.ndarray,
     latency-bound XLA scan engine.
 
     Returns (best, pos_first, pos_last, last_score) each (B,) int32 in
-    scan-column space, plus (B, ceil_32(T)) uint32 packed hit words when
-    want_hits (bit j of word g = scan column 32g + j).
+    scan-column space, plus (B, ceil(T/32)) uint32 packed hit words when
+    want_hits (bit j of word g = scan column 32g + j) — the same width
+    as the XLA-engine path, so the two engines are shape-identical.
     """
     B, S1, NW = peq.shape
     T = targets.shape[1]
@@ -1370,7 +1323,9 @@ def reduce_flat_device(peq: jnp.ndarray, targets: jnp.ndarray,
                              chunk=chunk, interpret=interpret)
     G = chunk // 32
     hits = jnp.transpose(masks, (0, 3, 4, 1, 2)).reshape(Bp, n_chunks * G)
-    return flat + (hits[:B],)
+    # Trim to the XLA-engine width (pad bits are provably zero: cols >= T
+    # sit past every hi window).
+    return flat + (hits[:B, :-(-T // 32)],)
 
 
 def _pack_shared_flat(peq: jnp.ndarray, target_scan: jnp.ndarray,

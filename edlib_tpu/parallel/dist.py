@@ -229,7 +229,12 @@ def sharded_hw_locations(mesh: Mesh, peq: np.ndarray, slices: np.ndarray,
 def _resolve_engine(mesh: Mesh, engine: str) -> str:
     """'pallas' on an all-TPU mesh, 'xla' otherwise (CPU virtual meshes:
     the scan engine compiles fast and is exact; 'interpret' forces the
-    Pallas interpreter for kernel-path tests)."""
+    Pallas interpreter for kernel-path tests).  Every dispatch site
+    treats anything != 'xla' as the kernel engine, so unknown strings
+    must be rejected here."""
+    if engine not in ("auto", "xla", "pallas", "interpret"):
+        raise ValueError(f"unknown engine {engine!r} "
+                         "(auto | xla | pallas | interpret)")
     if engine != "auto":
         return engine
     return "pallas" if all(d.platform == "tpu"
@@ -245,9 +250,9 @@ def sharded_reduce_dp(mesh: Mesh, peq: np.ndarray, targets: np.ndarray,
     collectives).  peq (B, S1, NW) uint32, targets (B, T) int32, lo/hi
     (B,) int32 scan-column windows.  Returns (best, pos_first, pos_last,
     last_score) each (B,) int32 — and, when want_hits, a packed uint32
-    bitmask (B, >=ceil(T/32) words) of window columns with score == best
-    (bit j of word g = scan column 32g + j; caller shifts by per-lane W) —
-    so host transfer is O(B) / O(B*T/32), never the O(B*T) stream.
+    bitmask (B, ceil(T/32)) of window columns with score == best (bit j
+    of word g = scan column 32g + j; caller shifts by per-lane W) — so
+    host transfer is O(B) / O(B*T/32), never the O(B*T) stream.
 
     engine: on a TPU mesh each shard runs the register-resident Pallas
     reduce/hits kernels (the single-chip hot path); the XLA scan engine
@@ -261,7 +266,7 @@ def sharded_reduce_dp(mesh: Mesh, peq: np.ndarray, targets: np.ndarray,
     eng = _resolve_engine(mesh, engine)
 
     def local(peq_l, tg_l, lo_l, hi_l):
-        if eng in ("pallas", "interpret"):
+        if eng != "xla":
             return pallas_kernel.reduce_flat_device(
                 peq_l, tg_l, lo_l, hi_l, hin0=hin0, want_hits=want_hits,
                 interpret=(eng == "interpret"))
@@ -405,9 +410,8 @@ def sharded_reduce_pipeline(mesh: Mesh, peq: np.ndarray,
         for r in range(sp):
             if eng != "xla":
                 outs = pallas_kernel.reduce_resumable_flat_device(
-                    peq_l, jnp.broadcast_to(tg1[None, :], (Bl, C)),
-                    lo_loc, hi_loc, carry[0], carry[1], carry[2],
-                    hin0=hin0, chunk=chunk,
+                    peq_l, tg1, lo_loc, hi_loc,
+                    carry[0], carry[1], carry[2], hin0=hin0, chunk=chunk,
                     interpret=(eng == "interpret"))
                 red, new = outs[:4], outs[4:]
             else:

@@ -47,12 +47,8 @@ def test_sharded_reduce_dp_engines_match(mesh8):
         r = dist.sharded_reduce_dp(mesh8, peq, targets, lo, hi, 0,
                                    want_hits=True, engine=eng)
         outs[eng] = tuple(np.asarray(x) for x in r)
-    for i in range(4):
+    for i in range(5):  # incl. the hit bitmask, shape-identical
         assert np.array_equal(outs["xla"][i], outs["interpret"][i]), i
-    hx, hp = outs["xla"][4], outs["interpret"][4]
-    w = min(hx.shape[1], hp.shape[1])
-    assert np.array_equal(hx[:, :w], hp[:, :w])
-    assert not hp[:, w:].any() and not hx[:, w:].any()
 
 
 def test_sharded_hw_locations_engines_match(mesh8):
