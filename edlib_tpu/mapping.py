@@ -150,18 +150,14 @@ def _map_reads_sharded(read_ids, t_ids, sigma, mesh):
 
 
 def _map_reads_segmented(read_ids, t_ids, sigma):
-    """HW best/pos for few reads vs one long target via target segmentation."""
-    from edlib_tpu.ops.segmented import hw_stream_segmented
-    best = np.empty(len(read_ids), np.int64)
-    pos = np.empty(len(read_ids), np.int64)
-    for i, r in enumerate(read_ids):
-        stream = hw_stream_segmented(r.astype(np.uint8), t_ids, sigma,
-                                     k_eff=len(r))
-        if stream is None:
-            return None
-        best[i] = stream.min()
-        pos[i] = int(np.argmin(stream))
-    return best, pos
+    """HW best/pos for few reads vs one long target via target segmentation.
+
+    One kernel dispatch for the whole read set; the (best, first-pos)
+    reduction happens on device, so only O(B x n_seg) scalars ship to host
+    (ops/segmented.hw_best_segmented) — never O(tlen) streams."""
+    from edlib_tpu.ops.segmented import hw_best_segmented
+    return hw_best_segmented([r.astype(np.uint8) for r in read_ids],
+                             t_ids, sigma)
 
 
 def _map_reads_host(reads_b, target, mode, k):

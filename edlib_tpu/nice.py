@@ -34,6 +34,13 @@ def getNiceAlignment(alignResult, query, target, gapSymbol="-"):
             "must run align() with task='path'. Please check the input "
             "alignResult.")
 
+    # Extension over the reference binding (which requires str and raises
+    # TypeError on bytes): align() accepts bytes, so render them too.
+    if isinstance(query, (bytes, bytearray, memoryview)):
+        query = bytes(query).decode("latin-1")
+    if isinstance(target, (bytes, bytearray, memoryview)):
+        target = bytes(target).decode("latin-1")
+
     target_pos = alignResult["locations"][0][0]
     if target_pos is None:
         target_pos = 0

@@ -67,13 +67,21 @@ def tpu_ok():
     if os.environ.get("EDLIB_TPU_SKIP_HW_TESTS"):
         pytest.skip("hardware tests disabled via EDLIB_TPU_SKIP_HW_TESTS")
     probe = 'x = jax.numpy.ones((128, 128)); print(json.dumps({"s": float((x @ x).sum())}))'
-    try:
-        r = _run_child(probe, timeout=420)
-    except subprocess.TimeoutExpired:
-        pytest.skip("TPU probe timed out — no healthy chip")
-    if r.returncode != 0:
-        pytest.skip(f"TPU probe failed: {r.stderr[-400:]}")
-    assert json.loads(r.stdout.strip().splitlines()[-1])["s"] == 128.0 * 128 * 128
+    # Two short probes (like bench.py's): a wedged tunnel costs the CPU-only
+    # suite 2 minutes, not 7 — wedges last hours, so waiting longer here
+    # never converts a skip into a pass.
+    last_err = "timed out"
+    for _ in range(2):
+        try:
+            r = _run_child(probe, timeout=60)
+        except subprocess.TimeoutExpired:
+            continue
+        if r.returncode == 0:
+            assert (json.loads(r.stdout.strip().splitlines()[-1])["s"]
+                    == 128.0 * 128 * 128)
+            return
+        last_err = r.stderr[-400:]
+    pytest.skip(f"TPU probe failed — no healthy chip: {last_err}")
 
 
 def _gen_pairs(seed=7, n=48):

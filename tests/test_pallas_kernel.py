@@ -57,6 +57,7 @@ def test_max_sigma1_caps():
 
 
 @pytest.mark.parametrize("sigma", [25, 60])
+@pytest.mark.slow
 def test_pallas_large_alphabet_general(sigma, rng):
     """Per-lane-target kernels at protein/extended alphabets (select
     chain) — exact vs the XLA engine."""

@@ -87,6 +87,7 @@ def test_mesh_factorization():
     assert dict(zip(m.axis_names, m.devices.shape)) == {"dp": 4, "sp": 2}
 
 
+@pytest.mark.slow
 def test_nw_carry_pipeline_matches_single_device(rng):
     """Sequential (Pv, Mv, score) hand-off across "sp" (ppermute) must be
     bit-identical to the single-device resumable chain — the multi-host

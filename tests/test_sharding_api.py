@@ -68,6 +68,7 @@ def test_align_batch_mesh_dp(workload, mode):
         assert r == align(q, t, mode=mode, task="locations")
 
 
+@pytest.mark.slow
 def test_align_batch_mesh_with_k(workload):
     reads, target = workload
     mesh = make_alignment_mesh(8, dp=2, sp=4)

@@ -23,6 +23,7 @@ def mesh8():
     return dist.make_alignment_mesh(8, dp=2, sp=4)
 
 
+@pytest.mark.slow
 def test_sharded_reduce_dp_engines_match(mesh8):
     rng = np.random.RandomState(9)
     sigma = 4
@@ -51,6 +52,7 @@ def test_sharded_reduce_dp_engines_match(mesh8):
         assert np.array_equal(outs["xla"][i], outs["interpret"][i]), i
 
 
+@pytest.mark.slow
 def test_sharded_hw_locations_engines_match(mesh8):
     rng = np.random.RandomState(13)
     sigma = 4
@@ -83,6 +85,7 @@ def test_sharded_hw_locations_engines_match(mesh8):
         assert np.array_equal(outs["xla"][i], outs["interpret"][i]), i
 
 
+@pytest.mark.slow
 def test_sharded_reduce_pipeline_engines_match_truth(mesh8):
     """Sequential carry pipeline (ppermute) with per-shard reductions ==
     the single-device stream reduce, for BOTH engines, with per-lane

@@ -53,6 +53,7 @@ def test_wavefront_multi_segment_resume(rng):
             == many.semiglobal_best(q, t, sigma, True))
 
 
+@pytest.mark.slow
 def test_banded_wavefront_exact(rng):
     wfb = BandedWavefront(seg_steps=256, interpret=True)
     for qlen, tlen, mut in ((40, 120, 0.1), (200, 300, 0.1), (300, 280, 0.3),
@@ -91,6 +92,7 @@ def test_banded_wavefront_sliding_window(rng):
     assert wfb.nw_distance(q, t, 4) == truth
 
 
+@pytest.mark.slow
 def test_banded_wavefront_shw(rng):
     """Banded SHW (best, first best end) vs the host full sweep."""
     wfb = BandedWavefront(seg_steps=256, interpret=True)
@@ -127,6 +129,7 @@ def test_banded_wavefront_shw_sliding_window(rng):
     assert wfb.shw_best(q, t, 4) == (int(hs.min()), int(np.argmin(hs)))
 
 
+@pytest.mark.slow
 def test_banded_wavefront_shw_locations(rng):
     """Banded full-stream SHW: all minimal end positions via the
     pinned-tail stream phase, vs the host full sweep — including
@@ -197,6 +200,7 @@ def test_wavefront_full_streams(mode_is_hw, rng):
         assert np.array_equal(got, hs), (qlen, tlen)
 
 
+@pytest.mark.slow
 def test_semiglobal_locations_long_api(rng, monkeypatch):
     import edlib_tpu
     t = bytes(rng.choice(list(b"ACGT"), 700).tolist())
