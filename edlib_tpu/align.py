@@ -115,21 +115,38 @@ def _semiglobal_best_positions(q_ids, t_ids, eq, mode, k_eff
     return _filter_locations(scores, qlen, k_eff)
 
 
-# Huge-pair NW distances route to the banded wavefront TPU kernel above
-# this many DP cells (one long pair spread across the whole VPU beats the
-# single-core banded CPU loop there; below it, dispatch latency dominates).
-# Default = Mbp-square pairs: the only regime with measured device wins
-# through this host's tunnel (docs/PERF.md; a directly-attached chip wins
-# from ~10 Gcells — set EDLIB_TPU_WAVEFRONT_MIN_CELLS accordingly).
-_WAVEFRONT_MIN_CELLS = int(os.environ.get(
-    "EDLIB_TPU_WAVEFRONT_MIN_CELLS", 400_000_000_000))
+# Huge-pair NW distances route to the banded wavefront TPU kernel above a
+# break-even DP-cell count (one long pair spread across the whole VPU beats
+# the single-core banded CPU loop there; below it, dispatch latency
+# dominates).  The break-even scales with the measured device dispatch RTT
+# (utils/hw.py): ~10 Gcells on an attached chip, Mbp-square pairs through
+# this host's ~25ms tunnel (docs/PERF.md).  EDLIB_TPU_WAVEFRONT_MIN_CELLS
+# overrides (None here = derive from RTT); _WAVEFRONT_MIN_CELLS is also the
+# test monkeypatch point.
+_env_wf = os.environ.get("EDLIB_TPU_WAVEFRONT_MIN_CELLS")
+_WAVEFRONT_MIN_CELLS = int(_env_wf) if _env_wf else None
+_WAVEFRONT_FLOOR_CELLS = 8_000_000_000        # attached-chip break-even
+_WAVEFRONT_CEIL_CELLS = 400_000_000_000       # ~25ms-tunnel break-even
+_WAVEFRONT_CELLS_PER_MS = 16_000_000_000      # floor/0.5ms == ceil/25ms
+
+
+def _wavefront_threshold() -> int:
+    if _WAVEFRONT_MIN_CELLS is not None:
+        return _WAVEFRONT_MIN_CELLS
+    from edlib_tpu.utils import hw
+    return hw.scaled_min_cells(hw.dispatch_rtt_ms(), _WAVEFRONT_CELLS_PER_MS,
+                               _WAVEFRONT_FLOOR_CELLS, _WAVEFRONT_CEIL_CELLS)
 
 
 def _nw_wavefront_enabled(qlen: int, tlen: int, sigma: int) -> bool:
     # Size gate first: it is a pure integer compare and excludes ~all calls
     # (the sigma-cap import below would pull in jax; the env lookups cost
-    # more than the whole small-N fast path).
-    if qlen * tlen < _WAVEFRONT_MIN_CELLS:
+    # more than the whole small-N fast path).  The RTT probe only runs for
+    # pairs above the attached-chip floor — already tens of CPU-seconds of
+    # work, so the one-time subprocess probe is noise.
+    gate = (_WAVEFRONT_MIN_CELLS if _WAVEFRONT_MIN_CELLS is not None
+            else _WAVEFRONT_FLOOR_CELLS)
+    if qlen * tlen < gate:
         return False
     from edlib_tpu.ops.wavefront import MAX_SIGMA_WAVEFRONT
     if sigma >= MAX_SIGMA_WAVEFRONT:
@@ -139,9 +156,11 @@ def _nw_wavefront_enabled(qlen: int, tlen: int, sigma: int) -> bool:
     forced = os.environ.get("EDLIB_TPU_FORCE_PALLAS", "")
     try:
         import jax
-        return bool(forced) or jax.default_backend() == "tpu"
+        if not (bool(forced) or jax.default_backend() == "tpu"):
+            return False
     except Exception:
         return False
+    return qlen * tlen >= _wavefront_threshold()
 
 
 def _nw_score_host(q_ids, t_ids, eq, k_eff, allow_device: bool = True) -> int:

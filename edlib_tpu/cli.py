@@ -133,7 +133,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         # signals FIRST: _pallas_mode() initialises the jax backend
         # (seconds of latency the host path never pays).
         backend = "host"
-        if len(queries) >= 256 and task == "distance":
+        if len(queries) >= 256:
+            # Any task: distance/locations sweep on the chip; path sweeps
+            # end locations on the chip and reconstructs natively per pair
+            # (pooled) — outputs are byte-identical to the host loop.
             from edlib_tpu.batch import _pallas_mode
             if _pallas_mode():
                 backend = "jax"

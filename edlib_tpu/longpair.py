@@ -22,8 +22,9 @@ def _max_sigma_wf() -> int:
 
 
 def _wf_min_cells() -> int:
-    from edlib_tpu.align import _WAVEFRONT_MIN_CELLS
-    return _WAVEFRONT_MIN_CELLS
+    # Effective break-even (env override or dispatch-RTT-scaled, align.py).
+    from edlib_tpu.align import _wavefront_threshold
+    return _wavefront_threshold()
 
 
 def _to_ids(query, target):

@@ -32,11 +32,13 @@ _TRACEBACK_MEM_LIMIT = 1024 * 1024
 
 # Device-side PATH: the Hirschberg half-sweeps (the FLOP-heavy part of
 # reconstruction, edlib.cpp:1252-1260) run as wavefront column captures on
-# TPU.  Opt-in via EDLIB_TPU_DEVICE_PATH=1 (or "interpret" for CPU tests):
-# through this host's slow TPU tunnel each recursion node costs a
-# round-trip, so the threaded native path is the default; on
-# directly-attached hardware set the env to move the sweeps on-chip.
+# TPU.  Every recursion node costs a device round-trip, so the routing is
+# dispatch-RTT-aware (utils/hw.py): auto-enabled on big pairs when the chip
+# answers within _DEVICE_PATH_MAX_RTT_MS (directly attached), off through a
+# slow tunnel.  EDLIB_TPU_DEVICE_PATH overrides: "1" forces on (any RTT),
+# "0" forces off, "interpret" runs the kernels on CPU for tests.
 _DEVICE_PATH_MIN_CELLS = 10_000_000_000
+_DEVICE_PATH_MAX_RTT_MS = 2.0
 
 # Pool workers mark their thread so every obtain_alignment reached through
 # the per-pair call chain stays single-threaded (pool supplies the cores).
@@ -45,7 +47,7 @@ PATH_POOL_CTX = threading.local()
 
 def _device_path_enabled(qlen: int, tlen: int, sigma: int) -> bool:
     dev = os.environ.get("EDLIB_TPU_DEVICE_PATH", "")
-    if not dev:
+    if dev in ("0", "off"):
         return False
     from edlib_tpu.ops.wavefront import MAX_SIGMA_WAVEFRONT
     if sigma >= MAX_SIGMA_WAVEFRONT:
@@ -54,11 +56,21 @@ def _device_path_enabled(qlen: int, tlen: int, sigma: int) -> bool:
         return True
     if qlen * tlen < _DEVICE_PATH_MIN_CELLS:
         return False
+    if os.environ.get("EDLIB_TPU_DISABLE_DEVICE"):
+        return False
     try:
         import jax
-        return jax.default_backend() == "tpu"
+        if jax.default_backend() != "tpu":
+            return False
     except Exception:
         return False
+    if dev:  # "1": explicit opt-in — trust the user, no RTT gate
+        return True
+    # Auto: only when the chip answers fast enough that per-node
+    # round-trips are a small cost (directly attached, not tunneled).
+    from edlib_tpu.utils import hw
+    rtt = hw.dispatch_rtt_ms()
+    return rtt is not None and rtt <= _DEVICE_PATH_MAX_RTT_MS
 
 
 def _traceback_mem_estimate(qlen: int, tlen: int) -> int:

@@ -18,6 +18,11 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Pin the dispatch-RTT used by device routing (utils/hw.py) to the tunnel
+# value: tests never pay a subprocess probe, and routing thresholds match
+# the documented tunnel defaults unless a test overrides the env.
+os.environ.setdefault("EDLIB_TPU_DISPATCH_RTT_MS", "25")
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

@@ -107,3 +107,64 @@ def test_cli_missing_file(tmp_path, capsys):
     rc, out = run_cli(["/nope.fa", t], capsys)
     assert rc == 1
     assert "no file" in out
+
+
+def test_cli_locations_path_backend_matches_host(tmp_path, capsys,
+                                                 monkeypatch):
+    """-l and -p through the device batch backend print byte-identical
+    output to the sequential host loop (modulo the Cpu-time line)."""
+    monkeypatch.setenv("EDLIB_TPU_FORCE_PALLAS", "interpret")
+    rngl = np.random.RandomState(7)
+    target = "".join(rngl.choice(list("ACGT"), 400))
+    qs = ""
+    for i in range(10):
+        s = rngl.randint(0, 360)
+        w = list(target[s:s + 40])
+        for p_ in rngl.choice(40, 3, replace=False):
+            w[p_] = rngl.choice(list("ACGT"))
+        qs += f">q{i}\n" + "".join(w) + "\n"
+    q = write(tmp_path, "q.fa", qs)
+    t = write(tmp_path, "t.fa", ">t\n" + target + "\n")
+
+    def body(o):
+        # Ignore the timing line and the \r-progress counter (transient
+        # terminal output; the batch backend prints it once, the
+        # sequential loop per query).
+        import re
+        return [l for l in o.splitlines()
+                if not l.startswith("Cpu time")
+                and not re.fullmatch(r"\d+/\d+", l)]
+
+    for extra in (["-l"], ["-p"], ["-p", "-f", "CIG_EXT"], ["-l", "-k", "4"]):
+        rc1, out1 = run_cli(["-m", "HW", "--backend", "host", *extra, q, t],
+                            capsys)
+        rc2, out2 = run_cli(["-m", "HW", "--backend", "jax", *extra, q, t],
+                            capsys)
+        assert rc1 == rc2 == 0
+        assert body(out1) == body(out2), extra
+
+
+def test_cli_auto_routes_device_for_all_tasks(tmp_path, monkeypatch, capsys):
+    """backend=auto picks the device batch for -l/-p too (>= 256 queries
+    with a usable device) — the round-2 distance-only asymmetry is gone."""
+    import edlib_tpu.cli as cli_mod
+    monkeypatch.setenv("EDLIB_TPU_FORCE_PALLAS", "interpret")
+    calls = []
+    import edlib_tpu.batch as batch_mod
+    monkeypatch.setattr(batch_mod, "_pallas_mode", lambda: "interpret")
+    orig = cli_mod.align_batch
+
+    def spy(*a, **kw):
+        calls.append(kw.get("backend"))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(cli_mod, "align_batch", spy)
+    rngl = np.random.RandomState(11)
+    qs = "".join(f">q{i}\n" + "".join(rngl.choice(list("ACGT"), 12)) + "\n"
+                 for i in range(256))
+    q = write(tmp_path, "q.fa", qs)
+    t = write(tmp_path, "t.fa", ">t\n" + "".join(
+        rngl.choice(list("ACGT"), 60)) + "\n")
+    rc, _ = run_cli(["-m", "HW", "-l", "-s", q, t], capsys)
+    assert rc == 0
+    assert "jax" in calls
