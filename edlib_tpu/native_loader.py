@@ -49,15 +49,58 @@ _ext = None
 _ext_tried = False
 
 
+def _prebuilt_path(name: str, sources) -> Optional[str]:
+    """A shared object shipped next to the sources (compiled into the wheel
+    by setup.py) — used when its PREBUILT.json source hashes still match,
+    so installed wheels import without a toolchain.  Content hashes, not
+    mtimes: installers rewrite file times.  Repo layouts keep working too:
+    without a manifest, a locally-built .so in native/ counts as prebuilt
+    when at least as new as the sources.  EDLIB_TPU_REBUILD_NATIVE forces a
+    local rebuild (e.g. for -march=native tuning)."""
+    if os.environ.get("EDLIB_TPU_REBUILD_NATIVE"):
+        return None
+    cand = os.path.join(_NATIVE_DIR, name)
+    if not os.path.exists(cand):
+        return None
+    manifest_path = os.path.join(_NATIVE_DIR, "PREBUILT.json")
+    if os.path.exists(manifest_path):
+        import hashlib
+        import json
+        try:
+            with open(manifest_path) as f:
+                want = json.load(f).get(name)
+            if not want:
+                return None
+            for base, digest in want.items():
+                with open(os.path.join(_NATIVE_DIR, base), "rb") as f:
+                    if hashlib.sha256(f.read()).hexdigest() != digest:
+                        return None
+            return cand
+        except (OSError, ValueError):
+            return None
+    try:
+        newest_src = max(os.path.getmtime(s) for s in sources)
+        if os.path.getmtime(cand) >= newest_src:
+            return cand
+    except OSError:
+        pass
+    return None
+
+
 def _build_and_load_ext():
     """CPython extension for the hot single-pair call (~0.5us FFI vs ~10us
     ctypes); optional — everything works without it."""
     import sysconfig
     src = os.path.join(_NATIVE_DIR, "pyext.cpp")
     core = os.path.join(_NATIVE_DIR, "edlib_tpu_native.cpp")
-    ext_path = os.path.join(_build_dir(), "_edlib_tpu_native_ext.so")
     if not (os.path.exists(src) and os.path.exists(core)):
         return None
+    pre = _prebuilt_path("_edlib_tpu_native_ext.so", (src, core))
+    if pre is not None:
+        mod = _load_ext_module(pre)
+        if mod is not None:
+            return mod
+    ext_path = os.path.join(_build_dir(), "_edlib_tpu_native_ext.so")
     newest_src = max(os.path.getmtime(src), os.path.getmtime(core))
     if (not os.path.exists(ext_path)
             or os.path.getmtime(ext_path) < newest_src):
@@ -69,6 +112,10 @@ def _build_and_load_ext():
                 check=True, capture_output=True, timeout=300)
         except (subprocess.SubprocessError, FileNotFoundError, OSError):
             return None
+    return _load_ext_module(ext_path)
+
+
+def _load_ext_module(ext_path: str):
     import importlib.util
     spec = importlib.util.spec_from_file_location("_edlib_tpu_native_ext",
                                                   ext_path)
@@ -93,24 +140,32 @@ def get_ext():
 def _build_and_load() -> Optional[ctypes.CDLL]:
     src = os.path.join(_NATIVE_DIR, "edlib_tpu_native.cpp")
     compat = os.path.join(_NATIVE_DIR, "edlib_compat.cpp")
-    lib_path = os.path.join(_build_dir(), _LIB_NAME)
     if not os.path.exists(src):
         return None
     srcs = [src] + ([compat] if os.path.exists(compat) else [])
-    newest = max(os.path.getmtime(s) for s in srcs)
-    if (not os.path.exists(lib_path)
-            or os.path.getmtime(lib_path) < newest):
+    lib = None
+    pre = _prebuilt_path(_LIB_NAME, srcs)
+    if pre is not None:
         try:
-            subprocess.run(
-                ["g++", "-O3", "-std=c++17", "-fPIC", "-march=native", "-pthread",
-                 "-shared", "-o", lib_path] + srcs,
-                check=True, capture_output=True, timeout=300)
-        except (subprocess.SubprocessError, FileNotFoundError, OSError):
+            lib = ctypes.CDLL(pre)
+        except OSError:
+            lib = None
+    if lib is None:
+        lib_path = os.path.join(_build_dir(), _LIB_NAME)
+        newest = max(os.path.getmtime(s) for s in srcs)
+        if (not os.path.exists(lib_path)
+                or os.path.getmtime(lib_path) < newest):
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-std=c++17", "-fPIC", "-march=native",
+                     "-pthread", "-shared", "-o", lib_path] + srcs,
+                    check=True, capture_output=True, timeout=300)
+            except (subprocess.SubprocessError, FileNotFoundError, OSError):
+                return None
+        try:
+            lib = ctypes.CDLL(lib_path)
+        except OSError:
             return None
-    try:
-        lib = ctypes.CDLL(lib_path)
-    except OSError:
-        return None
 
     c_i64 = ctypes.c_int64
     lib.etn_fasta_stat.restype = ctypes.c_int

@@ -35,7 +35,18 @@ def test_wheel_builds_installs_and_keeps_native():
         capture_output=True, text=True, timeout=300)
     assert inst.returncode == 0, inst.stderr[-500:]
 
+    # The wheel ships PREBUILT native objects (setup.py's build hook): the
+    # installed package must reach the native fast path with NO compiler
+    # available — simulated by a PATH without g++/cc.
+    nocc = os.path.join(tmp, "nocc-bin")
+    os.makedirs(nocc, exist_ok=True)
+    for tool in ("sh",):  # subprocess plumbing only; no compilers
+        src_tool = "/bin/" + tool
+        if os.path.exists(src_tool):
+            os.symlink(src_tool, os.path.join(nocc, tool))
     code = (
+        "import shutil\n"
+        "assert shutil.which('g++') is None, 'compiler leaked into PATH'\n"
         "import jax; jax.config.update('jax_platforms','cpu')\n"
         "import os, edlib_tpu\n"
         "assert os.path.dirname(edlib_tpu.__file__).startswith(%r), \\\n"
@@ -44,8 +55,10 @@ def test_wheel_builds_installs_and_keeps_native():
         "assert (r['editDistance'], r['cigar']) == (0, '3='), r\n"
         "from edlib_tpu import native_loader\n"
         "assert native_loader.available()\n"
+        "assert native_loader.get_ext() is not None\n"
         "print('WHEEL_OK')\n" % site)
-    env = dict(os.environ, PYTHONPATH=site)
+    env = dict(os.environ, PYTHONPATH=site, PATH=nocc,
+               HOME=os.path.join(tmp, "home"))  # empty ~/.cache too
     env.pop("EDLIB_TPU_FORCE_PALLAS", None)
     run = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=300, cwd=tmp, env=env)
