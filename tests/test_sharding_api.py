@@ -126,3 +126,29 @@ def test_pipelined_carry_handoff(hin0):
             assert out[m, b, 1] - w == pos[0]
             assert out[m, b, 2] - w == pos[-1]
             assert out[m, b, 3] == stream[-1]
+
+
+@pytest.mark.slow
+def test_mesh_scaling_harness_dryrun(capsys):
+    """scripts/mesh_scaling.py runs end-to-end on the virtual 8-device mesh
+    (the command that produces the scaling table on real hardware),
+    emitting one valid JSON row per shape with exact results."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts"))
+    import mesh_scaling
+
+    rc = mesh_scaling.main(["--platform", "cpu", "--reads-per-dev", "8",
+                            "--qlen", "32", "--tlen-per-dev", "1024",
+                            "--trials", "1", "--shapes", "1x1,2x1,1x2",
+                            "--verify"])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert [(r["dp"], r["sp"]) for r in rows] == [(1, 1), (2, 1), (1, 2)]
+    for r in rows:
+        assert r["reads_per_s"] > 0
+        assert "scaling_efficiency" in r
