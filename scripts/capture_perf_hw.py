@@ -1,0 +1,229 @@
+"""One-command hardware perf capture -> PERF_HW.json.
+
+Runs the standing hardware-validation queue in a healthy TPU window and
+writes every number as a machine-readable row {metric, value, unit, ts,
+sha, source} — the captured-artifact counterpart of docs/PERF.md's prose
+tables (VERDICT r2: every quoted number needs a JSON row with a sha).
+
+    python scripts/capture_perf_hw.py              # full queue (~30-45 min)
+    python scripts/capture_perf_hw.py --quick      # headline numbers only
+
+Every step is a subprocess under its own timeout (a wedged tunnel skips
+the step, never hangs the capture); whatever succeeded is written at the
+end, plus a "skipped" list so partial captures are honest.
+"""
+
+import argparse
+import datetime
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "PERF_HW.json")
+
+
+def sha() -> str:
+    try:
+        return subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                              cwd=REPO, capture_output=True, text=True,
+                              timeout=10).stdout.strip()
+    except Exception:
+        return "unknown"
+
+
+def run(cmd, timeout, env=None):
+    e = dict(os.environ)
+    if env:
+        e.update(env)
+    try:
+        p = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
+                           timeout=timeout, env=e)
+        return p.returncode, p.stdout, p.stderr
+    except subprocess.TimeoutExpired:
+        return -1, "", "timeout"
+
+
+def last_json(stdout):
+    for line in reversed(stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except ValueError:
+                continue
+    return None
+
+
+class Capture:
+    def __init__(self):
+        self.rows = []
+        self.skipped = []
+        self.sha = sha()
+
+    def row(self, metric, value, unit, source, **extra):
+        self.rows.append({"metric": metric, "value": value, "unit": unit,
+                          "ts": datetime.datetime.now(
+                              datetime.timezone.utc).isoformat(
+                              timespec="seconds"),
+                          "sha": self.sha, "source": source, **extra})
+        print(f"  + {metric} = {value} {unit}")
+
+    def skip(self, name, why):
+        self.skipped.append({"step": name, "why": why[:300]})
+        print(f"  - SKIP {name}: {why[:120]}")
+
+
+def probe(timeout=60):
+    code = ("import jax, jax.numpy as jnp\n"
+            "assert jax.default_backend() == 'tpu'\n"
+            "x = jnp.ones((128,128))\n"
+            "assert float((x@x).sum()) == 128.0**3\n")
+    rc, _, err = run([sys.executable, "-c", code], timeout)
+    return rc == 0, err
+
+
+def step_bench(cap):
+    rc, out, err = run([sys.executable, "bench.py"], 900,
+                       env={"EDLIB_TPU_BENCH_DEADLINE": "780"})
+    j = last_json(out)
+    if j and j.get("value", 0) > 0 and "pallas" in str(j.get("note", "")):
+        cap.row("batched_hw_gcups", j["value"], "GCUPS", "bench.py",
+                vs_baseline=j.get("vs_baseline"), note=j.get("note"))
+    else:
+        cap.skip("bench.py", f"rc={rc} out={out[-120:]} err={err[-120:]}")
+
+
+def step_two_phase(cap):
+    for tag, arg in (("two_phase_general", "bench_reduce"),
+                     ("two_phase_shared", "bench_shared")):
+        rc, out, err = run([sys.executable, "scripts/hw_two_phase.py", arg],
+                           420)
+        m = re.search(r"->\s*([\d.]+)\s*GCUPS", out)
+        if rc == 0 and m:
+            cap.row(tag + "_gcups", float(m.group(1)), "GCUPS",
+                    f"hw_two_phase.py {arg}")
+        else:
+            cap.skip(tag, f"rc={rc} {err[-120:]}")
+
+
+def step_chunk_sweep(cap, chunks=(256, 512, 1024)):
+    best = None
+    for c in chunks:
+        rc, out, err = run([sys.executable, "scripts/tune_shared.py",
+                            str(c)], 420)
+        j = last_json(out)
+        if rc == 0 and j and j.get("backend") == "tpu":
+            cap.row(f"shared_kernel_chunk{c}_gcups", j["gcups"], "GCUPS",
+                    "tune_shared.py", seconds=j["seconds"])
+            if best is None or j["gcups"] > best[1]:
+                best = (c, j["gcups"])
+        else:
+            cap.skip(f"tune_shared {c}", f"rc={rc} {err[-120:]}")
+    if best:
+        cap.row("shared_kernel_best_chunk", best[0], "chunk",
+                "tune_shared.py sweep", gcups=best[1])
+
+
+def step_roofline(cap):
+    rc, out, err = run([sys.executable, "scripts/vpu_roofline.py"], 420)
+    mp = re.search(r"pure-ALU peak.*?([\d.]+)\s*G ", out)
+    ma = re.search(r"advance chain.*?([\d.]+)\s*G ", out)
+    mr = re.search(r"advance/peak ratio:\s*([\d.]+)", out)
+    if rc == 0 and mp and ma and mr:
+        cap.row("vpu_alu_peak", float(mp.group(1)), "G(8,128)ops/s",
+                "vpu_roofline.py")
+        cap.row("vpu_advance_chain", float(ma.group(1)), "G(8,128)ops/s",
+                "vpu_roofline.py")
+        cap.row("vpu_advance_peak_ratio", float(mr.group(1)), "ratio",
+                "vpu_roofline.py")
+    else:
+        cap.skip("vpu_roofline", f"rc={rc} {err[-120:]}")
+
+
+def step_banded_revshw(cap):
+    """The HW-banded question (VERDICT r2 #10): banded vs full reversed-SHW
+    at 3% and 10% noise — measured ratio, not an argument."""
+    res = {}
+    for mut in ("0.03", "0.10"):
+        for bmw, tag in (("8", "banded"), ("9999", "full")):
+            rc, out, err = run(
+                [sys.executable, "scripts/hw_banded_revshw.py", bmw], 560,
+                env={"EDLIB_TPU_HWB_MUT": mut})
+            j = last_json(out)
+            if rc == 0 and j and j.get("backend") == "tpu":
+                res[(mut, tag)] = j["seconds"]
+                cap.row(f"revshw_{tag}_mut{mut}", j["seconds"], "s",
+                        "hw_banded_revshw.py", pairs=j["pairs"],
+                        qlen=j["qlen"], tlen=j["tlen"])
+            else:
+                cap.skip(f"revshw {tag} mut={mut}", f"rc={rc} {err[-120:]}")
+    for mut in ("0.03", "0.10"):
+        if (mut, "banded") in res and (mut, "full") in res:
+            cap.row(f"revshw_banded_speedup_mut{mut}",
+                    round(res[(mut, "full")] / res[(mut, "banded")], 3),
+                    "x", "hw_banded_revshw.py ratio")
+
+
+def step_hw_tests(cap):
+    rc, out, err = run([sys.executable, "-m", "pytest",
+                        "tests/test_hw_tpu.py", "-q"], 3600)
+    m = re.search(r"(\d+) passed", out)
+    s = re.search(r"(\d+) skipped", out)
+    if m:
+        cap.row("hw_tpu_tests_passed", int(m.group(1)), "tests",
+                "pytest tests/test_hw_tpu.py",
+                skipped=int(s.group(1)) if s else 0, rc=rc)
+    else:
+        cap.skip("test_hw_tpu", f"rc={rc} {out[-150:]} {err[-120:]}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="bench + two-phase + banded ratio only")
+    ap.add_argument("--steps", default=None,
+                    help="comma list: bench,two_phase,chunks,roofline,"
+                         "banded,tests")
+    args = ap.parse_args(argv)
+
+    ok, err = probe()
+    if not ok:
+        print(f"no healthy TPU (probe failed: {err[-200:]}); not capturing")
+        return 1
+    print("TPU healthy — capturing...")
+
+    cap = Capture()
+    steps = {"bench": step_bench, "two_phase": step_two_phase,
+             "chunks": step_chunk_sweep, "roofline": step_roofline,
+             "banded": step_banded_revshw, "tests": step_hw_tests}
+    if args.steps:
+        order = [s.strip() for s in args.steps.split(",")]
+    elif args.quick:
+        order = ["bench", "two_phase", "banded"]
+    else:
+        order = ["bench", "two_phase", "chunks", "roofline", "banded",
+                 "tests"]
+    t0 = time.time()
+    for name in order:
+        print(f"[{time.time()-t0:6.0f}s] step: {name}")
+        try:
+            steps[name](cap)
+        except Exception as e:  # a step bug must not lose prior rows
+            cap.skip(name, repr(e))
+
+    doc = {"captured_at": datetime.datetime.now(
+               datetime.timezone.utc).isoformat(timespec="seconds"),
+           "sha": cap.sha, "rows": cap.rows, "skipped": cap.skipped}
+    with open(OUT, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(f"\nwrote {OUT}: {len(cap.rows)} rows, "
+          f"{len(cap.skipped)} skipped")
+    return 0 if cap.rows else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -33,7 +33,11 @@ import numpy as np
 B = 24
 QLEN = 8192
 TARGET_LEN = 200_000
-MUT = 0.03
+# Noise level is the banding lever: at 3% the k-feasible band is narrow
+# (banding should win); at 10% the frontier is wide (the docs/PERF.md
+# "HW-banded low value" claim predicts little gain) — EDLIB_TPU_HWB_MUT
+# sets it so one sweep records the measured ratio at both points.
+MUT = float(os.environ.get("EDLIB_TPU_HWB_MUT", "0.03"))
 
 
 def main():
