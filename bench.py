@@ -129,11 +129,14 @@ if backend == "native":
         return len(chunk_reads)
 
     n_proc = min(4, os.cpu_count() or 1)
-    t0 = time.time()
+    best_dt = float("inf")
     with Pool(n_proc) as pool:
-        pool.map(chunk_work,
-                 [reads[i::n_proc] for i in range(n_proc)])
-    dt = (time.time() - t0) * (B / n_reads)
+        for _ in range(3):  # best-of-3: the host runs other work
+            t0 = time.time()
+            pool.map(chunk_work,
+                     [reads[i::n_proc] for i in range(n_proc)])
+            best_dt = min(best_dt, time.time() - t0)
+    dt = best_dt * (B / n_reads)
     report(dt, f"native-cpu-x{n_proc}", 1)
     sys.exit(0)
 
