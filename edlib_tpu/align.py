@@ -154,13 +154,20 @@ def _nw_wavefront_enabled(qlen: int, tlen: int, sigma: int) -> bool:
     if os.environ.get("EDLIB_TPU_DISABLE_DEVICE"):
         return False
     forced = os.environ.get("EDLIB_TPU_FORCE_PALLAS", "")
+    if forced:
+        return qlen * tlen >= _wavefront_threshold()
+    # Bounded subprocess probe BEFORE any in-process jax call: initialising
+    # a wedged tunneled backend blocks indefinitely (utils/hw.device_ready).
+    from edlib_tpu.utils import hw
+    if not hw.device_ready():
+        return False
+    if qlen * tlen < _wavefront_threshold():
+        return False
     try:
         import jax
-        if not (bool(forced) or jax.default_backend() == "tpu"):
-            return False
+        return jax.default_backend() == "tpu"
     except Exception:
         return False
-    return qlen * tlen >= _wavefront_threshold()
 
 
 def _nw_score_host(q_ids, t_ids, eq, k_eff, allow_device: bool = True) -> int:

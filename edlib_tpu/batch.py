@@ -89,6 +89,9 @@ def _pallas_mode() -> str:
     forced = os.environ.get("EDLIB_TPU_FORCE_PALLAS", "")
     if forced:
         return forced
+    from edlib_tpu.utils import hw
+    if not hw.device_ready():  # bounded probe BEFORE in-process jax init
+        return ""
     import jax
     return "tpu" if jax.default_backend() == "tpu" else ""
 

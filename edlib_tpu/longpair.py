@@ -21,6 +21,13 @@ def _max_sigma_wf() -> int:
     return MAX_SIGMA_WAVEFRONT
 
 
+def _device_ready() -> bool:
+    # Bounded subprocess probe before any in-process jax init (a wedged
+    # tunneled backend blocks indefinitely inside jax.default_backend()).
+    from edlib_tpu.utils import hw
+    return hw.device_ready()
+
+
 def _wf_min_cells() -> int:
     # Effective break-even (env override or dispatch-RTT-scaled, align.py).
     from edlib_tpu.align import _wavefront_threshold
@@ -54,9 +61,10 @@ def nw_distance_long(query, target, k: int = -1,
         forced = os.environ.get("EDLIB_TPU_FORCE_PALLAS", "")
         try:
             import jax
-            use_wavefront = (forced or jax.default_backend() == "tpu") \
+            use_wavefront = sigma < _max_sigma_wf() \
                 and qlen * tlen >= _wf_min_cells() \
-                and sigma < _max_sigma_wf()
+                and (bool(forced) or (_device_ready()
+                                      and jax.default_backend() == "tpu"))
         except Exception:
             use_wavefront = False
 
@@ -97,9 +105,10 @@ def shw_best_long(query, target, k: int = -1,
         forced = os.environ.get("EDLIB_TPU_FORCE_PALLAS", "")
         try:
             import jax
-            use_wavefront = (forced or jax.default_backend() == "tpu") \
+            use_wavefront = sigma < _max_sigma_wf() \
                 and qlen * tlen >= _wf_min_cells() \
-                and sigma < _max_sigma_wf()
+                and (bool(forced) or (_device_ready()
+                                      and jax.default_backend() == "tpu"))
         except Exception:
             use_wavefront = False
 
@@ -150,9 +159,10 @@ def semiglobal_locations_long(query, target, mode: str = "HW", k: int = -1,
         forced = os.environ.get("EDLIB_TPU_FORCE_PALLAS", "")
         try:
             import jax
-            use_wavefront = (forced or jax.default_backend() == "tpu") \
+            use_wavefront = sigma < _max_sigma_wf() \
                 and qlen * tlen >= _wf_min_cells() \
-                and sigma < _max_sigma_wf()
+                and (bool(forced) or (_device_ready()
+                                      and jax.default_backend() == "tpu"))
         except Exception:
             use_wavefront = False
 

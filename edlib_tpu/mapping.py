@@ -191,8 +191,12 @@ def _map_reads_device(read_ids, t_ids, sigma, hin0):
         import jax
     except Exception:
         return None
-    if not forced and jax.default_backend() != "tpu":
-        return None
+    if not forced:
+        # Bounded subprocess probe before any in-process jax init (a wedged
+        # tunneled backend blocks indefinitely in jax.default_backend()).
+        from edlib_tpu.utils import hw
+        if not hw.device_ready() or jax.default_backend() != "tpu":
+            return None
     from edlib_tpu.ops import pallas_kernel as pk
 
     import jax.numpy as jnp

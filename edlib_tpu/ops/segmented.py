@@ -88,8 +88,12 @@ def hw_best_segmented(read_ids, t_ids: np.ndarray, sigma: int,
         import jax.numpy as jnp
     except Exception:
         return None
-    if not forced and jax.default_backend() != "tpu":
-        return None
+    if not forced:
+        # Bounded subprocess probe before any in-process jax init (a wedged
+        # tunneled backend blocks indefinitely in jax.default_backend()).
+        from edlib_tpu.utils import hw
+        if not hw.device_ready() or jax.default_backend() != "tpu":
+            return None
     from edlib_tpu.ops import pallas_kernel as pk
 
     B = len(read_ids)
@@ -176,8 +180,12 @@ def hw_stream_segmented(q_ids: np.ndarray, t_ids: np.ndarray, sigma: int,
         import jax
     except Exception:
         return None
-    if not forced and jax.default_backend() != "tpu":
-        return None
+    if not forced:
+        # Bounded subprocess probe before any in-process jax init (a wedged
+        # tunneled backend blocks indefinitely in jax.default_backend()).
+        from edlib_tpu.utils import hw
+        if not hw.device_ready() or jax.default_backend() != "tpu":
+            return None
     from edlib_tpu.ops import pallas_kernel as pk
 
     qlen = len(q_ids)

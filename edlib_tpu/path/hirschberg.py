@@ -58,19 +58,22 @@ def _device_path_enabled(qlen: int, tlen: int, sigma: int) -> bool:
         return False
     if os.environ.get("EDLIB_TPU_DISABLE_DEVICE"):
         return False
-    try:
-        import jax
-        if jax.default_backend() != "tpu":
-            return False
-    except Exception:
-        return False
-    if dev:  # "1": explicit opt-in — trust the user, no RTT gate
-        return True
-    # Auto: only when the chip answers fast enough that per-node
-    # round-trips are a small cost (directly attached, not tunneled).
+    # Bounded subprocess probe BEFORE any in-process jax init (a wedged
+    # tunneled backend blocks indefinitely inside jax.default_backend()).
     from edlib_tpu.utils import hw
     rtt = hw.dispatch_rtt_ms()
-    return rtt is not None and rtt <= _DEVICE_PATH_MAX_RTT_MS
+    if rtt is None:
+        return False
+    if not dev and rtt > _DEVICE_PATH_MAX_RTT_MS:
+        # Auto: only when the chip answers fast enough that per-node
+        # round-trips are a small cost (directly attached, not tunneled);
+        # "1" is an explicit opt-in with no RTT gate.
+        return False
+    try:
+        import jax
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def _traceback_mem_estimate(qlen: int, tlen: int) -> int:

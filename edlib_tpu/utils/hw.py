@@ -51,13 +51,19 @@ def _cache_path() -> str:
     return os.path.join(tempfile.gettempdir(), "edlib_tpu_rtt.json")
 
 
-def _read_file_cache() -> Optional[float]:
+def _read_file_cache():
+    """('hit', rtt_ms_or_None) for a fresh cache entry — a cached FAILED
+    probe is a hit too (fresh processes must not re-pay the probe timeout
+    on a wedged device) — or None when there is no usable entry."""
     try:
         with open(_cache_path()) as f:
             data = json.load(f)
-        if time.time() - float(data["ts"]) <= _CACHE_TTL_S:
-            v = data["rtt_ms"]
-            return None if v is None else float(v)
+        v = data["rtt_ms"]
+        # Failed probes age out faster: a recovering device should be
+        # rediscovered within minutes, not the full healthy-cache TTL.
+        ttl = _CACHE_TTL_S if v is not None else 300.0
+        if time.time() - float(data["ts"]) <= ttl:
+            return ("hit", None if v is None else float(v))
     except (OSError, ValueError, KeyError, TypeError):
         pass
     return None
@@ -90,9 +96,9 @@ def dispatch_rtt_ms(timeout_s: float = 30.0) -> Optional[float]:
             pass
     if _measured:
         return _cached
-    file_val = _read_file_cache()
-    if file_val is not None:
-        _cached, _measured = file_val, True
+    hit = _read_file_cache()
+    if hit is not None:
+        _cached, _measured = hit[1], True
         return _cached
     _cached, _measured = _measure(timeout_s), True
     _write_file_cache(_cached)
@@ -115,6 +121,20 @@ def _measure(timeout_s: float) -> Optional[float]:
             proc.stdout.decode().strip().splitlines()[-1])["rtt_ms"])
     except (ValueError, KeyError, IndexError):
         return None
+
+
+def device_ready() -> bool:
+    """True iff a TPU answered the bounded subprocess probe recently.
+
+    Routing gates MUST call this before any in-process jax backend check:
+    on this class of host, initialising a wedged tunneled backend blocks
+    INDEFINITELY inside jax.default_backend() — the subprocess probe is the
+    only bounded way to ask.  (A freshly-cached healthy probe can still
+    race a new wedge, but that window is the cache TTL, not forever.)
+    """
+    if os.environ.get("EDLIB_TPU_DISABLE_DEVICE"):
+        return False
+    return dispatch_rtt_ms() is not None
 
 
 def scaled_min_cells(rtt_ms: Optional[float], cells_per_ms: float,
