@@ -37,21 +37,29 @@ SUBLANES = 8
 B_TILE = SUBLANES * LANES  # 1024 alignments per kernel tile
 MAX_SIGMA_PALLAS = 32      # legacy blanket cap; prefer max_sigma1()
 
+# A v5e core has 128MiB of VMEM but Mosaic enforces a 16MiB *scoped* limit
+# by default, which long-query kernels overflow (nw=256 words of Peq is
+# 10.5MiB double-buffered — an 8kbp batch with banding off died at 16.53M).
+# Raise the cap for every kernel here; max_sigma1 budgets against it.
+VMEM_LIMIT_BYTES = 96 * 1024 * 1024
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES)
+
 
 def max_sigma1(n_words: int, shared: bool) -> int:
     """Largest Peq row count (sigma+1, + NULL where used) the kernels
     accept for this word count.
 
     Shared-target kernels fetch Eq rows by scalar index (no select
-    chain), so their only bound is Peq residency in VMEM — budget half
-    the ~16MB core VMEM for Peq, leaving room for state tiles and
-    streams: full 256-symbol alphabets fit up to ~64 words (2048bp
-    queries).  General per-lane kernels pay an S1-way select per word
-    per column; 64 keeps the select cost and Mosaic compile time sane
-    (protein + extended alphabets) — beyond that the native host path
-    wins regardless.
+    chain), so their only bound is Peq residency in VMEM — budget a
+    quarter of VMEM_LIMIT_BYTES for Peq (it is double-buffered, and
+    state tiles / target streams / unroll temporaries need the rest):
+    full 256-symbol alphabets fit up to ~192 words (6kbp queries).
+    General per-lane kernels pay an S1-way select per word per column;
+    64 keeps the select cost and Mosaic compile time sane (protein +
+    extended alphabets) — beyond that the native host path wins
+    regardless.
     """
-    vmem_rows = max(1, (8 * 1024 * 1024)
+    vmem_rows = max(1, (VMEM_LIMIT_BYTES // 4)
                     // (max(1, n_words) * SUBLANES * LANES * 4))
     return min(257 if shared else 64, vmem_rows)
 
@@ -179,6 +187,7 @@ def sweep_scores_pallas(peq: jnp.ndarray, targets: jnp.ndarray, hin0: int,
             pltpu.VMEM((SUBLANES, LANES), jnp.int32),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(targets, peq)
 
 
@@ -315,6 +324,7 @@ def sweep_best_pallas_shared(peq: jnp.ndarray, target_chunks: jnp.ndarray,
             pltpu.VMEM((SUBLANES, LANES), jnp.int32),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(target_chunks, peq)
 
 
@@ -513,6 +523,7 @@ def _sweep_reduce_call(peq: jnp.ndarray, targets: jnp.ndarray,
             pltpu.VMEM((SUBLANES, LANES), jnp.int32),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(targets, peq, lo, hi)
 
 
@@ -595,6 +606,7 @@ def _sweep_reduce_resumable_call(peq, targets, lo, hi, pv0, mv0, s0,
             pltpu.VMEM((SUBLANES, LANES), jnp.int32),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(targets, peq, lo, hi, pv0, mv0, s0)
 
 
@@ -753,6 +765,7 @@ def _sweep_hits_call(peq: jnp.ndarray, targets: jnp.ndarray,
             pltpu.VMEM((SUBLANES, LANES), jnp.int32),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(targets, peq, lo, hi, best)
 
 
@@ -939,6 +952,7 @@ def sweep_nw_banded_pallas(peq: jnp.ndarray, targets: jnp.ndarray,
             pltpu.VMEM((SUBLANES, LANES), jnp.int32),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(woff, targets, peq, hi)
 
 
@@ -1089,6 +1103,7 @@ def sweep_shw_banded_pallas(peq: jnp.ndarray, targets: jnp.ndarray,
             pltpu.VMEM((SUBLANES, LANES), jnp.int32),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(woff, targets, peq, lo, hi)
 
 
@@ -1218,6 +1233,7 @@ def sweep_shw_banded_hits_pallas(peq: jnp.ndarray, targets: jnp.ndarray,
             pltpu.VMEM((SUBLANES, LANES), jnp.int32),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(woff, targets, peq, lo, hi, best)
 
 

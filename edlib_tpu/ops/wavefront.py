@@ -41,6 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from edlib_tpu import encode
+from edlib_tpu.ops.pallas_kernel import _COMPILER_PARAMS
 
 LANES = 128
 SUB_MIN = 8
@@ -236,6 +237,7 @@ def _wavefront_call(d_base, targets, peq, state, *, R, sigma1, chunk, hin0,
             pltpu.VMEM(shape, jnp.int32),    # running argmin
         ],
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(d_base, targets, peq, state)
 
 
@@ -579,6 +581,7 @@ def _wfb_call(params, enter, targets, state, *, R, sigma1, n_steps, n_words,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8 + sigma1,) + shape, jnp.uint32),
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(params, enter, targets, state)
 
 

@@ -98,16 +98,41 @@ def step_bench(cap):
 
 
 def step_two_phase(cap):
+    # Per-rep work on the default (2048 x 120bp vs 4kbp) workload is
+    # ~0.16ms on chip, so REPS must be high enough to amortise the
+    # ~25-30ms tunnel RTT of the final scalar fetch (docs/PERF.md
+    # "measurement trap"): 2000 reps ~= 0.3-0.5s of kernel time.
     for tag, arg in (("two_phase_general", "bench_reduce"),
                      ("two_phase_shared", "bench_shared")):
         rc, out, err = run([sys.executable, "scripts/hw_two_phase.py", arg],
-                           420)
+                           420, env={"REPS": "2000"})
         m = re.search(r"->\s*([\d.]+)\s*GCUPS", out)
         if rc == 0 and m:
             cap.row(tag + "_gcups", float(m.group(1)), "GCUPS",
-                    f"hw_two_phase.py {arg}")
+                    f"hw_two_phase.py {arg} REPS=2000")
         else:
             cap.skip(tag, f"rc={rc} {err[-120:]}")
+
+
+def step_banded_nw(cap):
+    """Banded sliding-window NW vs the full sweep (docs/PERF.md headline
+    rows: 6184 GCUPS full, 19-26k GCUPS-equiv banded at k=256/k=64)."""
+    pat = re.compile(r"full [\d.]+s = ([\d.]+) GCUPS; "
+                     r"banded\[(\d+)/(\d+)w\] [\d.]+s = ([\d.]+) "
+                     r"GCUPS-equiv \(([\d.]+)x\)")
+    for k in ("256", "64"):
+        rc, out, err = run([sys.executable, "scripts/hw_two_phase.py",
+                            "banded"], 560, env={"K": k})
+        m = pat.search(out)
+        if rc == 0 and m:
+            cap.row(f"nw_full_sweep_gcups_k{k}", float(m.group(1)), "GCUPS",
+                    f"hw_two_phase.py banded K={k}")
+            cap.row(f"nw_banded_gcups_equiv_k{k}", float(m.group(4)),
+                    "GCUPS-equiv", f"hw_two_phase.py banded K={k}",
+                    window=f"{m.group(2)}/{m.group(3)}w",
+                    speedup_x=float(m.group(5)))
+        else:
+            cap.skip(f"banded_nw k={k}", f"rc={rc} {out[-150:]} {err[-120:]}")
 
 
 def step_chunk_sweep(cap, chunks=(256, 512, 1024)):
@@ -186,8 +211,11 @@ def main(argv=None):
     ap.add_argument("--quick", action="store_true",
                     help="bench + two-phase + banded ratio only")
     ap.add_argument("--steps", default=None,
-                    help="comma list: bench,two_phase,chunks,roofline,"
-                         "banded,tests")
+                    help="comma list: bench,two_phase,banded_nw,chunks,"
+                         "roofline,banded,tests")
+    ap.add_argument("--merge", action="store_true",
+                    help="keep existing PERF_HW.json rows whose metric is "
+                         "not re-captured this run")
     args = ap.parse_args(argv)
 
     ok, err = probe()
@@ -198,15 +226,16 @@ def main(argv=None):
 
     cap = Capture()
     steps = {"bench": step_bench, "two_phase": step_two_phase,
-             "chunks": step_chunk_sweep, "roofline": step_roofline,
-             "banded": step_banded_revshw, "tests": step_hw_tests}
+             "banded_nw": step_banded_nw, "chunks": step_chunk_sweep,
+             "roofline": step_roofline, "banded": step_banded_revshw,
+             "tests": step_hw_tests}
     if args.steps:
         order = [s.strip() for s in args.steps.split(",")]
     elif args.quick:
-        order = ["bench", "two_phase", "banded"]
+        order = ["bench", "two_phase", "banded_nw", "banded"]
     else:
-        order = ["bench", "two_phase", "chunks", "roofline", "banded",
-                 "tests"]
+        order = ["bench", "two_phase", "banded_nw", "chunks", "roofline",
+                 "banded", "tests"]
     t0 = time.time()
     for name in order:
         print(f"[{time.time()-t0:6.0f}s] step: {name}")
@@ -215,9 +244,23 @@ def main(argv=None):
         except Exception as e:  # a step bug must not lose prior rows
             cap.skip(name, repr(e))
 
+    rows, skipped = cap.rows, cap.skipped
+    if args.merge and os.path.exists(OUT):
+        try:
+            with open(OUT) as f:
+                prev = json.load(f)
+            new_metrics = {r["metric"] for r in rows}
+            kept = [r for r in prev.get("rows", [])
+                    if r["metric"] not in new_metrics]
+            rows = kept + rows
+            # prior skipped entries are dropped: each row is stamped with
+            # its own ts+sha, and this run's skipped list stands on its own
+            print(f"merged {len(kept)} prior rows")
+        except Exception as e:
+            print(f"merge failed ({e!r}); writing fresh")
     doc = {"captured_at": datetime.datetime.now(
                datetime.timezone.utc).isoformat(timespec="seconds"),
-           "sha": cap.sha, "rows": cap.rows, "skipped": cap.skipped}
+           "sha": cap.sha, "rows": rows, "skipped": skipped}
     with open(OUT, "w") as f:
         json.dump(doc, f, indent=1)
     print(f"\nwrote {OUT}: {len(cap.rows)} rows, "

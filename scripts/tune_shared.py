@@ -82,14 +82,23 @@ def main(chunk: int, reps: int):
         return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
 
     many(tiles, tg_chunks).block_until_ready()  # compile + warm
-    t0 = time.time()
-    int(many(tiles, tg_chunks))  # scalar fetch = completion barrier
-    dt = time.time() - t0
+    # Best-of-3: the FIRST invocation of a fresh executable can absorb
+    # ~0.5-0.7s of lazy finalization (program load / persistent-cache
+    # write) that block_until_ready on the tunneled backend does not
+    # flush — a single-call timing under-reports by ~6x (docs/PERF.md
+    # "Measurement traps").
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        int(many(tiles, tg_chunks))  # scalar fetch = completion barrier
+        times.append(time.time() - t0)
+    dt = min(times)
     cells = float(B) * QLEN * TARGET_LEN * reps
     print(json.dumps({
         "chunk": chunk, "reps": reps,
         "gcups": round(cells / dt / 1e9, 1),
         "seconds": round(dt, 3),
+        "times": [round(t, 3) for t in times],
         "backend": jax.default_backend(),
     }))
 
