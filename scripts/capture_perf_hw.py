@@ -50,7 +50,7 @@ def run(cmd, timeout, env=None):
 def last_json(stdout):
     for line in reversed(stdout.strip().splitlines()):
         line = line.strip()
-        if line.startswith("{"):
+        if line.startswith("{") or line.startswith("["):
             try:
                 return json.loads(line)
             except ValueError:
@@ -193,6 +193,21 @@ def step_banded_revshw(cap):
                     "x", "hw_banded_revshw.py ratio")
 
 
+def step_latency(cap):
+    """CPU A/B latency vs the compiled reference (no TPU needed):
+    the docs/PERF.md single-pair tables as machine rows."""
+    rc, out, err = run([sys.executable, "scripts/latency_ab.py", "all"],
+                       1200)
+    j = last_json(out)
+    if rc == 0 and isinstance(j, list):
+        for r in j:
+            cap.row(r["metric"], r["value"], r["unit"], "latency_ab.py",
+                    ref_value=r["ref_value"], ratio=r["ratio"],
+                    workload=r["workload"])
+    else:
+        cap.skip("latency_ab", f"rc={rc} {err[-150:]}")
+
+
 def step_hw_tests(cap):
     rc, out, err = run([sys.executable, "-m", "pytest",
                         "tests/test_hw_tpu.py", "-q"], 3600)
@@ -218,24 +233,33 @@ def main(argv=None):
                          "not re-captured this run")
     args = ap.parse_args(argv)
 
-    ok, err = probe()
-    if not ok:
-        print(f"no healthy TPU (probe failed: {err[-200:]}); not capturing")
-        return 1
-    print("TPU healthy — capturing...")
-
     cap = Capture()
     steps = {"bench": step_bench, "two_phase": step_two_phase,
              "banded_nw": step_banded_nw, "chunks": step_chunk_sweep,
              "roofline": step_roofline, "banded": step_banded_revshw,
-             "tests": step_hw_tests}
+             "latency": step_latency, "tests": step_hw_tests}
+    cpu_only = {"latency"}
     if args.steps:
         order = [s.strip() for s in args.steps.split(",")]
     elif args.quick:
         order = ["bench", "two_phase", "banded_nw", "banded"]
     else:
         order = ["bench", "two_phase", "banded_nw", "chunks", "roofline",
-                 "banded", "tests"]
+                 "banded", "latency", "tests"]
+
+    if set(order) - cpu_only:  # any step that needs the chip?
+        ok, err = probe()
+        if not ok:
+            tpu_steps = [s for s in order if s not in cpu_only]
+            print(f"no healthy TPU (probe failed: {err[-200:]}); "
+                  f"skipping device steps {tpu_steps}")
+            for s in tpu_steps:
+                cap.skip(s, "tpu probe failed")
+            order = [s for s in order if s in cpu_only]
+            if not order:
+                return 1
+        else:
+            print("TPU healthy — capturing...")
     t0 = time.time()
     for name in order:
         print(f"[{time.time()-t0:6.0f}s] step: {name}")
