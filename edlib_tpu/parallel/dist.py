@@ -141,8 +141,6 @@ def sharded_hw_locations(mesh: Mesh, peq: np.ndarray, slices: np.ndarray,
     exceed qlen, edlib.cpp:566-568) every *minimal* score is exact, so the
     merged locations are exact for any k.
     """
-    from edlib_tpu.ops import pallas_kernel
-
     D, L = slices.shape
     C = L - halo - w_pad
     B = peq.shape[0]
@@ -158,14 +156,36 @@ def sharded_hw_locations(mesh: Mesh, peq: np.ndarray, slices: np.ndarray,
     delta = (w_pad - np.asarray(w_lanes)).astype(np.int32)  # (B,) >= 0
     null_sym = peq.shape[1] - 1  # sharded convention: last row = NULL
 
-    def local_kernel(peq_l, delta_l, slices_l):
+    fn = _hw_locations_fn(mesh, halo, w_pad, C, L, null_sym, want_hits,
+                          eng)
+    import contextlib
+    ctx = jax.set_mesh(mesh) if eng != "xla" else contextlib.nullcontext()
+    with ctx:
+        out = fn(peq, delta, slices, jnp.int32(tlen))
+    if want_hits:
+        return out
+    return out + (None,)
+
+
+@functools.lru_cache(maxsize=None)
+def _hw_locations_fn(mesh: Mesh, halo: int, w_pad: int, C: int, L: int,
+                     null_sym: int, want_hits: bool, eng: str):
+    """Build + jit the sharded HW-locations program ONCE per static
+    config.  The closure must have a stable identity: a fresh function
+    per call defeats jax's compile cache and re-pays the full Mosaic
+    compile (~40s for 1024 lanes x 64k columns) on EVERY invocation —
+    round 3 measured 43s/call vs 7ms/call after caching.  tlen is a
+    traced scalar so target length never forces a recompile."""
+    from edlib_tpu.ops import pallas_kernel
+
+    def local_kernel(peq_l, delta_l, slices_l, tlen_a):
         """Per-shard scalar-symbol reduce kernel + collective merge."""
         Bl = peq_l.shape[0]
         d = jax.lax.axis_index("sp")
         # Valid core columns j < tlen - d*C - delta_l (per lane) — as a
         # scan-column window for the in-kernel reduction.
         lo_scan = jnp.full((Bl,), halo + w_pad, jnp.int32)
-        n_valid = jnp.clip(tlen - d * C - delta_l, 0, C).astype(jnp.int32)
+        n_valid = jnp.clip(tlen_a - d * C - delta_l, 0, C).astype(jnp.int32)
         hi_scan = lo_scan + n_valid
         interp = eng == "interpret"
         best_s, pf_s, pl_s, _ = pallas_kernel.reduce_flat_device_shared(
@@ -186,16 +206,16 @@ def sharded_hw_locations(mesh: Mesh, peq: np.ndarray, slices: np.ndarray,
             return best, pos_f, pos_l, hits
         return best, pos_f, pos_l
 
-    def local(peq_l, delta_l, slices_l):
+    def local(peq_l, delta_l, slices_l, tlen_a):
         if eng != "xla":
-            return local_kernel(peq_l, delta_l, slices_l)
+            return local_kernel(peq_l, delta_l, slices_l, tlen_a)
         tg = jnp.broadcast_to(slices_l[0][None, :], (peq_l.shape[0], L))
         scores = jax_engine.sweep_scores(peq_l, tg, hin0=0)
         core = scores[:, halo + w_pad:]          # (Bl, C)
         d = jax.lax.axis_index("sp")
         gpos = d * C + jnp.arange(C, dtype=jnp.int32)[None, :] \
             + delta_l[:, None]                   # (Bl, C)
-        valid = gpos < tlen
+        valid = gpos < tlen_a
         core = jnp.where(valid, core, _BIG)
         best = jax.lax.pmin(jnp.min(core, axis=1), "sp")         # (Bl,)
         at_best = core == best[:, None]
@@ -214,16 +234,10 @@ def sharded_hw_locations(mesh: Mesh, peq: np.ndarray, slices: np.ndarray,
     out_specs = (P("dp"), P("dp"), P("dp"))
     if want_hits:
         out_specs = out_specs + (P("dp", "sp"),)
-    import contextlib
-    ctx = jax.set_mesh(mesh) if eng != "xla" else contextlib.nullcontext()
-    with ctx:
-        out = shard_map(local, mesh=mesh,
-                        in_specs=(P("dp"), P("dp"), P("sp")),
-                        out_specs=out_specs,
-                        check_vma=(eng == "xla"))(peq, delta, slices)
-    if want_hits:
-        return out
-    return out + (None,)
+    return jax.jit(shard_map(local, mesh=mesh,
+                             in_specs=(P("dp"), P("dp"), P("sp"), P()),
+                             out_specs=out_specs,
+                             check_vma=(eng == "xla")))
 
 
 def _resolve_engine(mesh: Mesh, engine: str) -> str:
@@ -258,18 +272,36 @@ def sharded_reduce_dp(mesh: Mesh, peq: np.ndarray, targets: np.ndarray,
     reduce/hits kernels (the single-chip hot path); the XLA scan engine
     is the CPU/virtual-mesh fallback.
     """
+    eng = _resolve_engine(mesh, engine)
+    fn = _reduce_dp_fn(mesh, hin0, want_hits, eng)
+    # Kernel engine: pallas_call out_shapes carry no vma annotations
+    # (jax 0.9) so the vma check must be off — sound here, the map is
+    # purely data-parallel (no collectives) — and the interpreter's
+    # gathers need the mesh entered as context.
+    import contextlib
+    ctx = jax.set_mesh(mesh) if eng != "xla" else contextlib.nullcontext()
+    with ctx:
+        out = fn(peq, targets, lo.astype(np.int32), hi.astype(np.int32))
+    if want_hits:
+        return out
+    return out + (None,)
+
+
+@functools.lru_cache(maxsize=None)
+def _reduce_dp_fn(mesh: Mesh, hin0: int, want_hits: bool, eng: str):
+    """Stable-identity jitted program for sharded_reduce_dp (a fresh
+    closure per call would re-pay the full compile every invocation)."""
     from edlib_tpu.ops import pallas_kernel
 
     axes = mesh.axis_names
-    T = targets.shape[1]
-    T32 = -(-T // 32)
-    eng = _resolve_engine(mesh, engine)
 
     def local(peq_l, tg_l, lo_l, hi_l):
         if eng != "xla":
             return pallas_kernel.reduce_flat_device(
                 peq_l, tg_l, lo_l, hi_l, hin0=hin0, want_hits=want_hits,
                 interpret=(eng == "interpret"))
+        T = tg_l.shape[1]
+        T32 = -(-T // 32)
         scores = jax_engine.sweep_scores(peq_l, tg_l, hin0=hin0)  # (Bl, T)
         cols = jnp.arange(T, dtype=jnp.int32)[None, :]
         in_win = (cols >= lo_l[:, None]) & (cols < hi_l[:, None])
@@ -291,21 +323,11 @@ def sharded_reduce_dp(mesh: Mesh, peq: np.ndarray, targets: np.ndarray,
         return best, pos_f, pos_l, last
 
     n_out = 5 if want_hits else 4
-    # Kernel engine: pallas_call out_shapes carry no vma annotations
-    # (jax 0.9) so the vma check must be off — sound here, the map is
-    # purely data-parallel (no collectives) — and the interpreter's
-    # gathers need the mesh entered as context.
-    import contextlib
-    ctx = jax.set_mesh(mesh) if eng != "xla" else contextlib.nullcontext()
-    with ctx:
-        out = shard_map(local, mesh=mesh,
-                        in_specs=(P(axes), P(axes), P(axes), P(axes)),
-                        out_specs=tuple(P(axes) for _ in range(n_out)),
-                        check_vma=(eng == "xla"))(
-            peq, targets, lo.astype(np.int32), hi.astype(np.int32))
-    if want_hits:
-        return out
-    return out + (None,)
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axes), P(axes), P(axes), P(axes)),
+        out_specs=tuple(P(axes) for _ in range(n_out)),
+        check_vma=(eng == "xla")))
 
 
 def sharded_hw_search(mesh: Mesh, peq: np.ndarray, slices: np.ndarray,
@@ -325,25 +347,28 @@ def sharded_hw_search(mesh: Mesh, peq: np.ndarray, slices: np.ndarray,
     only values <= k_eff (halo = qlen + k_eff - 1) are exact — the same
     contract as the reference's banded pruning.
     """
-    D, L = slices.shape
-    B = peq.shape[0]
-    C = L - halo - w_pad
+    best, cores = _hw_search_fn(mesh, halo + w_pad)(peq, slices)
+    return best, cores
+
+
+@functools.lru_cache(maxsize=None)
+def _hw_search_fn(mesh: Mesh, skip: int):
+    """Stable-identity jitted program for sharded_hw_search."""
 
     def local(peq_l, slices_l):
+        L = slices_l.shape[1]
         tg = jnp.broadcast_to(slices_l[0][None, :],
                               (peq_l.shape[0], L))
         scores = jax_engine.sweep_scores(peq_l, tg, hin0=0)  # HW
-        core = scores[:, halo + w_pad:]  # (B/dp, C): positions d*C + j
+        core = scores[:, skip:]  # (B/dp, C): positions d*C + j
         local_best = jnp.min(core, axis=1)
         best = jax.lax.pmin(local_best, "sp")
         return best, core[None]
 
-    best, cores = shard_map(
+    return jax.jit(shard_map(
         local, mesh=mesh,
         in_specs=(P("dp"), P("sp")),
-        out_specs=(P("dp"), P("sp", "dp")),
-    )(peq, slices)
-    return best, cores
+        out_specs=(P("dp"), P("sp", "dp"))))
 
 
 def sharded_reduce_pipeline(mesh: Mesh, peq: np.ndarray,
@@ -365,8 +390,6 @@ def sharded_reduce_pipeline(mesh: Mesh, peq: np.ndarray,
     global scan-column space — bit-identical to the single-device
     two-phase reduce.
     """
-    from edlib_tpu.ops import pallas_kernel
-
     eng = _resolve_engine(mesh, engine)
     sp = mesh.shape["sp"]
     B, S1, NW = peq.shape
@@ -387,8 +410,23 @@ def sharded_reduce_pipeline(mesh: Mesh, peq: np.ndarray,
     lo32 = np.asarray(lo, np.int32)
     hi32 = np.asarray(hi, np.int32)
 
+    fn = _reduce_pipeline_fn(mesh, hin0, eng, chunk)
+    import contextlib
+    ctx = jax.set_mesh(mesh) if eng != "xla" else contextlib.nullcontext()
+    with ctx:
+        return fn(np.ascontiguousarray(peq), lo32, hi32, slices)
+
+
+@functools.lru_cache(maxsize=None)
+def _reduce_pipeline_fn(mesh: Mesh, hin0: int, eng: str, chunk: int):
+    """Stable-identity jitted program for sharded_reduce_pipeline."""
+    from edlib_tpu.ops import pallas_kernel
+
+    sp = mesh.shape["sp"]
+
     def local(peq_l, lo_l, hi_l, slices_l):
-        Bl = peq_l.shape[0]
+        Bl, _, NW = peq_l.shape
+        C = slices_l.shape[1]
         idx = jax.lax.axis_index("sp")
         tg1 = slices_l[0]  # (C,) this shard's columns
         lo_loc = jnp.clip(lo_l - idx * C, 0, C)
@@ -447,15 +485,11 @@ def sharded_reduce_pipeline(mesh: Mesh, peq: np.ndarray,
         last = jax.lax.pmin(jnp.where(has_last, rl_s, _BIG), "sp")
         return best, pf, pl_, last
 
-    import contextlib
-    ctx = jax.set_mesh(mesh) if eng != "xla" else contextlib.nullcontext()
-    with ctx:
-        out = shard_map(local, mesh=mesh,
-                        in_specs=(P("dp"), P("dp"), P("dp"), P("sp")),
-                        out_specs=tuple(P("dp") for _ in range(4)),
-                        check_vma=False)(
-            np.ascontiguousarray(peq), lo32, hi32, slices)
-    return out
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P("dp"), P("dp"), P("dp"), P("sp")),
+        out_specs=tuple(P("dp") for _ in range(4)),
+        check_vma=False))
 
 
 def sharded_nw_pipeline(mesh: Mesh, peq: np.ndarray, target_ids: np.ndarray,
@@ -479,7 +513,6 @@ def sharded_nw_pipeline(mesh: Mesh, peq: np.ndarray, target_ids: np.ndarray,
     tlen + w_pad - 1; values are bit-identical to the single-device
     resumable chain (tested on the virtual 8-device mesh).
     """
-    axes = mesh.axis_names
     sp = mesh.shape["sp"]
     B, S1, NW = peq.shape
     sigma = S1 - 1  # wildcard row convention
@@ -490,9 +523,18 @@ def sharded_nw_pipeline(mesh: Mesh, peq: np.ndarray, target_ids: np.ndarray,
     padded = np.full(sp * C, sigma, dtype=np.int32)
     padded[:T] = target_ids
     slices = padded.reshape(sp, C)
+    cores = _nw_pipeline_fn(mesh, hin0)(np.ascontiguousarray(peq), slices)
+    return cores, C
+
+
+@functools.lru_cache(maxsize=None)
+def _nw_pipeline_fn(mesh: Mesh, hin0: int):
+    """Stable-identity jitted program for sharded_nw_pipeline."""
+    sp = mesh.shape["sp"]
 
     def local(peq_l, slices_l):
-        Bl = peq_l.shape[0]
+        Bl, _, NW = peq_l.shape
+        C = slices_l.shape[1]
         idx = jax.lax.axis_index("sp")
         tg = jnp.broadcast_to(slices_l[0][None, :], (Bl, C))
         # Initial carry derived from BOTH shard_map inputs so its varying
@@ -518,8 +560,6 @@ def sharded_nw_pipeline(mesh: Mesh, peq: np.ndarray, target_ids: np.ndarray,
                 carry = jax.lax.ppermute(out_carry, "sp", perm)
         return keep[None]
 
-    cores = shard_map(local, mesh=mesh,
-                      in_specs=(P("dp"), P("sp")),
-                      out_specs=P("sp", "dp"))(
-        np.ascontiguousarray(peq), slices)
-    return cores, C
+    return jax.jit(shard_map(local, mesh=mesh,
+                             in_specs=(P("dp"), P("sp")),
+                             out_specs=P("sp", "dp")))
