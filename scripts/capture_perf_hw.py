@@ -193,6 +193,44 @@ def step_banded_revshw(cap):
                     "x", "hw_banded_revshw.py ratio")
 
 
+def step_e2e(cap):
+    """End-to-end map_reads wall (host encode + transfers + device sweep):
+    the docs/PERF.md '10240 reads x 100bp vs 1Mbp' headline row."""
+    rc, out, err = run([sys.executable, "scripts/e2e_map.py"], 900)
+    j = last_json(out)
+    if rc == 0 and j and j.get("backend") == "tpu":
+        cap.row("map_reads_e2e_reads_per_s", j["reads_per_s"], "reads/s",
+                "e2e_map.py", gcups=j["gcups"], seconds=j["seconds"],
+                cold_s=j["cold_s"], reads=j["reads"], qlen=j["qlen"],
+                tlen=j["tlen"])
+    else:
+        cap.skip("e2e_map", f"rc={rc} {err[-150:]}")
+
+
+def step_scaling(cap):
+    """Weak-scaling harness rows (1x1 on this sandbox's single chip; the
+    full ladder whenever a real slice appears)."""
+    rc, out, err = run([sys.executable, "scripts/mesh_scaling.py",
+                        "--trials", "4"], 900)
+    got = False
+    for line in out.strip().splitlines():
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            j = json.loads(line)
+        except ValueError:
+            continue
+        tag = f"{j['dp']}x{j['sp']}"
+        cap.row(f"map_reads_mesh{tag}_reads_per_s", j["reads_per_s"],
+                "reads/s", "mesh_scaling.py", gcups=j["gcups"],
+                reads=j["reads"], tlen=j["tlen"],
+                scaling_efficiency=j.get("scaling_efficiency"))
+        got = True
+    if not got:
+        cap.skip("mesh_scaling", f"rc={rc} {err[-150:]}")
+
+
 def step_latency(cap):
     """CPU A/B latency vs the compiled reference (no TPU needed):
     the docs/PERF.md single-pair tables as machine rows."""
@@ -237,6 +275,7 @@ def main(argv=None):
     steps = {"bench": step_bench, "two_phase": step_two_phase,
              "banded_nw": step_banded_nw, "chunks": step_chunk_sweep,
              "roofline": step_roofline, "banded": step_banded_revshw,
+             "e2e": step_e2e, "scaling": step_scaling,
              "latency": step_latency, "tests": step_hw_tests}
     cpu_only = {"latency"}
     if args.steps:
@@ -245,7 +284,7 @@ def main(argv=None):
         order = ["bench", "two_phase", "banded_nw", "banded"]
     else:
         order = ["bench", "two_phase", "banded_nw", "chunks", "roofline",
-                 "banded", "latency", "tests"]
+                 "banded", "e2e", "scaling", "latency", "tests"]
 
     if set(order) - cpu_only:  # any step that needs the chip?
         ok, err = probe()
