@@ -29,6 +29,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from edlib_tpu.utils.jaxcache import ensure_compile_cache
+
+ensure_compile_cache()
+
 WORD_SIZE = 32
 _TOP_BIT = WORD_SIZE - 1
 

@@ -32,6 +32,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from edlib_tpu.utils.jaxcache import ensure_compile_cache
+
+ensure_compile_cache()
+
 LANES = 128
 SUBLANES = 8
 B_TILE = SUBLANES * LANES  # 1024 alignments per kernel tile
