@@ -8,14 +8,17 @@
 //
 // Build: make -C native aligner   ->  native/edlib-tpu-aligner
 
+#include <atomic>
 #include <cctype>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <ctime>
+#include <mutex>
 #include <queue>
 #include <string>
+#include <thread>
 #include <vector>
 
 #include "edlib_compat.h"
@@ -199,6 +202,52 @@ int main(int argc, char** argv) {
     }
     std::priority_queue<int> best_heap;  // N best scores, max on top
     int k = user_k;
+    const char* thr_env = getenv("EDLIB_TPU_THREADS");
+    bool pool_ok =
+        num_best == 0 && num_repeats == 1 && queries.n_seqs > 1 &&
+        !(thr_env && (!strcmp(thr_env, "0") || !strcmp(thr_env, "1")));
+    if (pool_ok) {
+        // No adaptive-k (-n) means every read is independent: fan the
+        // align loop across cores.  The reference CLI is strictly serial
+        // (aligner.cpp:162-225); output stays byte-identical because
+        // results are stored by index and progress integers are emitted
+        // in ascending order under a lock.  Per-pair internal threading
+        // (threaded Hirschberg) is disabled so the pool supplies all the
+        // parallelism — nested forking thrashes (batch.py:730-738).
+        if (task == EDLIB_TASK_PATH && !thr_env)
+            setenv("EDLIB_TPU_THREADS", "0", 1);
+        unsigned n_workers = std::thread::hardware_concurrency();
+        if (n_workers < 1) n_workers = 1;
+        if ((int64_t)n_workers > queries.n_seqs)
+            n_workers = (unsigned)queries.n_seqs;
+        std::atomic<int64_t> next(0), done(0);
+        std::mutex print_mu;
+        int64_t printed = 0;
+        auto worker = [&]() {
+            EdlibAlignConfig cfg =
+                edlibNewAlignConfig(k, mode, task, NULL, 0);
+            for (;;) {
+                int64_t i = next.fetch_add(1);
+                if (i >= queries.n_seqs) break;
+                results[i] = edlibAlign(queries.seq(i), queries.len(i),
+                                        t, tlen, cfg);
+                done.fetch_add(1);
+                if (progress) {
+                    std::lock_guard<std::mutex> g(print_mu);
+                    int64_t target_v = done.load();
+                    while (printed < target_v) {
+                        ++printed;
+                        printf("\r%lld/%lld", (long long)printed,
+                               (long long)queries.n_seqs);
+                    }
+                    fflush(stdout);
+                }
+            }
+        };
+        std::vector<std::thread> ts;
+        for (unsigned w = 0; w < n_workers; w++) ts.emplace_back(worker);
+        for (auto& th : ts) th.join();
+    } else {
     for (int64_t i = 0; i < queries.n_seqs; i++) {
         EdlibAlignConfig cfg = edlibNewAlignConfig(k, mode, task, NULL, 0);
         for (int rep = 0; rep < num_repeats; rep++) {
@@ -220,6 +269,7 @@ int main(int argc, char** argv) {
                    (long long)queries.n_seqs);
             fflush(stdout);
         }
+    }
     }
 
     int score_limit = -1;

@@ -231,6 +231,25 @@ def step_scaling(cap):
         cap.skip("mesh_scaling", f"rc={rc} {err[-150:]}")
 
 
+def step_cli(cap):
+    """Compiled CLI vs the reference aligner binary (CPU-only): wall-time
+    ratio with byte-identical output asserted by the harness."""
+    for tag, extra in (("hw_distance", []),
+                       ("hw_path", ["--reads", "100", "--qlen", "200",
+                                    "--flags=-p -s"]),
+                       ("hw_locations", ["--reads", "200", "--qlen", "150",
+                                         "--flags=-l"])):
+        rc, out, err = run([sys.executable, "scripts/cli_ab.py"] + extra,
+                           1200)
+        j = last_json(out)
+        if rc == 0 and j and j.get("output_identical"):
+            cap.row(f"cli_{tag}_ratio", j["ratio"], "x vs reference",
+                    "cli_ab.py", ours_s=j["ours_s"], ref_s=j["ref_s"],
+                    reads=j["reads"], qlen=j["qlen"], flags=j["flags"])
+        else:
+            cap.skip(f"cli {tag}", f"rc={rc} {err[-150:]}")
+
+
 def step_latency(cap):
     """CPU A/B latency vs the compiled reference (no TPU needed):
     the docs/PERF.md single-pair tables as machine rows."""
@@ -276,15 +295,16 @@ def main(argv=None):
              "banded_nw": step_banded_nw, "chunks": step_chunk_sweep,
              "roofline": step_roofline, "banded": step_banded_revshw,
              "e2e": step_e2e, "scaling": step_scaling,
-             "latency": step_latency, "tests": step_hw_tests}
-    cpu_only = {"latency"}
+             "cli": step_cli, "latency": step_latency,
+             "tests": step_hw_tests}
+    cpu_only = {"latency", "cli"}
     if args.steps:
         order = [s.strip() for s in args.steps.split(",")]
     elif args.quick:
         order = ["bench", "two_phase", "banded_nw", "banded"]
     else:
         order = ["bench", "two_phase", "banded_nw", "chunks", "roofline",
-                 "banded", "e2e", "scaling", "latency", "tests"]
+                 "banded", "e2e", "scaling", "cli", "latency", "tests"]
 
     if set(order) - cpu_only:  # any step that needs the chip?
         ok, err = probe()
