@@ -22,7 +22,7 @@ overall best equals Q).  We reproduce that rule word-size-independently.
 from __future__ import annotations
 
 import os
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -138,15 +138,20 @@ def _wavefront_threshold() -> int:
                                _WAVEFRONT_FLOOR_CELLS, _WAVEFRONT_CEIL_CELLS)
 
 
-def _nw_wavefront_enabled(qlen: int, tlen: int, sigma: int) -> bool:
+def _nw_wavefront_enabled(qlen: int, tlen: int, sigma: int,
+                          cells: Optional[int] = None) -> bool:
     # Size gate first: it is a pure integer compare and excludes ~all calls
     # (the sigma-cap import below would pull in jax; the env lookups cost
     # more than the whole small-N fast path).  The RTT probe only runs for
     # pairs above the attached-chip floor — already tens of CPU-seconds of
     # work, so the one-time subprocess probe is noise.
+    # cells: similarity-aware effective DP-cell estimate (see
+    # _nw_effective_cells); raw qlen*tlen when the caller has no bound.
+    if cells is None:
+        cells = qlen * tlen
     gate = (_WAVEFRONT_MIN_CELLS if _WAVEFRONT_MIN_CELLS is not None
             else _WAVEFRONT_FLOOR_CELLS)
-    if qlen * tlen < gate:
+    if cells < gate:
         return False
     from edlib_tpu.ops.wavefront import MAX_SIGMA_WAVEFRONT
     if sigma >= MAX_SIGMA_WAVEFRONT:
@@ -155,19 +160,146 @@ def _nw_wavefront_enabled(qlen: int, tlen: int, sigma: int) -> bool:
         return False
     forced = os.environ.get("EDLIB_TPU_FORCE_PALLAS", "")
     if forced:
-        return qlen * tlen >= _wavefront_threshold()
+        return cells >= _wavefront_threshold()
     # Bounded subprocess probe BEFORE any in-process jax call: initialising
     # a wedged tunneled backend blocks indefinitely (utils/hw.device_ready).
     from edlib_tpu.utils import hw
     if not hw.device_ready():
         return False
-    if qlen * tlen < _wavefront_threshold():
+    if cells < _wavefront_threshold():
         return False
     try:
         import jax
         return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+def _nw_effective_cells(q_ids, t_ids, eq, k_eff) -> int:
+    """Similarity-aware DP cost estimate for NW routing.
+
+    The native banded engine visits ~2*(d+1)*max_len cells once the
+    doubling ladder lands (its Ukkonen band is the value+position edge,
+    like edlib.cpp:753-755), while the wavefront kernel's cost is the raw
+    qlen*tlen regardless of similarity — so for SIMILAR Mbp pairs the CPU
+    engine beats the device (measured round 3: 2.07s native vs 3.55s
+    wavefront on the 97% 1Mbp pair) and raw-cell routing picks wrong.
+    Estimate the banded cost from the O(n) substitution upper bound
+    (hamming + length difference, equality-aware); a finite user k caps it
+    too (the band never exceeds k).  Conservative for indel-shifted pairs
+    (hamming >> d), where the estimate stays near raw cells and the
+    wavefront keeps the job."""
+    qlen, tlen = len(q_ids), len(t_ids)
+    d_ub = encode.nw_upper_bound(q_ids, t_ids, eq)
+    if not (k_eff is _INF or k_eff >= (1 << 40)):
+        d_ub = min(d_ub, int(k_eff) + 1)
+    return min(qlen * tlen, 2 * (d_ub + 1) * max(qlen, tlen))
+
+
+def _nw_wavefront_run(q_ids, t_ids, eq, k_eff) -> int:
+    """One NW distance on the banded wavefront device kernel."""
+    from edlib_tpu.ops.wavefront import BandedWavefront
+    forced = os.environ.get("EDLIB_TPU_FORCE_PALLAS", "")
+    wfb = BandedWavefront(interpret=(forced == "interpret"))
+    k = -1 if (k_eff is _INF or k_eff >= (1 << 40)) else int(k_eff)
+    return wfb.nw_distance(np.asarray(q_ids, np.uint8),
+                           np.asarray(t_ids, np.uint8),
+                           eq.shape[0], k=k, eq=eq)
+
+
+# Host-vs-device race budget: the native side's k ladder is capped at
+# raw_cells / (_RACE_BUDGET_FACTOR * max_len), sized so its CPU spend is
+# comparable to the device sweep's wall time (measured rates on the 1Mbp
+# pair: native banded ~30 GCUPS-at-band vs wavefront ~280 GCUPS raw).
+_RACE_BUDGET_FACTOR = 16
+
+
+def _nw_race(q_ids, t_ids, eq, k_eff) -> int:
+    """NW distance for big pairs: device wavefront and budget-capped
+    native ladder run CONCURRENTLY; first definitive answer wins.
+
+    The hamming-based routing estimate (_nw_effective_cells) cannot see
+    indel-shifted similarity — the common real-genome case (97% 1Mbp
+    mutant: hamming ~760k but d = 31.5k, native 2.1s vs wavefront 3.6s) —
+    so instead of guessing, spend the otherwise-idle host CPU: the native
+    side ladders k up to a budget (where its cost would exceed the device
+    sweep) while the device sweeps the full band.  Similar pairs return at
+    native speed, dissimilar ones at device speed; both routes are exact,
+    so the winner's answer is THE answer.  EDLIB_TPU_NW_RACE=0 and forced
+    interpret mode use the plain device path (deterministic for tests)."""
+    import threading
+
+    from edlib_tpu import native_loader
+
+    qlen, tlen = len(q_ids), len(t_ids)
+    bound = max(1, min(max(qlen, tlen),
+                       encode.nw_upper_bound(q_ids, t_ids, eq)))
+    k_user = (None if (k_eff is _INF or k_eff >= (1 << 40))
+              else int(k_eff))
+    k_budget = max(1024, (qlen * tlen)
+                   // (_RACE_BUDGET_FACTOR * max(qlen, tlen)))
+    definitive_cap = bound if k_user is None else min(bound, k_user)
+    cap = min(k_budget, definitive_cap)
+
+    done = threading.Event()
+    state = {}
+
+    def native_side():
+        try:
+            ctx = _native_ctx(q_ids, t_ids, eq)
+            if ctx is None:
+                state["native"] = ("gaveup", None)
+                return
+            peq64, _, _ = ctx
+            k = 64
+            while True:
+                kk = min(k, cap)
+                d = native_loader.nw_distance_banded_native(
+                    peq64, t_ids, qlen, kk)
+                if d >= 0:
+                    state["native"] = ("done", d)
+                    return
+                if kk >= cap:
+                    if cap >= definitive_cap:
+                        # proven d > k_user (or > bound, impossible)
+                        state["native"] = ("done", -1)
+                    else:
+                        state["native"] = ("gaveup", None)
+                    return
+                k *= 2
+        except Exception:
+            state["native"] = ("gaveup", None)
+        finally:
+            done.set()
+
+    def device_side():
+        try:
+            state["device"] = ("done",
+                               _nw_wavefront_run(q_ids, t_ids, eq, k_eff))
+        except Exception:
+            state["device"] = ("error", None)
+        finally:
+            done.set()
+
+    tn = threading.Thread(target=native_side, daemon=True)
+    td = threading.Thread(target=device_side, daemon=True)
+    tn.start()
+    td.start()
+    while True:
+        done.wait()
+        done.clear()
+        n = state.get("native")
+        d = state.get("device")
+        if n and n[0] == "done":
+            return n[1]
+        if d and d[0] == "done":
+            return d[1]
+        if d and d[0] == "error" and n:  # both ran out of road
+            break
+        if n and d:  # native gave up, device errored (ordering races)
+            break
+    # Fallback: plain native, uncapped (device unusable).
+    return _nw_score_host(q_ids, t_ids, eq, k_eff, allow_device=False)
 
 
 def _nw_score_host(q_ids, t_ids, eq, k_eff, allow_device: bool = True) -> int:
@@ -177,14 +309,19 @@ def _nw_score_host(q_ids, t_ids, eq, k_eff, allow_device: bool = True) -> int:
     PATH pipeline keeps the distance native, where it is a small fraction
     of the Hirschberg work and device dispatch would only add latency."""
     qlen, tlen = len(q_ids), len(t_ids)
-    if allow_device and _nw_wavefront_enabled(qlen, tlen, eq.shape[0]):
-        from edlib_tpu.ops.wavefront import BandedWavefront
+    eff_cells = None
+    if allow_device:
+        gate = (_WAVEFRONT_MIN_CELLS if _WAVEFRONT_MIN_CELLS is not None
+                else _WAVEFRONT_FLOOR_CELLS)
+        if qlen * tlen >= gate:  # O(n) bound only for device candidates
+            eff_cells = _nw_effective_cells(q_ids, t_ids, eq, k_eff)
+    if allow_device and _nw_wavefront_enabled(qlen, tlen, eq.shape[0],
+                                              eff_cells):
         forced = os.environ.get("EDLIB_TPU_FORCE_PALLAS", "")
-        wfb = BandedWavefront(interpret=(forced == "interpret"))
-        k = -1 if (k_eff is _INF or k_eff >= (1 << 40)) else int(k_eff)
-        return wfb.nw_distance(np.asarray(q_ids, np.uint8),
-                               np.asarray(t_ids, np.uint8),
-                               eq.shape[0], k=k, eq=eq)
+        if forced or os.environ.get("EDLIB_TPU_NW_RACE", "") in ("0",
+                                                                 "off"):
+            return _nw_wavefront_run(q_ids, t_ids, eq, k_eff)
+        return _nw_race(q_ids, t_ids, eq, k_eff)
     ctx = _native_ctx(q_ids, t_ids, eq)
     if ctx is not None:
         from edlib_tpu import native_loader

@@ -57,16 +57,6 @@ def nw_distance_long(query, target, k: int = -1,
     use_wavefront = backend == "wavefront"
     if os.environ.get("EDLIB_TPU_DISABLE_DEVICE"):
         use_wavefront = False
-    elif backend == "auto":
-        forced = os.environ.get("EDLIB_TPU_FORCE_PALLAS", "")
-        try:
-            import jax
-            use_wavefront = sigma < _max_sigma_wf() \
-                and qlen * tlen >= _wf_min_cells() \
-                and (bool(forced) or (_device_ready()
-                                      and jax.default_backend() == "tpu"))
-        except Exception:
-            use_wavefront = False
 
     if use_wavefront:
         from edlib_tpu.ops.wavefront import BandedWavefront
@@ -75,10 +65,13 @@ def nw_distance_long(query, target, k: int = -1,
         return wfb.nw_distance(q_ids.astype(np.uint8), t_ids.astype(np.uint8),
                                sigma, k=k)
 
+    # "auto" shares align()'s routing wholesale: similarity-aware effective
+    # cells, then the host-vs-device race for big device-worthy pairs
+    # (align._nw_race); "native" pins the host engine.
     from edlib_tpu.align import _nw_score_host, _INF
     eq = np.eye(sigma, dtype=bool)
     return _nw_score_host(q_ids, t_ids, eq, _INF if k < 0 else k,
-                          allow_device=False)
+                          allow_device=(backend == "auto"))
 
 
 def shw_best_long(query, target, k: int = -1,

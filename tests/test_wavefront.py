@@ -230,6 +230,47 @@ def test_semiglobal_locations_long_api(rng, monkeypatch):
     assert edlib_tpu.semiglobal_locations_long(b"", t) == (0, [-1])
 
 
+def test_nw_routing_similarity_aware(rng, monkeypatch):
+    """NW device routing uses the effective (banded) cell estimate:
+    similar pairs stay on the native engine even above the raw-cell
+    threshold (measured: native banded beats the wavefront's full sweep
+    there), dissimilar pairs of the same size go to the wavefront."""
+    import edlib_tpu
+    import importlib
+    align_mod = importlib.import_module("edlib_tpu.align")
+    from edlib_tpu.ops import wavefront as wf_mod
+
+    # Raw cells = 1M for both pairs; threshold between the similar pair's
+    # effective cells (~42k at d_ub~20) and raw.
+    monkeypatch.setattr(align_mod, "_WAVEFRONT_MIN_CELLS", 500_000)
+    monkeypatch.setenv("EDLIB_TPU_FORCE_PALLAS", "interpret")
+    calls = []
+    orig = wf_mod.BandedWavefront.nw_distance
+
+    def spy(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(wf_mod.BandedWavefront, "nw_distance", spy)
+
+    t = bytes(rng.choice(list(b"ACGT"), 1000).tolist())
+    sim = bytearray(t)
+    for i in rng.choice(1000, 20, replace=False):
+        sim[i] = rng.choice(list(b"ACGT"))
+    want = edlib_tpu.align(bytes(sim), t)
+    assert not calls, "similar pair must stay native"
+    dis = bytes(rng.choice(list(b"ACGT"), 1000).tolist())
+    got = edlib_tpu.align(dis, t)
+    assert calls, "dissimilar pair must ride the wavefront"
+    # Both answers match the oracle regardless of route.
+    from edlib_tpu.oracle import edit_distance_simple
+    assert want["editDistance"] == edit_distance_simple(
+        np.frombuffer(bytes(sim), np.uint8), np.frombuffer(t, np.uint8),
+        "NW")[0]
+    assert got["editDistance"] == edit_distance_simple(
+        np.frombuffer(dis, np.uint8), np.frombuffer(t, np.uint8), "NW")[0]
+
+
 def test_align_nw_wavefront_route(rng, monkeypatch):
     """align() routes huge NW pairs to the banded wavefront; with the
     threshold lowered the two routes must agree exactly (incl. k and
