@@ -107,22 +107,32 @@ EdlibAlignResult edlibAlign(const char* query, int queryLength,
     const int64_t tlen = targetLength < 0 ? 0 : targetLength;
 
     // alphabetLength is reported on every return path, including the
-    // empty-sequence shortcut (edlib.cpp:158-162).  The transformed ids
-    // are kept for the PATH phase.
-    std::unique_ptr<uint8_t[]> q_ids(new uint8_t[qlen ? qlen : 1]);
-    std::unique_ptr<uint8_t[]> t_ids(new uint8_t[tlen ? tlen : 1]);
+    // empty-sequence shortcut (edlib.cpp:158-162).  The transform here is
+    // LAZY: etn_align reports sigma itself, so non-PATH tasks (and the
+    // non-empty fast path) never pay a second full-target transform —
+    // the duplicate 1Mbp pass was ~0.4ms/call on read-vs-chromosome
+    // workloads (round 3).  PATH materialises the ids below.
+    std::unique_ptr<uint8_t[]> q_ids;
+    std::unique_ptr<uint8_t[]> t_ids;
     uint8_t alphabet[256];
-    int64_t sigma = etn_transform(q, qlen, t, tlen, 256,
-                                  q_ids.get(), t_ids.get(), alphabet);
-    if (sigma < 0) {  // unreachable: 256 byte values cap the alphabet
-        r.status = EDLIB_STATUS_ERROR;
-        return r;
-    }
-    r.alphabetLength = static_cast<int>(sigma);
+    int64_t sigma = -1;
+    auto transform_ids = [&]() -> bool {
+        if (sigma >= 0) return true;
+        q_ids.reset(new uint8_t[qlen ? qlen : 1]);
+        t_ids.reset(new uint8_t[tlen ? tlen : 1]);
+        sigma = etn_transform(q, qlen, t, tlen, 256,
+                              q_ids.get(), t_ids.get(), alphabet);
+        return sigma >= 0;  // < 0 unreachable: 256 byte values cap it
+    };
 
     // Empty-sequence shortcut: end locations only, k ignored, no starts or
     // alignment even for LOC/PATH; unknown modes error (edlib.cpp:166-184).
     if (qlen == 0 || tlen == 0) {
+        if (!transform_ids()) {
+            r.status = EDLIB_STATUS_ERROR;
+            return r;
+        }
+        r.alphabetLength = static_cast<int>(sigma);
         if (config.mode == EDLIB_MODE_NW) {
             r.editDistance = static_cast<int>(qlen > tlen ? qlen : tlen);
             r.endLocations = static_cast<int*>(malloc(sizeof(int)));
@@ -169,20 +179,24 @@ EdlibAlignResult edlibAlign(const char* query, int queryLength,
 
     // Distance + all minimal end locations (+ starts) in one runtime call.
     // At most tlen + 1 end locations exist (every column plus the -1
-    // padding candidate).
-    std::vector<int32_t> end_locs(tlen + 1);
-    std::vector<int32_t> start_locs(want_starts ? tlen + 1 : 1);
+    // padding candidate).  UNinitialized buffers — std::vector's
+    // value-init memset of 2 x 4MB dominated small-query calls against
+    // Mbp targets (SHW PATH: 4.5ms vs the reference's 0.7ms, round 3).
+    std::unique_ptr<int32_t[]> end_locs(new int32_t[tlen + 1]);
+    std::unique_ptr<int32_t[]> start_locs(
+        new int32_t[want_starts ? tlen + 1 : 1]);
     int32_t d = -1, alpha = 0;
     int64_t n_locs = 0;
     int st = etn_align(q, qlen, t, tlen, mode, want_starts, config.k,
                        n_eq ? eq_first.data() : NULL,
                        n_eq ? eq_second.data() : NULL, n_eq,
-                       &d, &alpha, end_locs.data(), &n_locs,
-                       start_locs.data());
+                       &d, &alpha, end_locs.get(), &n_locs,
+                       start_locs.get());
     if (st != 0) {
         r.status = EDLIB_STATUS_ERROR;
         return r;
     }
+    r.alphabetLength = alpha;
     r.editDistance = d;
     if (d < 0) return r;  // no solution within k: NULL location arrays
     if (unknown_mode) {
@@ -206,29 +220,43 @@ EdlibAlignResult edlibAlign(const char* query, int queryLength,
 
     // PATH: alignment for the first location pair only (edlib.cpp:274-289).
     if (config.task == EDLIB_TASK_PATH) {
-        // Rebuild the transformed-symbol equality matrix for the path
-        // engine (identity + user pairs, symmetric; edlib.cpp:63-94).
-        int16_t letter_idx[256];
-        for (int i = 0; i < 256; i++) letter_idx[i] = -1;
-        for (int64_t s = 0; s < sigma; s++)
-            letter_idx[alphabet[s]] = static_cast<int16_t>(s);
-        std::vector<uint8_t> eqm(static_cast<size_t>(sigma) * sigma, 0);
-        for (int64_t s = 0; s < sigma; s++)
-            eqm[static_cast<size_t>(s) * sigma + s] = 1;
-        for (int64_t i = 0; i < n_eq; i++) {
-            int a = letter_idx[eq_first[i]], b = letter_idx[eq_second[i]];
-            if (a >= 0 && b >= 0) {
-                eqm[static_cast<size_t>(a) * sigma + b] = 1;
-                eqm[static_cast<size_t>(b) * sigma + a] = 1;
-            }
-        }
+        // Transform only the query + the ALIGNMENT WINDOW of the target
+        // (wlen ~= qlen + d, not tlen): the equality matrix below is
+        // built from THIS transform's letter_idx, so any internally
+        // consistent id assignment yields the same ops — re-transforming
+        // a 1Mbp target for a 120bp window was the remaining per-call
+        // overhead vs the reference (round 3).
         const int64_t aln_start = r.startLocations[0];
         const int64_t aln_end = r.endLocations[0];
         const int64_t wlen = aln_end - aln_start + 1;  // 0 for end == -1
+        std::unique_ptr<uint8_t[]> qw_ids(new uint8_t[qlen ? qlen : 1]);
+        std::unique_ptr<uint8_t[]> tw_ids(new uint8_t[wlen ? wlen : 1]);
+        int64_t sigw = etn_transform(q, qlen, t + aln_start, wlen, 256,
+                                     qw_ids.get(), tw_ids.get(), alphabet);
+        if (sigw < 0) {
+            r.status = EDLIB_STATUS_ERROR;
+            return r;
+        }
+        // Equality matrix on the window transform's ids (identity + user
+        // pairs, symmetric; edlib.cpp:63-94).
+        int16_t letter_idx[256];
+        for (int i = 0; i < 256; i++) letter_idx[i] = -1;
+        for (int64_t s = 0; s < sigw; s++)
+            letter_idx[alphabet[s]] = static_cast<int16_t>(s);
+        std::vector<uint8_t> eqm(static_cast<size_t>(sigw) * sigw, 0);
+        for (int64_t s = 0; s < sigw; s++)
+            eqm[static_cast<size_t>(s) * sigw + s] = 1;
+        for (int64_t i = 0; i < n_eq; i++) {
+            int a = letter_idx[eq_first[i]], b = letter_idx[eq_second[i]];
+            if (a >= 0 && b >= 0) {
+                eqm[static_cast<size_t>(a) * sigw + b] = 1;
+                eqm[static_cast<size_t>(b) * sigw + a] = 1;
+            }
+        }
         std::vector<uint8_t> ops(static_cast<size_t>(qlen + wlen) + 1);
         int64_t n_ops = etn_obtain_alignment(
-            q_ids.get(), qlen, t_ids.get() + aln_start, wlen, eqm.data(),
-            static_cast<int>(sigma), d, ops.data(), -1);
+            qw_ids.get(), qlen, tw_ids.get(), wlen, eqm.data(),
+            static_cast<int>(sigw), d, ops.data(), -1);
         if (n_ops < 0) {
             r.status = EDLIB_STATUS_ERROR;
             return r;

@@ -813,7 +813,7 @@ static void semiglobal_best(const Word* peq, int64_t n_words,
 // reversed-SHW start-location re-runs (edlib.cpp:230-271).  TChar as in
 // sweep_banded_core.
 template <class TChar>
-static void semiglobal_align_tail(const uint8_t* q_ids, const uint8_t* t_ids,
+static void semiglobal_align_tail(const uint8_t* q_ids, uint8_t* t_ids,
                                   int64_t qlen, int64_t tlen, int sigma,
                                   const uint8_t* eq, const Word* peq,
                                   int64_t n_words, int mode, int want_starts,
@@ -821,11 +821,22 @@ static void semiglobal_align_tail(const uint8_t* q_ids, const uint8_t* t_ids,
                                   int32_t* edit_distance_out,
                                   int32_t* end_locs_out, int64_t* n_locs_out,
                                   int32_t* start_locs_out) {
+    // t_ids must have w_pad (< 64) slack bytes past tlen (etn_align
+    // allocates them): the uint8 case extends IN PLACE instead of copying
+    // the whole target — the 1MB t_ext copy was ~half the per-call
+    // overhead vs the reference on small-query-vs-Mbp calls (round 3).
     int64_t w_pad = n_words * WBITS - qlen;
-    std::unique_ptr<TChar[]> t_ext_b(new TChar[tlen + w_pad]);
-    TChar* t_ext = t_ext_b.get();
-    for (int64_t i = 0; i < tlen; i++) t_ext[i] = t_ids[i];
-    for (int64_t i = 0; i < w_pad; i++) t_ext[tlen + i] = (TChar)sigma;
+    std::unique_ptr<TChar[]> t_ext_b;
+    TChar* t_ext;
+    if (sizeof(TChar) == 1) {
+        for (int64_t i = 0; i < w_pad; i++) t_ids[tlen + i] = (uint8_t)sigma;
+        t_ext = reinterpret_cast<TChar*>(t_ids);
+    } else {  // sigma == 256: wildcard id needs uint16 headroom
+        t_ext_b.reset(new TChar[tlen + w_pad]);
+        t_ext = t_ext_b.get();
+        for (int64_t i = 0; i < tlen; i++) t_ext[i] = t_ids[i];
+        for (int64_t i = 0; i < w_pad; i++) t_ext[tlen + i] = (TChar)sigma;
+    }
     int hin0 = mode == 2 ? 0 : 1;
     int32_t best;
     int64_t n_locs;
@@ -948,8 +959,11 @@ int etn_align(const uint8_t* query, int64_t qlen,
               int32_t* end_locs_out, int64_t* n_locs_out,
               int32_t* start_locs_out) {
     // Uninitialized buffers: value-init memsets cost ~1ms/Mbp per call.
+    // t_ids carries 64 slack bytes: semiglobal_align_tail extends the
+    // target with its wildcard pad IN PLACE (w_pad < 64) instead of
+    // copying the whole target.
     std::unique_ptr<uint8_t[]> q_ids_b(new uint8_t[qlen ? qlen : 1]);
-    std::unique_ptr<uint8_t[]> t_ids_b(new uint8_t[tlen ? tlen : 1]);
+    std::unique_ptr<uint8_t[]> t_ids_b(new uint8_t[(tlen ? tlen : 1) + 64]);
     uint8_t* q_ids = q_ids_b.get();
     uint8_t* t_ids = t_ids_b.get();
     uint8_t alphabet[256];
