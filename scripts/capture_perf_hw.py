@@ -231,6 +231,21 @@ def step_scaling(cap):
         cap.skip("mesh_scaling", f"rc={rc} {err[-150:]}")
 
 
+def step_wavefront_1mbp(cap):
+    """Single-pair 1Mbp NW on the device wavefront vs the native CPU
+    engine (the align() race covers both; exactness asserted in-script)."""
+    rc, out, err = run([sys.executable, "scripts/hw_wavefront_1mbp.py"],
+                       900)
+    j = last_json(out)
+    if rc == 0 and j and j.get("backend") == "tpu":
+        cap.row("wavefront_1mbp_nw_s", j["wavefront_s"], "s",
+                "hw_wavefront_1mbp.py", native_s=j["native_s"],
+                cold_s=j["cold_s"], ratio_vs_native=j["ratio"],
+                distance=j["distance"])
+    else:
+        cap.skip("wavefront_1mbp", f"rc={rc} {err[-150:]}")
+
+
 def step_cli(cap):
     """Compiled CLI vs the reference aligner binary (CPU-only): wall-time
     ratio with byte-identical output asserted by the harness."""
@@ -295,8 +310,8 @@ def main(argv=None):
              "banded_nw": step_banded_nw, "chunks": step_chunk_sweep,
              "roofline": step_roofline, "banded": step_banded_revshw,
              "e2e": step_e2e, "scaling": step_scaling,
-             "cli": step_cli, "latency": step_latency,
-             "tests": step_hw_tests}
+             "wavefront": step_wavefront_1mbp, "cli": step_cli,
+             "latency": step_latency, "tests": step_hw_tests}
     cpu_only = {"latency", "cli"}
     if args.steps:
         order = [s.strip() for s in args.steps.split(",")]
@@ -304,7 +319,8 @@ def main(argv=None):
         order = ["bench", "two_phase", "banded_nw", "banded"]
     else:
         order = ["bench", "two_phase", "banded_nw", "chunks", "roofline",
-                 "banded", "e2e", "scaling", "cli", "latency", "tests"]
+                 "banded", "e2e", "scaling", "wavefront", "cli", "latency",
+                 "tests"]
 
     if set(order) - cpu_only:  # any step that needs the chip?
         ok, err = probe()
