@@ -91,6 +91,41 @@ int main() {
     assert(cempty.editDistance == 2 && cempty.endLocations[0] == 1);
     edlibFreeAlignResult(cempty);
 
+    // Randomized ASan/UBSan exerciser: every mode x task x k regime over
+    // mixed alphabets and word-boundary lengths — in particular the
+    // in-place wildcard extension (t_ids slack bytes), the lazy/window
+    // transforms, and the uninitialized location buffers are bounds- and
+    // lifetime-checked here under -fsanitize.  Invariants only (the
+    // oracle-differential correctness suites live in tests/).
+    srand(1234);
+    const int sigmas[5] = {2, 4, 26, 200, 256};
+    const int qlens[8] = {0, 1, 63, 64, 65, 120, 128, 300};
+    const int tlens[5] = {0, 1, 64, 500, 4096};
+    const int ks[4] = {-1, 0, 2, 1000};
+    const EdlibAlignMode modes[3] = {EDLIB_MODE_NW, EDLIB_MODE_SHW,
+                                     EDLIB_MODE_HW};
+    const EdlibAlignTask tasks[3] = {EDLIB_TASK_DISTANCE, EDLIB_TASK_LOC,
+                                     EDLIB_TASK_PATH};
+    for (int trial = 0; trial < 300; trial++) {
+        int sigma = sigmas[rand() % 5];
+        int qlen = qlens[rand() % 8];
+        int tlen = tlens[rand() % 5];
+        std::vector<char> qb(qlen ? qlen : 1), tb(tlen ? tlen : 1);
+        for (int i = 0; i < qlen; i++) qb[i] = (char)(rand() % sigma);
+        for (int i = 0; i < tlen; i++) tb[i] = (char)(rand() % sigma);
+        EdlibEqualityPair pairs[2] = {{(char)0, (char)1},
+                                      {(char)(sigma - 1), (char)0}};
+        EdlibAlignConfig cfg = edlibNewAlignConfig(
+            ks[rand() % 4], modes[rand() % 3], tasks[rand() % 3],
+            rand() % 2 ? pairs : nullptr, rand() % 2 ? 2 : 0);
+        EdlibAlignResult rr = edlibAlign(qb.data(), qlen, tb.data(), tlen,
+                                         cfg);
+        assert(rr.status == EDLIB_STATUS_OK);
+        if (rr.editDistance >= 0 && qlen && tlen)
+            assert(rr.numLocations >= 1);
+        edlibFreeAlignResult(rr);
+    }
+
     printf("native memcheck harness OK\n");
     return 0;
 }
