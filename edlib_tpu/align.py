@@ -22,6 +22,7 @@ overall best equals Q).  We reproduce that rule word-size-independently.
 from __future__ import annotations
 
 import os
+import time
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -212,6 +213,8 @@ def _nw_wavefront_run(q_ids, t_ids, eq, k_eff) -> int:
 # comparable to the device sweep's wall time (measured rates on the 1Mbp
 # pair: native banded ~30 GCUPS-at-band vs wavefront ~280 GCUPS raw).
 _RACE_BUDGET_FACTOR = 16
+# Base device-wedge deadline (compile + dispatch allowance); tests shrink.
+_RACE_BASE_DEADLINE_S = 120.0
 
 
 def _nw_race(q_ids, t_ids, eq, k_eff) -> int:
@@ -285,8 +288,14 @@ def _nw_race(q_ids, t_ids, eq, k_eff) -> int:
     td = threading.Thread(target=device_side, daemon=True)
     tn.start()
     td.start()
+    # Deadline: a tunneled device can wedge MID-RUN (after the bounded
+    # device_ready probe passed).  Give the device generous compile +
+    # sweep time scaled to the problem, then stop waiting on it — the
+    # daemon thread is abandoned and the uncapped native engine answers.
+    deadline = (time.monotonic() + _RACE_BASE_DEADLINE_S
+                + (qlen * tlen) / 50e9)  # ~50 GCUPS worst-case device rate
     while True:
-        done.wait()
+        done.wait(timeout=max(0.1, deadline - time.monotonic()))
         done.clear()
         n = state.get("native")
         d = state.get("device")
@@ -297,6 +306,8 @@ def _nw_race(q_ids, t_ids, eq, k_eff) -> int:
         if d and d[0] == "error" and n:  # both ran out of road
             break
         if n and d:  # native gave up, device errored (ordering races)
+            break
+        if time.monotonic() >= deadline and n:  # device wedged mid-run
             break
     # Fallback: plain native, uncapped (device unusable).
     return _nw_score_host(q_ids, t_ids, eq, k_eff, allow_device=False)

@@ -271,6 +271,57 @@ def test_nw_routing_similarity_aware(rng, monkeypatch):
         np.frombuffer(dis, np.uint8), np.frombuffer(t, np.uint8), "NW")[0]
 
 
+def test_nw_race_paths(rng, monkeypatch):
+    """_nw_race: native wins on similar pairs; a hung device falls back
+    to the uncapped native engine after the deadline; a device win is
+    returned when the native side's budget cap makes it give up."""
+    import importlib
+    import time as _time
+
+    align_mod = importlib.import_module("edlib_tpu.align")
+    from edlib_tpu.oracle import edit_distance_simple
+
+    t = bytes(rng.choice(list(b"ACGT"), 4000).tolist())
+    sim = bytearray(t)
+    for i in rng.choice(4000, 40, replace=False):
+        sim[i] = rng.choice(list(b"ACGT"))
+    sim = bytes(sim)
+    dis = bytes(rng.choice(list(b"ACGT"), 4000).tolist())
+    eq = np.eye(4, dtype=bool)
+
+    def ids(s):
+        lut = {65: 0, 67: 1, 71: 2, 84: 3}
+        return np.array([lut[c] for c in s], np.uint8)
+
+    want_sim = edit_distance_simple(
+        np.frombuffer(sim, np.uint8), np.frombuffer(t, np.uint8), "NW")[0]
+    want_dis = edit_distance_simple(
+        np.frombuffer(dis, np.uint8), np.frombuffer(t, np.uint8), "NW")[0]
+
+    # 1) Similar pair: native side is definitive before any device answer.
+    monkeypatch.setattr(align_mod, "_nw_wavefront_run",
+                        lambda *a, **kw: (_time.sleep(30), 0)[1])
+    monkeypatch.setattr(align_mod, "_RACE_BASE_DEADLINE_S", 25.0)
+    assert align_mod._nw_race(ids(sim), ids(t), eq,
+                              align_mod._INF) == want_sim
+
+    # 2) Dissimilar pair (native budget cap < distance -> gives up),
+    #    device hung: the deadline fires and the uncapped native fallback
+    #    still answers exactly.
+    monkeypatch.setattr(align_mod, "_RACE_BASE_DEADLINE_S", 1.0)
+    t0 = _time.monotonic()
+    assert align_mod._nw_race(ids(dis), ids(t), eq,
+                              align_mod._INF) == want_dis
+    assert _time.monotonic() - t0 < 20  # did not wait out the sleep(30)
+
+    # 3) Device answers while the native side has given up.
+    monkeypatch.setattr(align_mod, "_nw_wavefront_run",
+                        lambda *a, **kw: want_dis)
+    monkeypatch.setattr(align_mod, "_RACE_BASE_DEADLINE_S", 60.0)
+    assert align_mod._nw_race(ids(dis), ids(t), eq,
+                              align_mod._INF) == want_dis
+
+
 def test_align_nw_wavefront_route(rng, monkeypatch):
     """align() routes huge NW pairs to the banded wavefront; with the
     threshold lowered the two routes must agree exactly (incl. k and
