@@ -143,11 +143,8 @@ if backend == "native":
 import jax
 # Persistent compilation cache: repeat benchmark runs skip the (slow,
 # sometimes minutes over a tunneled TPU) cold compile.
-try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-except Exception:
-    pass
+from edlib_tpu.utils.jaxcache import ensure_compile_cache
+ensure_compile_cache()  # shared persistent cache (~/.cache/edlib_tpu)
 import jax.numpy as jnp
 from edlib_tpu.ops.pallas_kernel import (
     B_TILE, build_peq_device, pack_tiles_device, sweep_best_pallas_shared)

@@ -139,6 +139,13 @@ def _wavefront_threshold() -> int:
                                _WAVEFRONT_FLOOR_CELLS, _WAVEFRONT_CEIL_CELLS)
 
 
+def _wavefront_gate() -> int:
+    """Cheap integer pre-gate (no RTT probe, no jax import) shared by the
+    device-routing call sites — one definition so they cannot drift."""
+    return (_WAVEFRONT_MIN_CELLS if _WAVEFRONT_MIN_CELLS is not None
+            else _WAVEFRONT_FLOOR_CELLS)
+
+
 def _nw_wavefront_enabled(qlen: int, tlen: int, sigma: int,
                           cells: Optional[int] = None) -> bool:
     # Size gate first: it is a pure integer compare and excludes ~all calls
@@ -150,9 +157,7 @@ def _nw_wavefront_enabled(qlen: int, tlen: int, sigma: int,
     # _nw_effective_cells); raw qlen*tlen when the caller has no bound.
     if cells is None:
         cells = qlen * tlen
-    gate = (_WAVEFRONT_MIN_CELLS if _WAVEFRONT_MIN_CELLS is not None
-            else _WAVEFRONT_FLOOR_CELLS)
-    if cells < gate:
+    if cells < _wavefront_gate():
         return False
     from edlib_tpu.ops.wavefront import MAX_SIGMA_WAVEFRONT
     if sigma >= MAX_SIGMA_WAVEFRONT:
@@ -176,7 +181,8 @@ def _nw_wavefront_enabled(qlen: int, tlen: int, sigma: int,
         return False
 
 
-def _nw_effective_cells(q_ids, t_ids, eq, k_eff) -> int:
+def _nw_effective_cells(q_ids, t_ids, eq, k_eff,
+                        d_ub: Optional[int] = None) -> int:
     """Similarity-aware DP cost estimate for NW routing.
 
     The native banded engine visits ~2*(d+1)*max_len cells once the
@@ -186,12 +192,14 @@ def _nw_effective_cells(q_ids, t_ids, eq, k_eff) -> int:
     engine beats the device (measured round 3: 2.07s native vs 3.55s
     wavefront on the 97% 1Mbp pair) and raw-cell routing picks wrong.
     Estimate the banded cost from the O(n) substitution upper bound
-    (hamming + length difference, equality-aware); a finite user k caps it
-    too (the band never exceeds k).  Conservative for indel-shifted pairs
-    (hamming >> d), where the estimate stays near raw cells and the
-    wavefront keeps the job."""
+    (hamming + length difference, equality-aware; pass d_ub to reuse a
+    bound already computed); a finite user k caps it too (the band never
+    exceeds k).  Conservative for indel-shifted pairs (hamming >> d),
+    where the estimate stays near raw cells and the wavefront keeps the
+    job."""
     qlen, tlen = len(q_ids), len(t_ids)
-    d_ub = encode.nw_upper_bound(q_ids, t_ids, eq)
+    if d_ub is None:
+        d_ub = encode.nw_upper_bound(q_ids, t_ids, eq)
     if not (k_eff is _INF or k_eff >= (1 << 40)):
         d_ub = min(d_ub, int(k_eff) + 1)
     return min(qlen * tlen, 2 * (d_ub + 1) * max(qlen, tlen))
@@ -217,7 +225,7 @@ _RACE_BUDGET_FACTOR = 16
 _RACE_BASE_DEADLINE_S = 120.0
 
 
-def _nw_race(q_ids, t_ids, eq, k_eff) -> int:
+def _nw_race(q_ids, t_ids, eq, k_eff, d_ub: Optional[int] = None) -> int:
     """NW distance for big pairs: device wavefront and budget-capped
     native ladder run CONCURRENTLY; first definitive answer wins.
 
@@ -235,8 +243,9 @@ def _nw_race(q_ids, t_ids, eq, k_eff) -> int:
     from edlib_tpu import native_loader
 
     qlen, tlen = len(q_ids), len(t_ids)
-    bound = max(1, min(max(qlen, tlen),
-                       encode.nw_upper_bound(q_ids, t_ids, eq)))
+    if d_ub is None:
+        d_ub = encode.nw_upper_bound(q_ids, t_ids, eq)
+    bound = max(1, min(max(qlen, tlen), d_ub))
     k_user = (None if (k_eff is _INF or k_eff >= (1 << 40))
               else int(k_eff))
     k_budget = max(1024, (qlen * tlen)
@@ -279,8 +288,8 @@ def _nw_race(q_ids, t_ids, eq, k_eff) -> int:
         try:
             state["device"] = ("done",
                                _nw_wavefront_run(q_ids, t_ids, eq, k_eff))
-        except Exception:
-            state["device"] = ("error", None)
+        except Exception as e:
+            state["device"] = ("error", e)
         finally:
             done.set()
 
@@ -309,8 +318,28 @@ def _nw_race(q_ids, t_ids, eq, k_eff) -> int:
             break
         if time.monotonic() >= deadline and n:  # device wedged mid-run
             break
-    # Fallback: plain native, uncapped (device unusable).
-    return _nw_score_host(q_ids, t_ids, eq, k_eff, allow_device=False)
+    # Device unusable.  Resume the native ladder where the race side
+    # stopped (d > cap is already proven) instead of restarting at 64.
+    n = state.get("native")
+    d = state.get("device")
+    ctx = _native_ctx(q_ids, t_ids, eq)
+    if ctx is None:
+        if d and d[0] == "error" and d[1] is not None:
+            # No fast host engine either: surface the device failure
+            # rather than grinding the O(q*t) bigint engine for hours.
+            raise d[1]
+        return _nw_score_host(q_ids, t_ids, eq, k_eff, allow_device=False)
+    peq64, _, _ = ctx
+    k = cap * 2 if (n and n[0] == "gaveup") else 64
+    while True:
+        kk = min(k, definitive_cap)
+        dist = native_loader.nw_distance_banded_native(
+            peq64, t_ids, qlen, kk)
+        if dist >= 0:
+            return dist
+        if kk >= definitive_cap:
+            return -1  # proven d > k_eff (unreachable for unbounded k)
+        k *= 2
 
 
 def _nw_score_host(q_ids, t_ids, eq, k_eff, allow_device: bool = True) -> int:
@@ -320,19 +349,19 @@ def _nw_score_host(q_ids, t_ids, eq, k_eff, allow_device: bool = True) -> int:
     PATH pipeline keeps the distance native, where it is a small fraction
     of the Hirschberg work and device dispatch would only add latency."""
     qlen, tlen = len(q_ids), len(t_ids)
-    eff_cells = None
-    if allow_device:
-        gate = (_WAVEFRONT_MIN_CELLS if _WAVEFRONT_MIN_CELLS is not None
-                else _WAVEFRONT_FLOOR_CELLS)
-        if qlen * tlen >= gate:  # O(n) bound only for device candidates
-            eff_cells = _nw_effective_cells(q_ids, t_ids, eq, k_eff)
+    eff_cells = d_ub = None
+    if allow_device and qlen * tlen >= _wavefront_gate():
+        # O(n) bound only for device candidates; computed once and shared
+        # with the race's native ladder cap.
+        d_ub = encode.nw_upper_bound(q_ids, t_ids, eq)
+        eff_cells = _nw_effective_cells(q_ids, t_ids, eq, k_eff, d_ub)
     if allow_device and _nw_wavefront_enabled(qlen, tlen, eq.shape[0],
                                               eff_cells):
         forced = os.environ.get("EDLIB_TPU_FORCE_PALLAS", "")
         if forced or os.environ.get("EDLIB_TPU_NW_RACE", "") in ("0",
                                                                  "off"):
             return _nw_wavefront_run(q_ids, t_ids, eq, k_eff)
-        return _nw_race(q_ids, t_ids, eq, k_eff)
+        return _nw_race(q_ids, t_ids, eq, k_eff, d_ub)
     ctx = _native_ctx(q_ids, t_ids, eq)
     if ctx is not None:
         from edlib_tpu import native_loader

@@ -45,7 +45,10 @@ def ensure_compile_cache() -> None:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         # Anything that takes >=0.5s to compile is worth persisting (the
-        # jax default of 1s skips mid-size kernels).
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # jax default of 1s skips mid-size kernels) — unless the user
+        # pinned the knob themselves.
+        if not os.environ.get("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"):
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              0.5)
     except Exception:  # never let cache setup break compute
         pass

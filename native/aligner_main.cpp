@@ -212,14 +212,18 @@ int main(int argc, char** argv) {
         // (aligner.cpp:162-225); output stays byte-identical because
         // results are stored by index and progress integers are emitted
         // in ascending order under a lock.  Per-pair internal threading
-        // (threaded Hirschberg) is disabled so the pool supplies all the
-        // parallelism — nested forking thrashes (batch.py:730-738).
-        if (task == EDLIB_TASK_PATH && !thr_env)
-            setenv("EDLIB_TPU_THREADS", "0", 1);
-        unsigned n_workers = std::thread::hardware_concurrency();
+        // (threaded Hirschberg) is ALWAYS disabled while pooling — the
+        // pool supplies all the parallelism, nested forking thrashes
+        // (batch.py:730-738) — so EDLIB_TPU_THREADS > 1 sizes the POOL
+        // instead of enabling per-pair threads.
+        unsigned n_workers = 0;
+        if (thr_env) n_workers = (unsigned)atoi(thr_env);
+        if (n_workers < 1) n_workers = std::thread::hardware_concurrency();
         if (n_workers < 1) n_workers = 1;
         if ((int64_t)n_workers > queries.n_seqs)
             n_workers = (unsigned)queries.n_seqs;
+        if (task == EDLIB_TASK_PATH)
+            setenv("EDLIB_TPU_THREADS", "0", 1);
         std::atomic<int64_t> next(0), done(0);
         std::mutex print_mu;
         int64_t printed = 0;

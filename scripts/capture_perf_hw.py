@@ -300,9 +300,14 @@ def main(argv=None):
     ap.add_argument("--steps", default=None,
                     help="comma list: bench,two_phase,banded_nw,chunks,"
                          "roofline,banded,tests")
-    ap.add_argument("--merge", action="store_true",
+    ap.add_argument("--merge", action="store_true", default=True,
                     help="keep existing PERF_HW.json rows whose metric is "
-                         "not re-captured this run")
+                         "not re-captured this run (DEFAULT — a partial "
+                         "run, e.g. CPU-only after a failed TPU probe, "
+                         "must never destroy captured device rows)")
+    ap.add_argument("--fresh", dest="merge", action="store_false",
+                    help="discard all prior rows and write only this "
+                         "run's captures")
     args = ap.parse_args(argv)
 
     cap = Capture()

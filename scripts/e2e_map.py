@@ -32,11 +32,8 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     import jax
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+    from edlib_tpu.utils.jaxcache import ensure_compile_cache
+    ensure_compile_cache()  # shared persistent cache (~/.cache/edlib_tpu)
     import edlib_tpu
 
     rng = np.random.RandomState(1)

@@ -45,11 +45,8 @@ def main():
     import jax
     if jax.default_backend() != "tpu":  # CPU smoke: tiny shapes
         B, QLEN, TARGET_LEN = 6, 512, 8_000
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+    from edlib_tpu.utils.jaxcache import ensure_compile_cache
+    ensure_compile_cache()  # shared persistent cache (~/.cache/edlib_tpu)
     from edlib_tpu import align_batch
 
     smoke = jax.default_backend() != "tpu"

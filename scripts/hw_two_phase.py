@@ -88,11 +88,8 @@ def bench_reduce(shared=False):
     import os
     import jax
     import jax.numpy as jnp
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+    from edlib_tpu.utils.jaxcache import ensure_compile_cache
+    ensure_compile_cache()  # shared persistent cache (~/.cache/edlib_tpu)
     from edlib_tpu.ops import pallas_kernel as pk
 
     B = int(os.environ.get("B", 2048))
@@ -163,10 +160,8 @@ def bench_hits():
     """Phase-2 cost on the same workload (single calls, wall incl. fetch)."""
     import jax
     import jax.numpy as jnp
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    except Exception:
-        pass
+    from edlib_tpu.utils.jaxcache import ensure_compile_cache
+    ensure_compile_cache()  # shared persistent cache (~/.cache/edlib_tpu)
     from edlib_tpu.ops import pallas_kernel as pk
 
     B, QLEN, TLEN, SIGMA, CHUNK = 2048, 120, 4000, 4, 256
@@ -211,11 +206,8 @@ def bench_banded():
     import os
     import jax
     import jax.numpy as jnp
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+    from edlib_tpu.utils.jaxcache import ensure_compile_cache
+    ensure_compile_cache()  # shared persistent cache (~/.cache/edlib_tpu)
     from edlib_tpu.ops import pallas_kernel as pk
 
     B = int(os.environ.get("B", 2048))

@@ -22,11 +22,8 @@ CHROM_DIR = os.path.join(
 
 def main():
     import jax
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+    from edlib_tpu.utils.jaxcache import ensure_compile_cache
+    ensure_compile_cache()  # shared persistent cache (~/.cache/edlib_tpu)
     from edlib_tpu.io.fasta import read_fasta_bytes
     from edlib_tpu.longpair import nw_distance_long
 

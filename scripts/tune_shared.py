@@ -34,11 +34,8 @@ def main(chunk: int, reps: int):
     smoke = jax.default_backend() != "tpu"
     if smoke:  # CPU smoke test: tiny shapes, interpret-mode kernel
         B, TARGET_LEN, reps = 1024, 4 * chunk, 2
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+    from edlib_tpu.utils.jaxcache import ensure_compile_cache
+    ensure_compile_cache()  # shared persistent cache (~/.cache/edlib_tpu)
     import jax.numpy as jnp
 
     from edlib_tpu import encode

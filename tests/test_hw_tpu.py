@@ -30,11 +30,8 @@ _CHILD_PRELUDE = r"""
 import json, sys
 import numpy as np
 import jax
-try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-except Exception:
-    pass
+from edlib_tpu.utils.jaxcache import ensure_compile_cache
+ensure_compile_cache()  # shared persistent cache (~/.cache/edlib_tpu)
 assert jax.default_backend() == "tpu", jax.default_backend()
 """
 
