@@ -83,6 +83,8 @@ def map_reads(reads: Sequence, target, mode="HW", k: int = -1, mesh=None
     hin0 = 0 if mode == AlignMode.HW else 1
     dev = None
     import os as _os
+    if mesh is None and mode == AlignMode.HW:
+        mesh = _auto_mesh(B, len(t_ids))
     if mesh is not None and mode == AlignMode.HW:
         dev = _map_reads_sharded(read_ids, t_ids, sigma, mesh)
     if (dev is None
@@ -112,6 +114,41 @@ def map_reads(reads: Sequence, target, mode="HW", k: int = -1, mesh=None
         best[i] = b
         pos[i] = p
     return best, pos
+
+
+def _auto_mesh(B: int, tlen: int):
+    """Use every attached chip without being asked: a multi-device all-TPU
+    process auto-builds the ("dp", "sp") alignment mesh for device-worthy
+    HW mapping workloads (the reference has no multi-device story to
+    mirror; a user on a slice should not leave N-1 chips idle).
+
+    EDLIB_TPU_AUTO_MESH: unset/"" = TPU-only auto (default); "0" = never;
+    "1" = any multi-device platform (virtual CPU meshes — tests).
+    EDLIB_TPU_AUTO_MESH_MIN_CELLS overrides the workload floor (default
+    1e9 raw cells — splitting smaller jobs across chips just multiplies
+    dispatch overhead)."""
+    import os as _os
+    flag = _os.environ.get("EDLIB_TPU_AUTO_MESH", "")
+    if flag == "0" or _os.environ.get("EDLIB_TPU_DISABLE_DEVICE"):
+        return None
+    floor = int(_os.environ.get("EDLIB_TPU_AUTO_MESH_MIN_CELLS",
+                                "1000000000"))
+    if B * tlen < floor:  # not slice-worthy; stay off jax entirely
+        return None
+    try:
+        from edlib_tpu.utils import hw
+        if flag != "1" and not hw.device_ready():
+            return None
+        import jax
+        devs = jax.devices()
+        if len(devs) < 2:
+            return None
+        if flag != "1" and not all(d.platform == "tpu" for d in devs):
+            return None
+        from edlib_tpu.parallel import make_alignment_mesh
+        return make_alignment_mesh()
+    except Exception:
+        return None
 
 
 def _map_reads_sharded(read_ids, t_ids, sigma, mesh):

@@ -43,6 +43,47 @@ def test_map_reads_device_path_interpret(rng, monkeypatch):
         assert (best[i], pos[i]) == want, i
 
 
+def test_map_reads_auto_mesh(rng, monkeypatch):
+    """With multiple devices and no explicit mesh, map_reads auto-builds
+    the ("dp","sp") mesh (EDLIB_TPU_AUTO_MESH=1 lifts the TPU-only gate
+    so the virtual 8-device CPU mesh exercises it) — results equal the
+    explicit-mesh and host paths."""
+    import edlib_tpu.mapping as mapping_mod
+    from edlib_tpu.parallel import make_alignment_mesh
+
+    monkeypatch.setenv("EDLIB_TPU_AUTO_MESH", "1")
+    monkeypatch.setenv("EDLIB_TPU_AUTO_MESH_MIN_CELLS", "1")
+    target = bytes(rng.choice(list(b"ACGT"), 20000).tolist())
+    reads = []
+    for _ in range(16):
+        s = rng.randint(0, 20000 - 100)
+        r = np.frombuffer(target[s:s + 100], np.uint8).copy()
+        muts = rng.rand(100) < 0.05
+        r[muts] = rng.choice(list(b"ACGT"), muts.sum())
+        reads.append(r.tobytes())
+
+    built = []
+    orig = mapping_mod._map_reads_sharded
+
+    def spy(read_ids, t_ids, sigma, mesh):
+        built.append(tuple(mesh.devices.shape))
+        return orig(read_ids, t_ids, sigma, mesh)
+
+    monkeypatch.setattr(mapping_mod, "_map_reads_sharded", spy)
+    best, pos = map_reads(reads, target, mode="HW")
+    assert built and np.prod(built[0]) > 1, "auto mesh did not engage"
+    want_b, want_p = map_reads(reads, target, mode="HW",
+                               mesh=make_alignment_mesh())
+    assert np.array_equal(best, want_b) and np.array_equal(pos, want_p)
+    for i, r in enumerate(reads):
+        assert (best[i], pos[i]) == reference_first(r, target, "HW", -1), i
+    # "0" disables entirely.
+    built.clear()
+    monkeypatch.setenv("EDLIB_TPU_AUTO_MESH", "0")
+    map_reads(reads, target, mode="HW")
+    assert not built
+
+
 def test_map_reads_edges():
     best, pos = map_reads([], b"ACGT")
     assert best.shape == (0,)
