@@ -642,6 +642,15 @@ def align_batch_device(queries: Sequence, targets: Sequence,
             main_idx.append(i)
         results.append(res)
 
+    if mesh is None and mode != AlignMode.NW and main_idx:
+        # Slice-worthy semiglobal batches auto-shard over every attached
+        # chip (mapping._auto_mesh gates: all-TPU, >= 2 devices, cell
+        # floor, EDLIB_TPU_AUTO_MESH).  NW stays on the banded single-
+        # device kernel — its Ukkonen pruning beats raw dp sharding.
+        from edlib_tpu.mapping import _auto_mesh
+        mesh = _auto_mesh(sum(len(id_pairs[i][0]) * len(id_pairs[i][1])
+                              for i in main_idx))
+
     if main_idx and mode == AlignMode.NW and mesh is None:
         # NW needs only the final-column score: the banded kernel prunes
         # the word loop to Ukkonen's diagonal band with k-doubling.

@@ -84,7 +84,7 @@ def map_reads(reads: Sequence, target, mode="HW", k: int = -1, mesh=None
     dev = None
     import os as _os
     if mesh is None and mode == AlignMode.HW:
-        mesh = _auto_mesh(B, len(t_ids))
+        mesh = _auto_mesh(B * len(t_ids))
     if mesh is not None and mode == AlignMode.HW:
         dev = _map_reads_sharded(read_ids, t_ids, sigma, mesh)
     if (dev is None
@@ -116,11 +116,12 @@ def map_reads(reads: Sequence, target, mode="HW", k: int = -1, mesh=None
     return best, pos
 
 
-def _auto_mesh(B: int, tlen: int):
+def _auto_mesh(cells: int):
     """Use every attached chip without being asked: a multi-device all-TPU
-    process auto-builds the ("dp", "sp") alignment mesh for device-worthy
-    HW mapping workloads (the reference has no multi-device story to
-    mirror; a user on a slice should not leave N-1 chips idle).
+    process auto-builds the ("dp", "sp") alignment mesh for slice-worthy
+    workloads given their raw DP-cell count (the reference has no
+    multi-device story to mirror; a user on a slice should not leave N-1
+    chips idle).
 
     EDLIB_TPU_AUTO_MESH: unset/"" = TPU-only auto (default); "0" = never;
     "1" = any multi-device platform (virtual CPU meshes — tests).
@@ -133,7 +134,7 @@ def _auto_mesh(B: int, tlen: int):
         return None
     floor = int(_os.environ.get("EDLIB_TPU_AUTO_MESH_MIN_CELLS",
                                 "1000000000"))
-    if B * tlen < floor:  # not slice-worthy; stay off jax entirely
+    if cells < floor:  # not slice-worthy; stay off jax entirely
         return None
     try:
         from edlib_tpu.utils import hw

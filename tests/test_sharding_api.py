@@ -68,6 +68,39 @@ def test_align_batch_mesh_dp(workload, mode):
         assert r == align(q, t, mode=mode, task="locations")
 
 
+def test_align_batch_auto_mesh(workload, monkeypatch):
+    """With multiple devices and no explicit mesh, semiglobal align_batch
+    auto-shards (EDLIB_TPU_AUTO_MESH=1 lifts the TPU-only gate on the
+    virtual CPU mesh); results equal the single-device path and NW stays
+    on the banded kernel (no mesh built)."""
+    import edlib_tpu.mapping as mapping_mod
+
+    monkeypatch.setenv("EDLIB_TPU_AUTO_MESH", "1")
+    monkeypatch.setenv("EDLIB_TPU_AUTO_MESH_MIN_CELLS", "1")
+    # Reach the device driver on CPU (the auto backend routes small
+    # CPU-only batches to the host engines before the auto-mesh hook).
+    monkeypatch.setenv("EDLIB_TPU_FORCE_PALLAS", "interpret")
+    reads, target = workload
+    built = []
+    orig = mapping_mod._auto_mesh
+
+    def spy(cells):
+        m = orig(cells)
+        built.append(m)
+        return m
+
+    monkeypatch.setattr(mapping_mod, "_auto_mesh", spy)
+    import edlib_tpu.batch as batch_mod
+    got = align_batch(reads, target, mode="HW", task="locations")
+    assert built and built[0] is not None, "auto mesh did not engage"
+    for q, r in zip(reads, got):
+        assert r == align(q, target, mode="HW", task="locations")
+    built.clear()
+    align_batch(reads, [target[:300]] * len(reads), mode="NW",
+                task="distance")
+    assert not built, "NW must not auto-mesh (banded kernel wins)"
+
+
 @pytest.mark.slow
 def test_align_batch_mesh_with_k(workload):
     reads, target = workload
