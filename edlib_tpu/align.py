@@ -303,6 +303,7 @@ def _nw_race(q_ids, t_ids, eq, k_eff, d_ub: Optional[int] = None) -> int:
     # daemon thread is abandoned and the uncapped native engine answers.
     deadline = (time.monotonic() + _RACE_BASE_DEADLINE_S
                 + (qlen * tlen) / 50e9)  # ~50 GCUPS worst-case device rate
+    extended = False
     while True:
         done.wait(timeout=max(0.1, deadline - time.monotonic()))
         done.clear()
@@ -316,8 +317,20 @@ def _nw_race(q_ids, t_ids, eq, k_eff, d_ub: Optional[int] = None) -> int:
             break
         if n and d:  # native gave up, device errored (ordering races)
             break
-        if time.monotonic() >= deadline and n:  # device wedged mid-run
-            break
+        if time.monotonic() >= deadline and n:
+            # Healthy-but-slow is indistinguishable from wedged by wall
+            # clock alone, and abandoning a live device here hands the pair
+            # to the UNCAPPED native ladder — the engine that was too slow
+            # to finish inside its race budget.  A cold Mosaic compile over
+            # a tunneled backend can alone exceed the base deadline, so give
+            # a still-running device thread one doubled grace period before
+            # declaring it wedged.
+            if not extended and td.is_alive():
+                extended = True
+                deadline = (time.monotonic() + _RACE_BASE_DEADLINE_S
+                            + (qlen * tlen) / 25e9)
+                continue
+            break  # device wedged mid-run
     # Device unusable.  Resume the native ladder where the race side
     # stopped (d > cap is already proven) instead of restarting at 64.
     n = state.get("native")

@@ -84,7 +84,9 @@ def map_reads(reads: Sequence, target, mode="HW", k: int = -1, mesh=None
     dev = None
     import os as _os
     if mesh is None and mode == AlignMode.HW:
-        mesh = _auto_mesh(B * len(t_ids))
+        # Raw DP cells, the same metric batch.py passes (sum qlen*tlen) —
+        # EDLIB_TPU_AUTO_MESH_MIN_CELLS must mean one thing at both sites.
+        mesh = _auto_mesh(sum(len(r) for r in read_ids) * len(t_ids))
     if mesh is not None and mode == AlignMode.HW:
         dev = _map_reads_sharded(read_ids, t_ids, sigma, mesh)
     if (dev is None

@@ -41,12 +41,51 @@ SUBLANES = 8
 B_TILE = SUBLANES * LANES  # 1024 alignments per kernel tile
 MAX_SIGMA_PALLAS = 32      # legacy blanket cap; prefer max_sigma1()
 
-# A v5e core has 128MiB of VMEM but Mosaic enforces a 16MiB *scoped* limit
-# by default, which long-query kernels overflow (nw=256 words of Peq is
-# 10.5MiB double-buffered — an 8kbp batch with banding off died at 16.53M).
-# Raise the cap for every kernel here; max_sigma1 budgets against it.
-VMEM_LIMIT_BYTES = 96 * 1024 * 1024
-_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES)
+# A v4/v5 core has 128MiB of VMEM but Mosaic enforces a 16MiB *scoped*
+# limit by default, which long-query kernels overflow (nw=256 words of Peq
+# is 10.5MiB double-buffered — an 8kbp batch with banding off died at
+# 16.53M).  Raise the cap for every kernel — but only as far as the
+# attached generation physically has: v2/v3 cores carry 16MiB of VMEM, so
+# admitting 96MiB there would turn a clean host-path routing decision into
+# a Mosaic compile failure at runtime.  Resolved lazily (jax backend init
+# must stay behind the bounded device_ready probes) and cached; unknown
+# generations get a conservative 32MiB (an 8MiB Peq budget via the /4
+# split in max_sigma1).  EDLIB_TPU_VMEM_LIMIT_MB overrides.
+_VMEM_BY_GENERATION = {2: 16, 3: 16}  # MiB of physical VMEM per core
+_VMEM_DEFAULT_MB = 96                 # v4/v5/v6 (128MiB physical)
+_VMEM_UNKNOWN_MB = 32
+_vmem_limit_cache = None
+
+
+def vmem_limit_bytes() -> int:
+    """Mosaic scoped-VMEM cap for this process's default device (lazy)."""
+    global _vmem_limit_cache
+    if _vmem_limit_cache is not None:
+        return _vmem_limit_cache
+    import os
+    import re
+    env = os.environ.get("EDLIB_TPU_VMEM_LIMIT_MB")
+    if env:
+        _vmem_limit_cache = int(env) * 1024 * 1024
+        return _vmem_limit_cache
+    mb = _VMEM_UNKNOWN_MB
+    try:
+        dev = jax.devices()[0]
+        if dev.platform != "tpu":
+            mb = _VMEM_DEFAULT_MB  # interpret/CPU runs: limit is unused
+        else:
+            m = re.search(r"v(\d+)", getattr(dev, "device_kind", "") or "")
+            if m:
+                mb = _VMEM_BY_GENERATION.get(int(m.group(1)),
+                                             _VMEM_DEFAULT_MB)
+    except Exception:
+        pass
+    _vmem_limit_cache = mb * 1024 * 1024
+    return _vmem_limit_cache
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=vmem_limit_bytes())
 
 
 def max_sigma1(n_words: int, shared: bool) -> int:
@@ -55,15 +94,15 @@ def max_sigma1(n_words: int, shared: bool) -> int:
 
     Shared-target kernels fetch Eq rows by scalar index (no select
     chain), so their only bound is Peq residency in VMEM — budget a
-    quarter of VMEM_LIMIT_BYTES for Peq (it is double-buffered, and
+    quarter of vmem_limit_bytes() for Peq (it is double-buffered, and
     state tiles / target streams / unroll temporaries need the rest):
-    full 256-symbol alphabets fit up to ~192 words (6kbp queries).
-    General per-lane kernels pay an S1-way select per word per column;
-    64 keeps the select cost and Mosaic compile time sane (protein +
-    extended alphabets) — beyond that the native host path wins
-    regardless.
+    full 256-symbol alphabets fit up to ~192 words (6kbp queries) on
+    v4/v5 generations.  General per-lane kernels pay an S1-way select
+    per word per column; 64 keeps the select cost and Mosaic compile
+    time sane (protein + extended alphabets) — beyond that the native
+    host path wins regardless.
     """
-    vmem_rows = max(1, (VMEM_LIMIT_BYTES // 4)
+    vmem_rows = max(1, (vmem_limit_bytes() // 4)
                     // (max(1, n_words) * SUBLANES * LANES * 4))
     return min(257 if shared else 64, vmem_rows)
 
@@ -191,7 +230,7 @@ def sweep_scores_pallas(peq: jnp.ndarray, targets: jnp.ndarray, hin0: int,
             pltpu.VMEM((SUBLANES, LANES), jnp.int32),
         ],
         interpret=interpret,
-        compiler_params=None if interpret else _COMPILER_PARAMS,
+        compiler_params=None if interpret else _compiler_params(),
     )(targets, peq)
 
 
@@ -328,7 +367,7 @@ def sweep_best_pallas_shared(peq: jnp.ndarray, target_chunks: jnp.ndarray,
             pltpu.VMEM((SUBLANES, LANES), jnp.int32),
         ],
         interpret=interpret,
-        compiler_params=None if interpret else _COMPILER_PARAMS,
+        compiler_params=None if interpret else _compiler_params(),
     )(target_chunks, peq)
 
 
@@ -527,7 +566,7 @@ def _sweep_reduce_call(peq: jnp.ndarray, targets: jnp.ndarray,
             pltpu.VMEM((SUBLANES, LANES), jnp.int32),
         ],
         interpret=interpret,
-        compiler_params=None if interpret else _COMPILER_PARAMS,
+        compiler_params=None if interpret else _compiler_params(),
     )(targets, peq, lo, hi)
 
 
@@ -610,7 +649,7 @@ def _sweep_reduce_resumable_call(peq, targets, lo, hi, pv0, mv0, s0,
             pltpu.VMEM((SUBLANES, LANES), jnp.int32),
         ],
         interpret=interpret,
-        compiler_params=None if interpret else _COMPILER_PARAMS,
+        compiler_params=None if interpret else _compiler_params(),
     )(targets, peq, lo, hi, pv0, mv0, s0)
 
 
@@ -769,7 +808,7 @@ def _sweep_hits_call(peq: jnp.ndarray, targets: jnp.ndarray,
             pltpu.VMEM((SUBLANES, LANES), jnp.int32),
         ],
         interpret=interpret,
-        compiler_params=None if interpret else _COMPILER_PARAMS,
+        compiler_params=None if interpret else _compiler_params(),
     )(targets, peq, lo, hi, best)
 
 
@@ -956,7 +995,7 @@ def sweep_nw_banded_pallas(peq: jnp.ndarray, targets: jnp.ndarray,
             pltpu.VMEM((SUBLANES, LANES), jnp.int32),
         ],
         interpret=interpret,
-        compiler_params=None if interpret else _COMPILER_PARAMS,
+        compiler_params=None if interpret else _compiler_params(),
     )(woff, targets, peq, hi)
 
 
@@ -1107,7 +1146,7 @@ def sweep_shw_banded_pallas(peq: jnp.ndarray, targets: jnp.ndarray,
             pltpu.VMEM((SUBLANES, LANES), jnp.int32),
         ],
         interpret=interpret,
-        compiler_params=None if interpret else _COMPILER_PARAMS,
+        compiler_params=None if interpret else _compiler_params(),
     )(woff, targets, peq, lo, hi)
 
 
@@ -1237,7 +1276,7 @@ def sweep_shw_banded_hits_pallas(peq: jnp.ndarray, targets: jnp.ndarray,
             pltpu.VMEM((SUBLANES, LANES), jnp.int32),
         ],
         interpret=interpret,
-        compiler_params=None if interpret else _COMPILER_PARAMS,
+        compiler_params=None if interpret else _compiler_params(),
     )(woff, targets, peq, lo, hi, best)
 
 

@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from edlib_tpu import encode
-from edlib_tpu.ops.pallas_kernel import _COMPILER_PARAMS
+from edlib_tpu.ops.pallas_kernel import _compiler_params
 
 LANES = 128
 SUB_MIN = 8
@@ -237,7 +237,7 @@ def _wavefront_call(d_base, targets, peq, state, *, R, sigma1, chunk, hin0,
             pltpu.VMEM(shape, jnp.int32),    # running argmin
         ],
         interpret=interpret,
-        compiler_params=None if interpret else _COMPILER_PARAMS,
+        compiler_params=None if interpret else _compiler_params(),
     )(d_base, targets, peq, state)
 
 
@@ -581,7 +581,7 @@ def _wfb_call(params, enter, targets, state, *, R, sigma1, n_steps, n_words,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8 + sigma1,) + shape, jnp.uint32),
         interpret=interpret,
-        compiler_params=None if interpret else _COMPILER_PARAMS,
+        compiler_params=None if interpret else _compiler_params(),
     )(params, enter, targets, state)
 
 

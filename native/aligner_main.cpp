@@ -222,6 +222,8 @@ int main(int argc, char** argv) {
         if (n_workers < 1) n_workers = 1;
         if ((int64_t)n_workers > queries.n_seqs)
             n_workers = (unsigned)queries.n_seqs;
+        std::string saved_thr = thr_env ? thr_env : "";
+        bool had_thr = thr_env != nullptr;
         if (task == EDLIB_TASK_PATH)
             setenv("EDLIB_TPU_THREADS", "0", 1);
         std::atomic<int64_t> next(0), done(0);
@@ -251,6 +253,13 @@ int main(int argc, char** argv) {
         std::vector<std::thread> ts;
         for (unsigned w = 0; w < n_workers; w++) ts.emplace_back(worker);
         for (auto& th : ts) th.join();
+        // The no-internal-threads override is pool-scoped: restore the
+        // user's value so reusing this file as a library entry point (or
+        // any later in-process align call) sees the environment it set.
+        if (task == EDLIB_TASK_PATH) {
+            if (had_thr) setenv("EDLIB_TPU_THREADS", saved_thr.c_str(), 1);
+            else unsetenv("EDLIB_TPU_THREADS");
+        }
     } else {
     for (int64_t i = 0; i < queries.n_seqs; i++) {
         EdlibAlignConfig cfg = edlibNewAlignConfig(k, mode, task, NULL, 0);

@@ -8,6 +8,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <unistd.h>
 #include <vector>
 
 #include "edlib_compat.h"
@@ -16,7 +17,7 @@ typedef uint64_t Word;
 
 extern "C" {
 int etn_fasta_stat(const char*, int64_t*, int64_t*);
-int etn_fasta_read(const char*, char*, int64_t*);
+int etn_fasta_read(const char*, char*, int64_t*, int64_t, int64_t);
 int64_t etn_cigar_encode(const uint8_t*, int64_t, int, char*);
 void etn_build_peq(const uint8_t*, int64_t, const uint8_t*, int, Word*);
 void etn_sweep_scores(const Word*, int64_t, const uint8_t*, int64_t, int,
@@ -34,7 +35,53 @@ int etn_align(const uint8_t*, int64_t, const uint8_t*, int64_t, int, int,
               int32_t*, int32_t*, int64_t*, int32_t*);
 }
 
+static void check_fasta() {
+    // FASTA two-pass reader: headerless-tolerant (aligner.cpp:290-328
+    // contract), CRLF stripping, and the file-grew-between-passes
+    // truncation branch (edlib_tpu_native.cpp etn_fasta_read caps) — all
+    // bounds-checked here under the sanitizers.
+    char path[] = "/tmp/etn_check_fasta_XXXXXX";
+    int fd = mkstemp(path);
+    assert(fd >= 0);
+    const char* fasta =
+        "ACGT\r\nAC\n>seq2 header\nTTTT\nGG\n>empty\n>seq3\nA\n";
+    assert(write(fd, fasta, strlen(fasta)) == (ssize_t)strlen(fasta));
+    close(fd);
+
+    int64_t n_seqs = 0, total_len = 0;
+    assert(etn_fasta_stat(path, &n_seqs, &total_len) == 0);
+    assert(n_seqs == 3 && total_len == 13);  // ACGTAC, TTTTGG, A
+
+    std::vector<char> data(total_len);
+    std::vector<int64_t> offsets(n_seqs + 1);
+    assert(etn_fasta_read(path, data.data(), offsets.data(), total_len,
+                          n_seqs) == 0);
+    assert(offsets[0] == 0 && offsets[1] == 6 && offsets[2] == 12 &&
+           offsets[3] == 13);
+    assert(memcmp(data.data(), "ACGTACTTTTGGA", 13) == 0);
+
+    // Truncation: pretend the stat pass saw a smaller file (the read pass
+    // must stop at the caller's capacities, not overrun).
+    std::vector<char> small_data(5);
+    std::vector<int64_t> small_off(2 + 1);
+    assert(etn_fasta_read(path, small_data.data(), small_off.data(), 5,
+                          2) == 0);
+    assert(small_off[0] == 0 && memcmp(small_data.data(), "ACGTA", 5) == 0);
+    std::vector<char> one_seq_data(13);
+    std::vector<int64_t> one_off(1 + 1);
+    assert(etn_fasta_read(path, one_seq_data.data(), one_off.data(), 13,
+                          1) == 0);
+    assert(one_off[0] == 0 && one_off[1] == 6);  // stopped before seq2
+
+    assert(etn_fasta_stat("/nonexistent/etn", &n_seqs, &total_len) != 0);
+    assert(etn_fasta_read("/nonexistent/etn", data.data(), offsets.data(),
+                          1, 1) != 0);
+    unlink(path);
+}
+
 int main() {
+    check_fasta();
+
     // CIGAR
     uint8_t ops[] = {0, 0, 1, 2, 3, 3};
     char cig[128];
