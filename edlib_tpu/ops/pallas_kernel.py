@@ -1280,6 +1280,332 @@ def sweep_shw_banded_hits_pallas(peq: jnp.ndarray, targets: jnp.ndarray,
     )(woff, targets, peq, lo, hi, best)
 
 
+# ---------------------------------------------------------------------------
+# Value-adaptive banded semiglobal reduce (round 4).
+#
+# Static diagonal bands cannot prune HW read mapping (every column is a
+# candidate start, so no scan diagonal is dead a priori); the reference's
+# entire HW speed story is the *value*-adaptive Ukkonen band: drop the
+# bottom blocks while their cells provably exceed k, regrow them just in
+# time, and tighten k to the best score seen (edlib.cpp:601-642, 657-674).
+# This kernel is that machinery rebuilt for a 1024-lane VPU tile.
+#
+# MEASURED OUTCOME (v5e, bench workload 4096x120bp vs 64kbp shared target):
+# exact at every k, but 0.67x the unbanded shared kernel, and the runtime
+# is IDENTICAL at k=8 and k=32 — the shared band never shrinks.  The band
+# is one window for the whole tile (lanes are lockstep), and with ~1024
+# uncorrelated reads a few lanes are always within ~100 columns of their
+# match dip, so min-over-lanes keeps every word alive.  Tile-shared
+# value-adaptive banding is structurally unprofitable for uniform batched
+# mapping; it wins only when lanes' low-score regions are correlated
+# (shared-window batches, single-pair column streaming).  The shipped
+# batched pruning path is instead the exact MXU q-gram prefilter
+# (ops/qfilter.py) + windowed verification; this kernel is kept for the
+# correlated cases and for its dynamic-k SMEM ladder machinery:
+#
+# * The live band is a word window [0, w_hi) shared by the whole tile
+#   (lanes run in lockstep; per-lane bands would serialize the VPU).  w_hi
+#   lives in SMEM scratch and persists across target chunks.
+# * Adaptation happens every G columns: values move at most +-1 per
+#   column, so every reference rule holds with a G-column slack —
+#     shrink word w when  min_lanes(bottom_w - keff) >= 32 + G
+#       (cheap rule: all 32 cells then exceed keff for the whole group;
+#        reference: score >= k + WORD_SIZE, edlib.cpp:613-616),
+#     grow past the last live word while min_lanes(bottom - keff) <= G
+#       (reference: left-block bottom <= k, edlib.cpp:603-611; ramp
+#        bottoms +32 per extra word),
+#     and rejoining words reset to the (Pv=~0, Mv=0) ramp — the same
+#     upper-bound init as the reference's regrown block.
+# * keff = min(k, best-so-far) per lane: in-sweep k-tightening.  k itself
+#   is a dynamic SMEM scalar, so ONE compiled kernel serves the whole
+#   host-side k-doubling ladder (results are exact for lanes whose true
+#   best <= k; others emit overestimates > k and the host retries).
+# * The group body is a lax.switch over static live-width CLASSES: Mosaic
+#   needs static shapes, so w_hi is rounded up to the next class and each
+#   branch advances exactly that many words (dead words pass through in
+#   registers).  A scalar branch skips the dead words' vector work — the
+#   pruning is real, not masked.
+# * Every strong_period columns a strong reduce (reference
+#   STRONG_REDUCE_NUM, edlib.cpp:619-623) decodes exact per-word minimum
+#   cell values from the Pv/Mv bit deltas (suffix-max scan over unpacked
+#   bit planes) and re-evaluates the keep rule without the 32+G slack —
+#   this is what collapses the steady-state band to one word on mapping
+#   workloads.
+#
+# Per-word bottom scores ride as carried (8,128) tiles (sw[w] += hout
+# after word w — two extra VPU ops per live word-column); the bottom
+# word's sw IS the emitted score stream, reduced to (best, first, last)
+# exactly like _reduce_kernel.
+# ---------------------------------------------------------------------------
+
+
+def adaptive_classes(n_words: int):
+    """Static live-width classes for the adaptive kernel (ascending,
+    always ending at n_words).  Fine-grained at the bottom — mapping
+    workloads spend their steady state at 1-2 live words — and coarse
+    above to bound trace size (sum(classes) ~ 2.5 * n_words)."""
+    if n_words <= 4:
+        return list(range(1, n_words + 1))
+    cs = [1, 2, 4]
+    step = max(2, n_words // 4)
+    w = 4 + step
+    while w < n_words:
+        cs.append(w)
+        w += step
+    cs.append(n_words)
+    return sorted(set(c for c in cs if c <= n_words))
+
+
+def _min_cells_exact(pv, mv, bottom):
+    """Exact per-lane minimum cell value of one word from its bit deltas.
+
+    cell(r) = bottom - sum_{i>r} delta(i), delta(i) = Pv bit i - Mv bit i
+    (bit 0 = top row), so min_r cell(r) = bottom - max suffix-sum of the
+    deltas (empty suffix included: min <= bottom).  ~130 VPU ops — run
+    only inside the strong-reduce cond, every strong_period columns.
+    """
+    total = jnp.zeros(bottom.shape, jnp.int32)
+    best = jnp.zeros(bottom.shape, jnp.int32)
+    one = jnp.uint32(1)
+    for i in range(31, -1, -1):
+        d = ((pv >> jnp.uint32(i)) & one).astype(jnp.int32) \
+            - ((mv >> jnp.uint32(i)) & one).astype(jnp.int32)
+        total = total + d
+        best = jnp.maximum(best, total)
+    return bottom - best
+
+
+def _hw_adaptive_kernel(k_ref, woff_dummy_ref, targets_ref, peq_ref, lo_ref,
+                        hi_ref, best_ref, pfirst_ref, plast_ref,
+                        pv_ref, mv_ref, sw_ref, rb_ref, rpf_ref, rpl_ref,
+                        whi_ref, *, n_words: int, sigma1: int, chunk: int,
+                        group: int, classes, hin0: int, shared: bool,
+                        strong_every: int, interpret: bool):
+    """Value-adaptive banded semiglobal reduce (see section comment).
+
+    k_ref: (1,) int32 SMEM — the ladder k (dynamic; one compile per shape).
+    woff_dummy_ref: unused placeholder keeping the arg layout uniform.
+    Outputs (best, pfirst, plast) like _shw_banded_kernel.
+    """
+    del woff_dummy_ref
+    t_step = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    n_classes = len(classes)
+    k = k_ref[0]
+
+    @pl.when(t_step == 0)
+    def _reset():
+        pv_ref[...] = jnp.full((n_words, SUBLANES, LANES), _ONES, jnp.uint32)
+        mv_ref[...] = jnp.zeros((n_words, SUBLANES, LANES), jnp.uint32)
+        for wdx in range(n_words):
+            sw_ref[wdx] = jnp.full((SUBLANES, LANES), 32 * (wdx + 1),
+                                   jnp.int32)
+        rb_ref[...] = jnp.full((SUBLANES, LANES), _BIG, jnp.int32)
+        rpf_ref[...] = jnp.full((SUBLANES, LANES), -1, jnp.int32)
+        rpl_ref[...] = jnp.full((SUBLANES, LANES), -1, jnp.int32)
+        # Initial band: ceil((k+1)/32) words (edlib.cpp:562), rounded up
+        # to a class.
+        raw = jnp.clip((k + 32) // 32, 1, n_words)
+        whi0 = jnp.int32(classes[-1])
+        for c in reversed(classes[:-1]):
+            whi0 = jnp.where(raw <= c, jnp.int32(c), whi0)
+        whi_ref[0] = whi0
+
+    lo = lo_ref[...]
+    hi = hi_ref[...]
+
+    def column(base_c, j, cw, carry):
+        pvs, mvs, sws, rb, rpf, rpl = carry
+        c = base_c + j
+        sym = targets_ref[0, c] if shared else targets_ref[c]
+        hn = jnp.zeros((SUBLANES, LANES), jnp.uint32)
+        if hin0 == 0:
+            hp = jnp.zeros((SUBLANES, LANES), jnp.uint32)
+        else:
+            hp = jnp.ones((SUBLANES, LANES), jnp.uint32)
+        pvs, mvs, sws = list(pvs), list(mvs), list(sws)
+        for w in range(cw):
+            eq = _fetch_eq(peq_ref, sym, w, sigma1, shared)
+            pvs[w], mvs[w], hn, hp = _advance_word(pvs[w], mvs[w], eq, hn, hp)
+            sws[w] = sws[w] + hp.astype(jnp.int32) - hn.astype(jnp.int32)
+        if cw == n_words:
+            score = sws[n_words - 1]
+            col = t_step * chunk + c
+            in_win = (col >= lo) & (col < hi)
+            upd = (score < rb) & in_win
+            rpf = jnp.where(upd, col, rpf)
+            rpl = jnp.where((score <= rb) & in_win, col, rpl)
+            rb = jnp.where(upd, score, rb)
+        return tuple(pvs), tuple(mvs), tuple(sws), rb, rpf, rpl
+
+    def group_branch(cw):
+        def branch(base_c, carry):
+            if interpret:
+                return jax.lax.fori_loop(
+                    0, group,
+                    lambda j, car: column(base_c, j, cw, car), carry)
+            for j in range(group):
+                carry = column(base_c, j, cw, carry)
+            return carry
+        return branch
+
+    branches = [group_branch(cw) for cw in classes]
+
+    def adapt(g, whi, pvs, mvs, sws, rb):
+        """Group-boundary band update; returns (whi', pvs', mvs', sws')."""
+        keff = jnp.minimum(k, rb)
+        # Per-word min-lane relative bottoms (stale entries masked below).
+        m = [jnp.min(sws[w] - keff) for w in range(n_words)]
+        mlast = m[0]
+        last_bot = sws[0]
+        for w in range(1, n_words):
+            is_last = whi == w + 1
+            mlast = jnp.where(is_last, m[w], mlast)
+            last_bot = jnp.where(is_last, sws[w], last_bot)
+        grow = mlast <= group
+        n_grow = jnp.where(grow, (group - mlast) // 32 + 1, 0)
+        grown = jnp.minimum(jnp.int32(n_words), whi + n_grow)
+        keep_hi = jnp.int32(1)
+        for w in range(1, n_words):
+            keep = (w < whi) & (m[w] < 32 + group)
+            keep_hi = jnp.where(keep, jnp.int32(w + 1), keep_hi)
+        raw_whi = jnp.where(grow, grown, keep_hi)
+
+        if strong_every > 0:
+            # Strong reduce (exact min cells, no 32-cell slack) every
+            # strong_every groups — phase-offset by t_step so it also
+            # fires across chunk boundaries.
+            def strong(rw):
+                kh = jnp.int32(1)
+                for w in range(1, n_words):
+                    mc = jnp.min(_min_cells_exact(pvs[w], mvs[w], sws[w])
+                                 - keff)
+                    keep = (w < whi) & (mc <= group)
+                    kh = jnp.where(keep, jnp.int32(w + 1), kh)
+                return jnp.minimum(rw, jnp.maximum(kh, jnp.where(
+                    grow, grown, jnp.int32(1))))
+            gg = t_step * (chunk // group) + g + 1
+            raw_whi = jax.lax.cond(gg % strong_every == 0, strong,
+                                   lambda rw: rw, raw_whi)
+
+        # Round up to a class.
+        whi_new = jnp.int32(classes[-1])
+        for cclass in reversed(classes[:-1]):
+            whi_new = jnp.where(raw_whi <= cclass, jnp.int32(cclass),
+                                whi_new)
+        # Reset rejoining words to the ramp continuing from the last live
+        # word's bottom (upper bound; reference edlib.cpp:606-608).
+        pvs, mvs, sws = list(pvs), list(mvs), list(sws)
+        ones_t = jnp.full((SUBLANES, LANES), _ONES, jnp.uint32)
+        zero_t = jnp.zeros((SUBLANES, LANES), jnp.uint32)
+        for w in range(1, n_words):
+            rejoin = (w >= whi) & (w < whi_new)
+            pvs[w] = jnp.where(rejoin, ones_t, pvs[w])
+            mvs[w] = jnp.where(rejoin, zero_t, mvs[w])
+            sws[w] = jnp.where(rejoin, last_bot + 32 * (w - whi + 1),
+                               sws[w])
+        return whi_new, tuple(pvs), tuple(mvs), tuple(sws)
+
+    def group_step(g, carry):
+        whi, pvs, mvs, sws, rb, rpf, rpl = carry
+        idx = jnp.int32(0)
+        for ci, cclass in enumerate(classes[:-1]):
+            idx = jnp.where(whi > cclass, jnp.int32(ci + 1), idx)
+        pvs, mvs, sws, rb, rpf, rpl = jax.lax.switch(
+            idx, branches, g * group, (pvs, mvs, sws, rb, rpf, rpl))
+        whi, pvs, mvs, sws = adapt(g, whi, pvs, mvs, sws, rb)
+        return whi, pvs, mvs, sws, rb, rpf, rpl
+
+    carry0 = (whi_ref[0],
+              tuple(pv_ref[w] for w in range(n_words)),
+              tuple(mv_ref[w] for w in range(n_words)),
+              tuple(sw_ref[w] for w in range(n_words)),
+              rb_ref[...], rpf_ref[...], rpl_ref[...])
+    whi, pvs, mvs, sws, rb, rpf, rpl = jax.lax.fori_loop(
+        0, chunk // group, group_step, carry0)
+    for w in range(n_words):
+        pv_ref[w] = pvs[w]
+        mv_ref[w] = mvs[w]
+        sw_ref[w] = sws[w]
+    rb_ref[...] = rb
+    rpf_ref[...] = rpf
+    rpl_ref[...] = rpl
+    whi_ref[0] = whi
+
+    @pl.when(t_step == n_chunks - 1)
+    def _emit():
+        best_ref[...] = rb_ref[...]
+        pfirst_ref[...] = rpf_ref[...]
+        plast_ref[...] = rpl_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("hin0", "chunk", "group",
+                                             "shared", "strong_every",
+                                             "interpret"))
+def sweep_hw_adaptive_pallas(peq: jnp.ndarray, targets: jnp.ndarray,
+                             lo: jnp.ndarray, hi: jnp.ndarray,
+                             k: jnp.ndarray, hin0: int = 0,
+                             chunk: int = 256, group: int = 8,
+                             shared: bool = False, strong_every: int = 64,
+                             interpret: bool = False):
+    """Value-adaptive banded semiglobal reduce: (best, pfirst, plast) each
+    int32 (n_tiles, 8, 128) in scan-column space.
+
+    k: int32 (1,) — dynamic pruning threshold (plus in-sweep per-lane
+    tightening to the running best).  Exact for lanes whose true best is
+    <= k; other lanes emit overestimates > k (host ladder retries).
+    strong_every: exact min-cell strong reduce every this many groups
+    (0 disables).  chunk % group == 0.
+    """
+    n_tiles, sigma1, n_words = peq.shape[:3]
+    n_chunks = targets.shape[0] if shared else targets.shape[1]
+    assert chunk % group == 0
+    classes = tuple(adaptive_classes(n_words))
+    kernel = functools.partial(
+        _hw_adaptive_kernel, n_words=n_words, sigma1=sigma1, chunk=chunk,
+        group=group, classes=classes, hin0=hin0, shared=shared,
+        strong_every=strong_every, interpret=interpret)
+    if shared:
+        t_spec = pl.BlockSpec((None, 1, chunk), lambda i, j: (j, 0, 0),
+                              memory_space=pltpu.SMEM)
+    else:
+        t_spec = pl.BlockSpec((None, None, chunk, SUBLANES, LANES),
+                              lambda i, j: (i, j, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((None, SUBLANES, LANES), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    woff_dummy = jnp.zeros((1,), jnp.int32)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_chunks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            t_spec,
+            pl.BlockSpec((None, sigma1, n_words, SUBLANES, LANES),
+                         lambda i, j: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            tile_spec, tile_spec,
+        ],
+        out_specs=(tile_spec, tile_spec, tile_spec),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((n_tiles, SUBLANES, LANES), jnp.int32)
+            for _ in range(3)),
+        scratch_shapes=[
+            pltpu.VMEM((n_words, SUBLANES, LANES), jnp.uint32),
+            pltpu.VMEM((n_words, SUBLANES, LANES), jnp.uint32),
+            pltpu.VMEM((n_words, SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
+    )(jnp.asarray(k, jnp.int32).reshape(1), woff_dummy, targets, peq,
+      lo, hi)
+
+
 def nw_band_schedule(n_words: int, n_chunks: int, chunk: int,
                      d_lo: int, d_hi: int):
     """(per-chunk window offsets, static window width) for the band.
@@ -1642,6 +1968,27 @@ class PallasSweeper:
                                        n_win, chunk=self.chunk,
                                        shared=shared,
                                        interpret=self.interpret)
+        return tuple(self.unpack_lanes(np.asarray(o), B).astype(np.int64)
+                     for o in outs)
+
+    def reduce_hw_adaptive(self, peq_flat: np.ndarray, targets,
+                           lo: np.ndarray, hi: np.ndarray, k: int,
+                           hin0: int = 0, group: int = 8,
+                           strong_every: int = 64, shared: bool = False):
+        """Value-adaptive banded semiglobal reduce: (best, pfirst, plast)
+        each (B,) int64 in scan-column space.  Exact for lanes whose true
+        best <= k; others emit overestimates > k (caller ladders k).  k is
+        DYNAMIC — repeat calls at doubled k reuse one compiled kernel."""
+        import jax.numpy as jnp
+        B = peq_flat.shape[0]
+        peq, tg = self._packed(peq_flat, targets, hi, shared)
+        lo_t = self.pack_lanes(lo)
+        hi_t = self.pack_lanes(hi)
+        outs = sweep_hw_adaptive_pallas(
+            jnp.asarray(peq), jnp.asarray(tg), jnp.asarray(lo_t),
+            jnp.asarray(hi_t), jnp.asarray([max(0, int(k))], jnp.int32),
+            hin0=hin0, chunk=self.chunk, group=group, shared=shared,
+            strong_every=strong_every, interpret=self.interpret)
         return tuple(self.unpack_lanes(np.asarray(o), B).astype(np.int64)
                      for o in outs)
 
