@@ -96,7 +96,7 @@ def map_reads(reads: Sequence, target, mode="HW", k: int = -1, mesh=None
         # kernel — segment the target instead (ops/segmented.py).
         dev = _map_reads_segmented(read_ids, t_ids, sigma)
     if dev is None:
-        dev = _map_reads_device(read_ids, t_ids, sigma, hin0)
+        dev = _map_reads_device(read_ids, t_ids, sigma, hin0, k)
     if dev is None:
         # Host path: per-read native align() already applies the -1
         # candidate and k filtering — its results are final.
@@ -215,7 +215,7 @@ def _map_reads_host(reads_b, target, mode, k):
     return best, pos
 
 
-def _map_reads_device(read_ids, t_ids, sigma, hin0):
+def _map_reads_device(read_ids, t_ids, sigma, hin0, k: int = -1):
     """Shared-target Pallas reduction kernel; None when not applicable."""
     import os
 
@@ -237,6 +237,84 @@ def _map_reads_device(read_ids, t_ids, sigma, hin0):
         from edlib_tpu.utils import hw
         if not hw.device_ready() or jax.default_backend() != "tpu":
             return None
+    if hin0 == 0:
+        res = _map_reads_filtered(read_ids, t_ids, sigma, k, forced)
+        if res is not None:
+            return res
+    return _sweep_reads_shared(read_ids, t_ids, sigma, hin0, forced)
+
+
+def _map_reads_filtered(read_ids, t_ids, sigma, k, forced):
+    """MXU q-gram prefilter + windowed verification (ops/qfilter.py) — the
+    batched-TPU equivalent of the reference's Ukkonen pruning
+    (edlib.cpp:601-642): candidate elimination before the DP instead of a
+    per-read adaptive band.  Exact: reads the filter cannot resolve (low
+    complexity, best above the rung when k < 0) fall back to the full
+    sweep.  None when the filter does not apply (geometry/vocab/size)."""
+    import os
+
+    from edlib_tpu.ops import qfilter as qf
+
+    flag = os.environ.get("EDLIB_TPU_QFILTER", "")
+    if flag == "0":
+        return None
+    B = len(read_ids)
+    tlen = len(t_ids)
+    if flag != "1" and (B < 128 or tlen < 32768):
+        return None  # filter overhead beats the plain sweep only at size
+    qmax = max(len(r) for r in read_ids)
+    qmin = min(len(r) for r in read_ids)
+    # k < 0 (report every read's true best): run the filter at a rung that
+    # resolves typical mapping reads; the rest fall back to the full sweep.
+    rung = k if k >= 0 else max(8, qmax // 10)
+    geom = qf.window_geometry(tlen, qmax, rung)
+    if geom is None:
+        return None
+    L, stride, n_win = geom
+    q = qf.choose_q(sigma, qmin, rung, L)
+    if q is None:
+        return None
+    vocab = sigma ** q
+    if (n_win + B) * (vocab + 1) * 2 > 6 << 30:
+        return None  # presence tables would not fit comfortably in HBM
+    import jax.numpy as jnp
+    n_words = encode.num_words(qmax)
+    chunk = 256
+    maxc = int(os.environ.get("EDLIB_TPU_QFILTER_MAXC", "4"))
+    q_arr = np.zeros((B, qmax), np.int32)
+    qlens = np.zeros(B, np.int32)
+    for i, r in enumerate(read_ids):
+        q_arr[i, :len(r)] = r
+        qlens[i] = len(r)
+    Lv = qf.verify_cols(L, n_words, chunk)
+    win_pres, win_syms = qf.build_target_index(
+        jnp.asarray(np.asarray(t_ids, np.int32)), sigma, q, L, stride,
+        n_win, Lv)
+    gbest, gpos, resolved = qf.filter_verify_batch(
+        jnp.asarray(q_arr), jnp.asarray(qlens), win_pres, win_syms,
+        sigma=sigma, q=q, L=L, stride=stride, tlen=tlen, k=rung, maxc=maxc,
+        nw=n_words, chunk=chunk, interpret=(forced == "interpret"))
+    gbest = np.asarray(gbest).astype(np.int64)
+    gpos = np.asarray(gpos).astype(np.int64)
+    resolved = np.asarray(resolved)
+    # resolved & gbest > rung == k proves best > k (caller reports -1);
+    # with no user cap every such read needs its true best -> full sweep.
+    need = ~resolved if k >= 0 else (~resolved | (gbest > rung))
+    if need.any():
+        idxs = np.nonzero(need)[0]
+        sub = [read_ids[i] for i in idxs]
+        if len(sub) <= 64 and tlen >= 50_000:
+            fb = _map_reads_segmented(sub, t_ids, sigma)
+        else:
+            fb = _sweep_reads_shared(sub, t_ids, sigma, 0, forced)
+        if fb is None:
+            return None
+        gbest[idxs], gpos[idxs] = fb
+    return gbest, gpos
+
+
+def _sweep_reads_shared(read_ids, t_ids, sigma, hin0, forced):
+    """Full shared-target sweep (no pruning); None when not applicable."""
     from edlib_tpu.ops import pallas_kernel as pk
 
     import jax.numpy as jnp

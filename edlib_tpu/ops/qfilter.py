@@ -1,0 +1,280 @@
+"""Exact MXU q-gram prefilter for batched HW read mapping.
+
+The reference prunes its DP with a value-adaptive Ukkonen band
+(edlib.cpp:601-642) — inherently serial, per-read machinery.  The batched
+TPU equivalent of that pruning is *candidate elimination before the DP*:
+a q-gram filter whose bound is PROVABLE, computed as one big bf16 matmul
+so the MXU (not the VPU) carries the work.  Only the few candidate
+windows that survive are verified by the bit-parallel Pallas kernel; a
+full sweep backstops the (rare) unresolved reads, so results are exact.
+
+Soundness (distinct-gram form of the q-gram lemma):
+  If read R (length m, with D distinct q-gram values among its m-q+1
+  q-gram occurrences) aligns inside target window W with <= k errors,
+  then each of the <= k edit operations destroys at most q of R's gram
+  OCCURRENCES, hence at most q distinct gram VALUES lose their last
+  occurrence; every surviving value is a literal substring of W.  So at
+  least D - k*q of R's distinct gram values occur in W.
+
+  We compute   C[b, w] = sum_g pres_read[b, g] * pres_win[w, g]
+  (both factors binary presence bitmaps) — C is exactly the number of
+  distinct shared gram values, therefore
+      C[b, w] < D_b - k*q   ==>   no <=k hit of read b lies fully
+                                  inside window w.
+  The filter only ever REMOVES provably-dead windows — never a true hit.
+  D_b = sum_g pres_read[b, g] is a row reduction of the same bitmap.
+
+Window geometry: windows of length L at stride s cover every alignment
+span iff s <= L - P + 1 where P = m + k is the maximum span length
+(an alignment with <= k errors spans m - dels + ins <= m + k target
+positions).  With s <= L - P + 1, window floor(a/s) contains any span
+starting at a, so every potential hit is fully inside >= 1 window.
+
+Exact arithmetic: presence entries are 0/1 (exact in bf16), products are
+0/1, and the MXU accumulates in f32 (exact integers < 2^24).
+
+Out-of-alphabet / padding symbols only ever ADD presence (ids clamp into
+range; read-side invalid grams route to a trash column), which keeps the
+bound one-sided: false candidates cost verification time, never
+correctness.
+
+Equality extensions (additionalEqualities) break literal-gram matching,
+so callers must route non-identity alphabets to the full sweep.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAX_VOCAB = 1 << 16      # sigma**q cap: presence table width
+
+
+def choose_q(sigma: int, qlen_min: int, k: int, L: int,
+             n_sigma_noise: float = 6.0) -> Optional[int]:
+    """Smallest q whose filter is sound AND effective, or None.
+
+    Sound: threshold tau = (qlen_min - q + 1) - k*q >= 1 (worst case
+    D = m - q + 1, all grams distinct).  Effective: tau clears the
+    random-window shared-gram count by n_sigma_noise standard deviations
+    (normal approx of C ~ Bin(m', p), p = expected gram presence in an
+    L-window), so random windows essentially never pass.
+    """
+    if sigma < 2 or qlen_min < 2 or k < 0:
+        return None
+    for q in range(2, 17):
+        vocab = sigma ** q
+        if vocab > MAX_VOCAB:
+            return None
+        m_eff = qlen_min - q + 1
+        if m_eff < 1:
+            continue
+        tau = m_eff - k * q
+        if tau < 1:
+            continue
+        p = 1.0 - (1.0 - 1.0 / vocab) ** max(1, L - q + 1)
+        mu = m_eff * p
+        sd = math.sqrt(max(1e-9, m_eff * p * (1.0 - p)))
+        if tau > mu + n_sigma_noise * sd:
+            return q
+    return None
+
+
+def window_geometry(tlen: int, qmax: int, k: int,
+                    L: Optional[int] = None) -> Optional[Tuple[int, int, int]]:
+    """(L, stride, n_win) covering every possible <=k alignment span.
+
+    None when the target is too short for windowed filtering to help
+    (fewer than 4 windows — just sweep it)."""
+    P = qmax + k
+    if L is None:
+        # Window ~2x the span, rounded to the 128-lane grain.
+        L = max(256, -(-2 * P // 128) * 128)
+    stride = L - P + 1
+    if stride < 1 or tlen <= L:
+        return None
+    n_win = (tlen - L + stride - 1) // stride + 1
+    if n_win < 4:
+        return None
+    return L, stride, n_win
+
+
+def _gram_ids(ids, q: int, sigma: int):
+    """Rolling gram ids of an int32 sequence (jnp): out[i] = sum_j
+    clamp(ids[i+j]) * sigma^j for i in [0, N-q].  Out-of-alphabet symbols
+    clamp to 0 (sound: can only add presence)."""
+    n = ids.shape[-1]
+    c = jnp.clip(ids, 0, sigma - 1).astype(jnp.int32)
+    out = jnp.zeros(ids.shape[:-1] + (n - q + 1,), jnp.int32)
+    for j in range(q):
+        out = out + c[..., j:n - q + 1 + j] * (sigma ** j)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("sigma", "q", "L", "stride",
+                                             "n_win"))
+def window_presence(t_ids, sigma: int, q: int, L: int, stride: int,
+                    n_win: int):
+    """bf16 (n_win, sigma**q) binary gram-presence table of the target's
+    length-L windows at the given stride (windows past the end read
+    clamped symbols — extra presence only, sound)."""
+    vocab = sigma ** q
+    tlen = t_ids.shape[0]
+    gids = _gram_ids(t_ids, q, sigma)                     # (tlen - q + 1,)
+    starts = jnp.arange(n_win, dtype=jnp.int32) * stride
+    span = L - q + 1
+    idx = jnp.clip(starts[:, None] + jnp.arange(span)[None, :], 0,
+                   tlen - q)                              # (n_win, span)
+    win_gids = gids[idx]
+    pres = jnp.zeros((n_win, vocab), jnp.bfloat16)
+    return pres.at[jnp.arange(n_win)[:, None], win_gids].set(
+        jnp.bfloat16(1))
+
+
+@functools.partial(jax.jit, static_argnames=("sigma", "q"))
+def read_gram_presence(q_ids, qlens, sigma: int, q: int):
+    """bf16 (B, sigma**q) binary gram presence per read, plus int32 (B,)
+    distinct-gram counts D_b.  Grams crossing a read's qlen boundary
+    route to a trash column (exact per-read presence)."""
+    vocab = sigma ** q
+    B, qmax = q_ids.shape
+    gids = _gram_ids(q_ids, q, sigma)                     # (B, qmax - q + 1)
+    valid = jnp.arange(qmax - q + 1)[None, :] <= (qlens - q)[:, None]
+    gids = jnp.where(valid, gids, vocab)                  # trash column
+    pres = jnp.zeros((B, vocab + 1), jnp.bfloat16)
+    pres = pres.at[jnp.arange(B)[:, None], gids].set(jnp.bfloat16(1))
+    pres = pres[:, :vocab]
+    distinct = pres.sum(1).astype(jnp.int32)
+    return pres, distinct
+
+
+def candidate_counts(read_pres, win_pres):
+    """f32 (B, n_win) distinct shared-gram counts: ONE bf16 MXU matmul
+    (exact integer arithmetic, see module docstring)."""
+    return jnp.dot(read_pres, win_pres.T,
+                   preferred_element_type=jnp.float32)
+
+
+_BIG = 1 << 30
+
+
+def verify_cols(L: int, nw: int, chunk: int) -> int:
+    """Scan width of one verification lane (window + wildcard extension,
+    rounded to the chunk grain)."""
+    return -(-(L + nw * 32) // chunk) * chunk
+
+
+@functools.partial(jax.jit, static_argnames=("sigma", "q", "L", "stride",
+                                             "n_win", "Lv"))
+def build_target_index(t_ids, sigma: int, q: int, L: int, stride: int,
+                       n_win: int, Lv: int):
+    """Per-target index, built ONCE and reused across read batches:
+      win_pres (n_win, sigma**q) bf16 — window gram-presence bitmap;
+      win_syms (n_win, Lv) int32 — each window's verification target row
+        (window slice; wildcard symbols past tlen so boundary windows
+        flush their last W positions; interior windows keep real target
+        symbols past L in their tail — harmless, the reduce masks columns
+        >= hi and the wildcard query rows carry the diagonal regardless).
+    """
+    tlen = t_ids.shape[0]
+    win_pres = window_presence(t_ids, sigma, q, L, stride, n_win)
+    ws = jnp.arange(n_win, dtype=jnp.int32) * stride
+    base_idx = ws[:, None] + jnp.arange(Lv, dtype=jnp.int32)
+    win_syms = jnp.where(base_idx < tlen,
+                         t_ids[jnp.clip(base_idx, 0, tlen - 1)], sigma)
+    return win_pres, win_syms
+
+
+def _top_candidates(Cm, maxc: int):
+    """Top-maxc (value, index) per row by repeated argmax — maxc is tiny
+    (<= ~8) so this beats lax.top_k's full sort over n_win by ~3x."""
+    n_win = Cm.shape[1]
+    cols = jnp.arange(n_win, dtype=jnp.int32)[None, :]
+    vals, idxs = [], []
+    for _ in range(maxc):
+        ix = jnp.argmax(Cm, axis=1).astype(jnp.int32)
+        vals.append(jnp.take_along_axis(Cm, ix[:, None], 1)[:, 0])
+        idxs.append(ix)
+        Cm = jnp.where(cols == ix[:, None], -2.0, Cm)
+    return jnp.stack(vals, 1), jnp.stack(idxs, 1)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sigma", "q", "L", "stride", "tlen", "k", "maxc", "nw", "chunk",
+    "interpret"))
+def filter_verify_batch(q_arr, qlens, win_pres, win_syms, *, sigma: int,
+                        q: int, L: int, stride: int, tlen: int, k: int,
+                        maxc: int, nw: int, chunk: int = 256,
+                        interpret: bool = False):
+    """Filter + verify one read batch against a prebuilt target index.
+
+    q_arr: int32 (B, qmax) transformed reads; qlens: int32 (B,).  Returns
+      gbest (B,) int32 — exact best HW score when the read RESOLVED and
+        gbest <= k; > k (up to _BIG) means proven best > k;
+      gpos (B,) int32 — first best end position (real target coords);
+      resolved (B,) bool — False when more than maxc windows passed the
+        filter (top-maxc by count were verified, but a hit could hide in
+        an unverified window: caller must fall back to the full sweep).
+
+    MXU filter (candidate_counts) -> top-maxc candidate windows by count
+    -> per-lane windowed Pallas verification (reduce_flat_device) ->
+    on-device combine.  Position semantics: every verified window's score
+    stream dominates the global one (fewer allowed starts) and touches it
+    exactly on spans it contains, so min-combining (score, first-pos)
+    over candidate windows reproduces the global (best, first best end
+    position) whenever the true best is <= k — the window containing the
+    globally-first best span reports exactly that column, and any other
+    window reporting the same score does so at a true best column >= it.
+    """
+    from edlib_tpu.ops.pallas_kernel import (build_peq_device,
+                                             reduce_flat_device)
+    B = q_arr.shape[0]
+    read_pres, distinct = read_gram_presence(q_arr, qlens, sigma, q)
+    C = candidate_counts(read_pres, win_pres)             # (B, n_win)
+    tau = (distinct - k * q).astype(jnp.float32)          # per-read
+    passing = C >= tau[:, None]
+    n_pass = passing.sum(1, dtype=jnp.int32)
+    Cm = jnp.where(passing, C, -1.0)
+    vals, widx = _top_candidates(Cm, maxc)                # (B, maxc)
+    valid = vals >= 0.0
+    starts = widx * stride                                # (B, maxc)
+    W = nw * 32 - qlens                                   # (B,)
+    l_eff = jnp.minimum(L, tlen - starts)                 # (B, maxc)
+    # Window rows come from the prebuilt index, candidates row-gathered:
+    # scan target = window slice then wildcard extension (bottom-row score
+    # at scan col c == true score at col c - W_b).
+    sym = win_syms[widx]                                  # (B, maxc, Lv)
+    targets = sym.reshape(B * maxc, win_syms.shape[1])
+    peq = build_peq_device(q_arr, qlens, sigma, nw)       # (B, S1, NW)
+    peq_rep = jnp.repeat(peq, maxc, axis=0)
+    lo = jnp.broadcast_to(W[:, None], (B, maxc)).reshape(B * maxc)
+    hi = (W[:, None] + l_eff).reshape(B * maxc)
+    best_c, pf_c, _, _ = reduce_flat_device(
+        peq_rep, targets, lo, hi, hin0=0, chunk=chunk, interpret=interpret)
+    best_c = jnp.where(valid, best_c.reshape(B, maxc), _BIG)
+    pf_c = pf_c.reshape(B, maxc)
+    gbest = best_c.min(1)
+    gpos_c = starts + pf_c - W[:, None]                   # real coords
+    gpos = jnp.where(best_c == gbest[:, None], gpos_c, _BIG).min(1)
+    resolved = n_pass <= maxc
+    return gbest, gpos, resolved
+
+
+def filter_verify_map(q_arr, qlens, t_ids, *, sigma: int, q: int, L: int,
+                      stride: int, n_win: int, k: int, maxc: int, nw: int,
+                      chunk: int = 256, interpret: bool = False):
+    """One-shot convenience: build the target index, then filter + verify
+    (see filter_verify_batch; callers mapping many batches against one
+    target should build the index once via build_target_index)."""
+    Lv = verify_cols(L, nw, chunk)
+    win_pres, win_syms = build_target_index(t_ids, sigma, q, L, stride,
+                                            n_win, Lv)
+    return filter_verify_batch(
+        q_arr, qlens, win_pres, win_syms, sigma=sigma, q=q, L=L,
+        stride=stride, tlen=t_ids.shape[0], k=k, maxc=maxc, nw=nw,
+        chunk=chunk, interpret=interpret)

@@ -1,0 +1,202 @@
+"""MXU q-gram prefilter (ops/qfilter.py) — exactness and routing.
+
+The filter may only ever REMOVE provably-dead windows; every test here
+checks the combined filter+verify result against the host bit-parallel
+engine (ops/host.py), the same oracle the kernels test against.  Runs in
+interpret mode on CPU (the kernels themselves have on-chip coverage in
+test_hw_tpu.py / bench.py).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from edlib_tpu import encode
+from edlib_tpu.ops import host as host_engine
+from edlib_tpu.ops import qfilter as qf
+
+SIGMA = 4
+
+
+def _truth(read, target, qlen):
+    eq = np.eye(SIGMA, dtype=bool)
+    hp = encode.build_peq_bigint(read.astype(np.uint8), eq)
+    hs = host_engine.semiglobal_scores(hp, np.asarray(target), qlen, "HW")
+    return int(hs.min()), int(np.argmin(hs))
+
+
+def _run(q_arr, qlens, target, k, maxc=4, chunk=64):
+    qmax = q_arr.shape[1]
+    nw = encode.num_words(qmax)
+    geom = qf.window_geometry(len(target), qmax, k)
+    assert geom is not None
+    L, stride, n_win = geom
+    q = qf.choose_q(SIGMA, int(qlens.min()), k, L)
+    assert q is not None
+    return qf.filter_verify_map(
+        jnp.asarray(q_arr), jnp.asarray(qlens), jnp.asarray(target),
+        sigma=SIGMA, q=q, L=L, stride=stride, n_win=n_win, k=k, maxc=maxc,
+        nw=nw, chunk=chunk, interpret=True)
+
+
+def _check_batch(reads, qlens, target, k, gbest, gpos, resolved):
+    """resolved reads must be exact; unresolved ones are allowed (caller
+    falls back) but never wrong when claiming a hit."""
+    for b in range(len(reads)):
+        tb, tp = _truth(reads[b][:qlens[b]], target, int(qlens[b]))
+        if not resolved[b]:
+            continue
+        if tb <= k:
+            assert int(gbest[b]) == tb, (b, int(gbest[b]), tb)
+            assert int(gpos[b]) == tp, (b, int(gpos[b]), tp)
+        else:
+            assert int(gbest[b]) > k, (b, int(gbest[b]), tb)
+
+
+def test_mutated_windows_exact(rng):
+    tlen, qlen, B, k = 5000, 120, 16, 12
+    target = rng.randint(0, SIGMA, tlen).astype(np.int32)
+    reads = []
+    for b in range(B):
+        if b % 4 == 3:
+            r = rng.randint(0, SIGMA, qlen)       # random: likely no hit
+        else:
+            start = rng.randint(0, tlen - qlen)
+            r = target[start:start + qlen].copy()
+            muts = rng.rand(qlen) < 0.05
+            r[muts] = rng.randint(0, SIGMA, muts.sum())
+            for _ in range(rng.randint(0, 3)):    # indels
+                r = np.delete(r, rng.randint(1, len(r)))
+            r = np.concatenate([r, rng.randint(0, SIGMA, qlen - len(r))])
+        reads.append(r.astype(np.int32))
+    q_arr = np.stack(reads)
+    qlens = np.full(B, qlen, np.int32)
+    gbest, gpos, resolved = map(np.asarray, _run(q_arr, qlens, target, k))
+    _check_batch(reads, qlens, target, k, gbest, gpos, resolved)
+    assert resolved.mean() > 0.5  # the filter resolves typical reads
+
+
+def test_boundary_hits_exact(rng):
+    """Hits at the target's first and last possible spans (window-edge and
+    wildcard-flush coverage)."""
+    tlen, qlen, k = 4096, 100, 10
+    target = rng.randint(0, SIGMA, tlen).astype(np.int32)
+    reads = np.stack([
+        target[:qlen], target[tlen - qlen:],       # exact ends
+        np.concatenate([target[tlen - qlen + 3:], [1, 2, 3]]),  # near-end
+    ]).astype(np.int32)
+    qlens = np.full(3, qlen, np.int32)
+    gbest, gpos, resolved = map(np.asarray, _run(reads, qlens, target, k))
+    _check_batch(reads, qlens, target, k, gbest, gpos, resolved)
+    assert resolved.all()
+    assert int(gbest[0]) == 0 and int(gpos[0]) == qlen - 1
+    assert int(gbest[1]) == 0 and int(gpos[1]) == tlen - 1
+
+
+def test_low_complexity_unresolved_not_wrong(rng):
+    """A homopolymer read against a homopolymer-rich target: many windows
+    pass -> unresolved is acceptable, a wrong resolved answer is not."""
+    tlen, qlen, k = 4096, 120, 12
+    target = np.zeros(tlen, np.int32)
+    target[::7] = rng.randint(0, SIGMA, len(target[::7]))
+    reads = np.stack([np.zeros(qlen, np.int32),
+                      target[100:100 + qlen]]).astype(np.int32)
+    qlens = np.full(2, qlen, np.int32)
+    gbest, gpos, resolved = map(np.asarray, _run(reads, qlens, target, k))
+    _check_batch(reads, qlens, target, k, gbest, gpos, resolved)
+
+
+def test_mixed_lengths(rng):
+    tlen, k = 4096, 8
+    target = rng.randint(0, SIGMA, tlen).astype(np.int32)
+    lens = [96, 120, 128, 100]
+    qmax = max(lens)
+    q_arr = np.zeros((len(lens), qmax), np.int32)
+    for i, ln in enumerate(lens):
+        start = rng.randint(0, tlen - ln)
+        r = target[start:start + ln].copy()
+        muts = rng.rand(ln) < 0.03
+        r[muts] = rng.randint(0, SIGMA, muts.sum())
+        q_arr[i, :ln] = r
+    qlens = np.asarray(lens, np.int32)
+    gbest, gpos, resolved = map(np.asarray, _run(q_arr, qlens, target, k))
+    reads = [q_arr[i] for i in range(len(lens))]
+    _check_batch(reads, qlens, target, k, gbest, gpos, resolved)
+    assert resolved.all() and (np.asarray(gbest) <= k).all()
+
+
+def test_first_position_ties(rng):
+    """A read with two equal-score hits must report the FIRST end position
+    (edlib's ascending location order)."""
+    qlen, k = 64, 6
+    motif = rng.randint(0, SIGMA, qlen).astype(np.int32)
+    filler = rng.randint(0, SIGMA, 1200).astype(np.int32)
+    target = np.concatenate([filler[:600], motif, filler[600:], motif,
+                             filler[:333]]).astype(np.int32)
+    reads = motif[None, :]
+    qlens = np.asarray([qlen], np.int32)
+    gbest, gpos, resolved = map(np.asarray, _run(reads, qlens, target, k))
+    tb, tp = _truth(motif, target, qlen)
+    assert tb == 0 and resolved[0]
+    assert int(gbest[0]) == 0 and int(gpos[0]) == tp == 600 + qlen - 1
+
+
+def test_choose_q_soundness_bounds():
+    # tau >= 1 must hold for returned q: (qlen-q+1) - k*q >= 1
+    for sigma, qlen, k in [(4, 120, 12), (4, 100, 8), (20, 64, 4)]:
+        qv = qf.choose_q(sigma, qlen, k, 384)
+        if qv is not None:
+            assert (qlen - qv + 1) - k * qv >= 1
+            assert sigma ** qv <= qf.MAX_VOCAB
+    # k too large for the read: no sound q exists
+    assert qf.choose_q(4, 30, 20, 384) is None
+    # degenerate alphabets
+    assert qf.choose_q(1, 120, 5, 384) is None
+
+
+def test_window_geometry_covers_all_spans():
+    for tlen, qmax, k in [(4096, 120, 12), (65536, 300, 30),
+                          (10000, 64, 6)]:
+        geom = qf.window_geometry(tlen, qmax, k)
+        if geom is None:
+            continue
+        L, stride, n_win = geom
+        P = qmax + k
+        assert stride <= L - P + 1            # every span inside >= 1 window
+        assert (n_win - 1) * stride + L >= tlen   # windows reach the end
+    assert qf.window_geometry(500, 300, 30) is None  # too short: sweep
+
+
+def test_map_reads_filter_path_matches_host(rng, monkeypatch):
+    """End-to-end: map_reads with the filter path forced on (interpret
+    kernels on CPU) equals the per-read host truth, including fallback of
+    unresolved / over-rung reads."""
+    from edlib_tpu import mapping
+    monkeypatch.setenv("EDLIB_TPU_FORCE_PALLAS", "interpret")
+    monkeypatch.setenv("EDLIB_TPU_AUTO_MESH", "0")
+    monkeypatch.setenv("EDLIB_TPU_QFILTER", "1")
+    tlen, qlen, B = 3000, 96, 12
+    target = rng.randint(0, SIGMA, tlen).astype(np.uint8)
+    reads = []
+    for b in range(B):
+        if b % 5 == 4:
+            r = rng.randint(0, SIGMA, qlen).astype(np.uint8)
+        else:
+            start = rng.randint(0, tlen - qlen)
+            r = target[start:start + qlen].copy()
+            muts = rng.rand(qlen) < 0.04
+            r[muts] = rng.randint(0, SIGMA, muts.sum())
+        reads.append(bytes(r))
+    tb = bytes(target)
+    best, pos = mapping.map_reads(reads, tb, mode="HW", k=-1)
+    monkeypatch.setenv("EDLIB_TPU_QFILTER", "0")
+    best0, pos0 = mapping.map_reads(reads, tb, mode="HW", k=-1)
+    np.testing.assert_array_equal(best, best0)
+    np.testing.assert_array_equal(pos, pos0)
+    # and with a k cap
+    monkeypatch.setenv("EDLIB_TPU_QFILTER", "1")
+    bestk, posk = mapping.map_reads(reads, tb, mode="HW", k=10)
+    monkeypatch.setenv("EDLIB_TPU_QFILTER", "0")
+    bestk0, posk0 = mapping.map_reads(reads, tb, mode="HW", k=10)
+    np.testing.assert_array_equal(bestk, bestk0)
+    np.testing.assert_array_equal(posk, posk0)
