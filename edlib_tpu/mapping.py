@@ -32,20 +32,21 @@ _INF = float("inf")
 
 
 def _prep(reads: Sequence[bytes], target: bytes):
-    glob_idx = np.full(256, -1, dtype=np.int16)
-    alphabet = bytearray()
-
-    def enc(seq: bytes) -> np.ndarray:
-        arr = np.frombuffer(seq, dtype=np.uint8)
-        for c in np.unique(arr):
-            if glob_idx[c] < 0:
-                glob_idx[c] = len(alphabet)
-                alphabet.append(int(c))
-        return glob_idx[arr].astype(np.int32)
-
-    t_ids = enc(target)
-    read_ids = [enc(r) for r in reads]
-    return read_ids, t_ids, len(alphabet)
+    """Vectorised alphabet transform (reference first-appearance order,
+    target first then reads in call order): one pass over the concatenated
+    bytes instead of a per-read python loop — at 10k+ reads the encode is
+    otherwise the e2e bottleneck."""
+    t_arr = np.frombuffer(target, dtype=np.uint8)
+    lens = [len(r) for r in reads]
+    cat = (np.frombuffer(b"".join(reads), dtype=np.uint8)
+           if reads else np.empty(0, np.uint8))
+    vals, first = np.unique(np.concatenate([t_arr, cat]), return_index=True)
+    glob_idx = np.full(256, -1, dtype=np.int32)
+    glob_idx[vals[np.argsort(first)]] = np.arange(len(vals))
+    t_ids = glob_idx[t_arr].astype(np.int32)
+    ids = glob_idx[cat].astype(np.int32)
+    read_ids = (np.split(ids, np.cumsum(lens)[:-1]) if reads else [])
+    return read_ids, t_ids, len(vals)
 
 
 def map_reads(reads: Sequence, target, mode="HW", k: int = -1, mesh=None
@@ -281,11 +282,15 @@ def _map_reads_filtered(read_ids, t_ids, sigma, k, forced):
     n_words = encode.num_words(qmax)
     chunk = 256
     maxc = int(os.environ.get("EDLIB_TPU_QFILTER_MAXC", "4"))
-    q_arr = np.zeros((B, qmax), np.int32)
-    qlens = np.zeros(B, np.int32)
-    for i, r in enumerate(read_ids):
-        q_arr[i, :len(r)] = r
-        qlens[i] = len(r)
+    if qmin == qmax:
+        q_arr = np.ascontiguousarray(np.stack(read_ids), dtype=np.int32)
+        qlens = np.full(B, qmax, np.int32)
+    else:
+        q_arr = np.zeros((B, qmax), np.int32)
+        qlens = np.zeros(B, np.int32)
+        for i, r in enumerate(read_ids):
+            q_arr[i, :len(r)] = r
+            qlens[i] = len(r)
     Lv = qf.verify_cols(L, n_words, chunk)
     win_pres, win_syms = qf.build_target_index(
         jnp.asarray(np.asarray(t_ids, np.int32)), sigma, q, L, stride,
