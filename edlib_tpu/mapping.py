@@ -40,9 +40,21 @@ def _prep(reads: Sequence[bytes], target: bytes):
     lens = [len(r) for r in reads]
     cat = (np.frombuffer(b"".join(reads), dtype=np.uint8)
            if reads else np.empty(0, np.uint8))
-    vals, first = np.unique(np.concatenate([t_arr, cat]), return_index=True)
+    allb = np.concatenate([t_arr, cat])
+    n_vals = int((np.bincount(allb, minlength=256) > 0).sum())
     glob_idx = np.full(256, -1, dtype=np.int32)
-    glob_idx[vals[np.argsort(first)]] = np.arange(len(vals))
+    seen = 0
+    for ofs in range(0, len(allb), 1 << 16):
+        # Chunked first-appearance scan: np.unique's full sort costs ~50 ms
+        # on Mbp inputs, but genomic alphabets close after the first chunk.
+        chunk = allb[ofs:ofs + (1 << 16)]
+        vals, first = np.unique(chunk, return_index=True)
+        for v in vals[np.argsort(first)]:
+            if glob_idx[v] < 0:
+                glob_idx[v] = seen
+                seen += 1
+        if seen == n_vals:
+            break
     t_ids = glob_idx[t_arr].astype(np.int32)
     ids = glob_idx[cat].astype(np.int32)
     read_ids = (np.split(ids, np.cumsum(lens)[:-1]) if reads else [])
@@ -267,6 +279,11 @@ def _map_reads_filtered(read_ids, t_ids, sigma, k, forced):
     qmin = min(len(r) for r in read_ids)
     # k < 0 (report every read's true best): run the filter at a rung that
     # resolves typical mapping reads; the rest fall back to the full sweep.
+    # qmax//10 keeps tau = (qlen-q+1) - rung*q well above the shared-gram
+    # counts of real-genome windows (correlated oligo usage gives them a
+    # much fatter tail than the random-sequence noise model; measured on
+    # the 1 Mbp chromosome: rung=qlen/10 resolves 99.7%+, rung=qlen/8
+    # collapses to ~50%).
     rung = k if k >= 0 else max(8, qmax // 10)
     geom = qf.window_geometry(tlen, qmax, rung)
     if geom is None:
@@ -281,20 +298,23 @@ def _map_reads_filtered(read_ids, t_ids, sigma, k, forced):
     import jax.numpy as jnp
     n_words = encode.num_words(qmax)
     chunk = 256
-    maxc = int(os.environ.get("EDLIB_TPU_QFILTER_MAXC", "4"))
+    # Verifying windows is cheap (a few extra lanes per read); 16 absorbs
+    # the hit's overlapping-window neighbourhood plus genome-correlation
+    # noise that maxc=4 cannot (unresolved reads cost a full sweep each).
+    maxc = min(int(os.environ.get("EDLIB_TPU_QFILTER_MAXC", "16")), n_win)
+    dt = np.int32 if sigma > 255 else np.uint8   # reads ship 4x smaller
     if qmin == qmax:
-        q_arr = np.ascontiguousarray(np.stack(read_ids), dtype=np.int32)
+        q_arr = np.ascontiguousarray(np.stack(read_ids), dtype=dt)
         qlens = np.full(B, qmax, np.int32)
     else:
-        q_arr = np.zeros((B, qmax), np.int32)
+        q_arr = np.zeros((B, qmax), dt)
         qlens = np.zeros(B, np.int32)
         for i, r in enumerate(read_ids):
             q_arr[i, :len(r)] = r
             qlens[i] = len(r)
     Lv = qf.verify_cols(L, n_words, chunk)
-    win_pres, win_syms = qf.build_target_index(
-        jnp.asarray(np.asarray(t_ids, np.int32)), sigma, q, L, stride,
-        n_win, Lv)
+    win_pres, win_syms = _target_index_cached(t_ids, sigma, q, L, stride,
+                                              n_win, Lv)
     gbest, gpos, resolved = qf.filter_verify_batch(
         jnp.asarray(q_arr), jnp.asarray(qlens), win_pres, win_syms,
         sigma=sigma, q=q, L=L, stride=stride, tlen=tlen, k=rung, maxc=maxc,
@@ -308,14 +328,69 @@ def _map_reads_filtered(read_ids, t_ids, sigma, k, forced):
     if need.any():
         idxs = np.nonzero(need)[0]
         sub = [read_ids[i] for i in idxs]
-        if len(sub) <= 64 and tlen >= 50_000:
-            fb = _map_reads_segmented(sub, t_ids, sigma)
-        else:
-            fb = _sweep_reads_shared(sub, t_ids, sigma, 0, forced)
+        # Always the shared sweep: its device target chunks are cached, so
+        # the fallback costs one small dispatch — the segmented path would
+        # re-ship the whole target every call.
+        fb = _sweep_reads_shared(sub, t_ids, sigma, 0, forced)
         if fb is None:
             return None
         gbest[idxs], gpos[idxs] = fb
     return gbest, gpos
+
+
+_INDEX_CACHE: dict = {}          # geometry+digest -> device index arrays
+_INDEX_CACHE_MAX = 8
+
+
+def _target_index_cached(t_ids, sigma, q, L, stride, n_win, Lv):
+    """Device-resident per-target q-gram index, cached across map_reads
+    calls: real mapping streams many read batches against one reference,
+    and over a tunneled backend the 4 MB+ target transfer plus the index
+    rebuild would otherwise dominate each call.  Keyed by content digest
+    (cheap vs the transfer it saves) + geometry."""
+    import hashlib
+
+    import jax.numpy as jnp
+
+    from edlib_tpu.ops import qfilter as qf
+
+    t_np = np.ascontiguousarray(np.asarray(t_ids, np.int32))
+    key = (hashlib.blake2b(t_np.tobytes(), digest_size=16).digest(),
+           sigma, q, L, stride, n_win, Lv)
+    hit = _INDEX_CACHE.pop(key, None)
+    if hit is None:
+        hit = qf.build_target_index(jnp.asarray(t_np), sigma, q, L, stride,
+                                    n_win, Lv)
+    _INDEX_CACHE[key] = hit                      # re-insert: LRU order
+    while len(_INDEX_CACHE) > _INDEX_CACHE_MAX:
+        _INDEX_CACHE.pop(next(iter(_INDEX_CACHE)))
+    return hit
+
+
+def _target_chunks_cached(t_ids, sigma, w, chunk):
+    """Device-resident padded target chunks for the shared sweep, cached by
+    content digest + pad geometry: repeated map_reads calls against the
+    same reference (and the filter path's fallback sweeps) skip the
+    multi-MB host->device target transfer."""
+    import hashlib
+
+    import jax.numpy as jnp
+
+    t_np = np.ascontiguousarray(np.asarray(t_ids, np.int32))
+    tlen = len(t_np)
+    n_chunks = -(-(tlen + w) // chunk)
+    key = (hashlib.blake2b(t_np.tobytes(), digest_size=16).digest(),
+           sigma, w, chunk)
+    hit = _INDEX_CACHE.pop(key, None)
+    if hit is None:
+        src = t_np.astype(np.uint8) if sigma <= 255 else t_np
+        tg = jnp.full((n_chunks * chunk,), sigma, jnp.int32)
+        hit = tg.at[:tlen].set(jnp.asarray(src).astype(jnp.int32)).reshape(
+            n_chunks, 1, chunk)
+    _INDEX_CACHE[key] = hit
+    while len(_INDEX_CACHE) > _INDEX_CACHE_MAX:
+        _INDEX_CACHE.pop(next(iter(_INDEX_CACHE)))
+    return hit
 
 
 def _sweep_reads_shared(read_ids, t_ids, sigma, hin0, forced):
@@ -346,11 +421,7 @@ def _sweep_reads_shared(read_ids, t_ids, sigma, hin0, forced):
     best = np.empty(B, np.int64)
     pos = np.empty(B, np.int64)
     for w, idxs in groups.items():
-        t_scan = tlen + w
-        n_chunks = -(-t_scan // chunk)
-        tg = np.full(n_chunks * chunk, sigma, np.int32)
-        tg[:tlen] = t_ids
-        tg_chunks = tg.reshape(n_chunks, 1, chunk)
+        tg_chunks = _target_chunks_cached(t_ids, sigma, w, chunk)
         Bg = len(idxs)
         B_pad = -(-Bg // pk.B_TILE) * pk.B_TILE
         q_arr = np.full((B_pad, qmax), 0, np.int32)
@@ -362,7 +433,7 @@ def _sweep_reads_shared(read_ids, t_ids, sigma, hin0, forced):
                                   sigma, n_words)
         tiles = pk.pack_tiles_device(peq)
         b, p = pk.sweep_best_pallas_shared(
-            tiles, jnp.asarray(tg_chunks), hin0=hin0, col_lo=w,
+            tiles, tg_chunks, hin0=hin0, col_lo=w,
             col_hi=w + tlen, chunk=chunk,
             interpret=(forced == "interpret"))
         b = np.asarray(b).reshape(-1)[:Bg]

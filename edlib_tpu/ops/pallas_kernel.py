@@ -1713,6 +1713,35 @@ def reduce_flat_device(peq: jnp.ndarray, targets: jnp.ndarray,
     return flat + (hits[:B, :-(-T // 32)],)
 
 
+def nw_banded_flat_device(peq: jnp.ndarray, targets: jnp.ndarray,
+                          hi: jnp.ndarray, d_lo: int, d_hi: int,
+                          chunk: int = 256, interpret: bool = False):
+    """Traceable flat banded-NW distances — the mesh/shard_map counterpart
+    of PallasSweeper.reduce_nw_banded: packs (B, S1, NW) / (B, T) into
+    kernel tiles ON DEVICE and runs the banded NW kernel with the static
+    sliding word window for live diagonals [d_lo, d_hi] (d_lo/d_hi are
+    python ints).  Returns (B,) int32 scan scores — exact where <= the
+    band's k, garbage above it (pruning-only contract, same as the native
+    banded engine)."""
+    B, S1, NW = peq.shape
+    T = targets.shape[1]
+    n_tiles = -(-B // B_TILE)
+    n_chunks = -(-T // chunk)
+    Bp, Tp = n_tiles * B_TILE, n_chunks * chunk
+    peq_p = jnp.full((Bp, S1, NW), _ONES, jnp.uint32).at[:B].set(peq)
+    peq_t = jnp.transpose(
+        peq_p.reshape(n_tiles, SUBLANES, LANES, S1, NW), (0, 3, 4, 1, 2))
+    tg_p = jnp.full((Bp, Tp), S1 - 1, jnp.int32).at[:B, :T].set(targets)
+    tg_t = jnp.transpose(
+        tg_p.reshape(n_tiles, SUBLANES, LANES, n_chunks, chunk),
+        (0, 3, 4, 1, 2))
+    woff, n_win = nw_band_schedule(NW, n_chunks, chunk, d_lo, d_hi)
+    hi_t = _pack_lanes_device(hi.astype(jnp.int32), n_tiles, jnp.int32(0))
+    out = sweep_nw_banded_pallas(peq_t, tg_t, jnp.asarray(woff), hi_t,
+                                 n_win, chunk=chunk, interpret=interpret)
+    return out.reshape(-1)[:B]
+
+
 def _pack_shared_flat(peq: jnp.ndarray, target_scan: jnp.ndarray,
                       fill_sym: int, chunk: int):
     B, S1, NW = peq.shape

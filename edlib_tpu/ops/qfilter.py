@@ -139,17 +139,35 @@ def window_presence(t_ids, sigma: int, q: int, L: int, stride: int,
 @functools.partial(jax.jit, static_argnames=("sigma", "q"))
 def read_gram_presence(q_ids, qlens, sigma: int, q: int):
     """bf16 (B, sigma**q) binary gram presence per read, plus int32 (B,)
-    distinct-gram counts D_b.  Grams crossing a read's qlen boundary
-    route to a trash column (exact per-read presence)."""
+    distinct-gram counts D_b.  Grams crossing a read's qlen boundary are
+    dropped (exact per-read presence).
+
+    Computed as a batched one-hot outer product on the MXU — split gid =
+    hi*Blo + lo, counts[b,hi,lo] = sum_j onehot(hi_j) x onehot(lo_j),
+    presence = min(counts, 1) — instead of a row scatter (TPU scatters
+    serialize; this is one einsum).  Counts <= qmax stay exact in f32."""
     vocab = sigma ** q
     B, qmax = q_ids.shape
-    gids = _gram_ids(q_ids, q, sigma)                     # (B, qmax - q + 1)
-    valid = jnp.arange(qmax - q + 1)[None, :] <= (qlens - q)[:, None]
-    gids = jnp.where(valid, gids, vocab)                  # trash column
-    pres = jnp.zeros((B, vocab + 1), jnp.bfloat16)
-    pres = pres.at[jnp.arange(B)[:, None], gids].set(jnp.bfloat16(1))
-    pres = pres[:, :vocab]
-    distinct = pres.sum(1).astype(jnp.int32)
+    m = qmax - q + 1
+    gids = _gram_ids(q_ids, q, sigma)                     # (B, m)
+    valid = jnp.arange(m)[None, :] <= (qlens - q)[:, None]
+    Ahi = sigma ** (q // 2)
+    Blo = vocab // Ahi
+    if Blo <= 512:
+        hi = jnp.where(valid, gids // Blo, -1)            # -1 -> zero row
+        lo = gids % Blo
+        oh_hi = jax.nn.one_hot(hi, Ahi, dtype=jnp.bfloat16)
+        oh_lo = jax.nn.one_hot(lo, Blo, dtype=jnp.bfloat16)
+        counts = jnp.einsum("bmi,bmj->bij", oh_hi, oh_lo,
+                            preferred_element_type=jnp.float32)
+        pres = jnp.minimum(counts, 1.0).astype(jnp.bfloat16)
+        pres = pres.reshape(B, vocab)
+    else:  # huge vocab (sigma**q > ~256k): scatter fallback
+        gids = jnp.where(valid, gids, vocab)              # trash column
+        pres = jnp.zeros((B, vocab + 1), jnp.bfloat16)
+        pres = pres.at[jnp.arange(B)[:, None], gids].set(jnp.bfloat16(1))
+        pres = pres[:, :vocab]
+    distinct = pres.sum(1, dtype=jnp.float32).astype(jnp.int32)
     return pres, distinct
 
 
@@ -191,17 +209,43 @@ def build_target_index(t_ids, sigma: int, q: int, L: int, stride: int,
 
 
 def _top_candidates(Cm, maxc: int):
-    """Top-maxc (value, index) per row by repeated argmax — maxc is tiny
-    (<= ~8) so this beats lax.top_k's full sort over n_win by ~3x."""
-    n_win = Cm.shape[1]
-    cols = jnp.arange(n_win, dtype=jnp.int32)[None, :]
-    vals, idxs = [], []
-    for _ in range(maxc):
-        ix = jnp.argmax(Cm, axis=1).astype(jnp.int32)
-        vals.append(jnp.take_along_axis(Cm, ix[:, None], 1)[:, 0])
-        idxs.append(ix)
-        Cm = jnp.where(cols == ix[:, None], -2.0, Cm)
-    return jnp.stack(vals, 1), jnp.stack(idxs, 1)
+    """Top-maxc (value, index) per row, two-stage tournament.
+
+    lax.top_k full-sorts n_win (~19 ms at 4k x 4k) and a flat argmax
+    ladder re-reads the whole matrix maxc times; instead keep a per-64-
+    column segment max and, per pick, re-read only the winning segment
+    (argmax over n_win/64 + one 64-wide gather/scatter) — one full pass
+    total instead of maxc.  Which windows are picked only matters when
+    more than maxc pass the filter, and that case is reported unresolved
+    (callers fall back), so tie-break differences are unobservable."""
+    B, n_win = Cm.shape
+    G = 64
+    S = -(-n_win // G)
+    Cp = jnp.pad(Cm, ((0, 0), (0, S * G - n_win)), constant_values=-2.0)
+    Cp = Cp.reshape(B, S, G)
+    seg_max = Cp.max(2)                                   # (B, S)
+
+    def ladder(M, m):
+        """Flat repeated-argmax top-m over a SMALL matrix (no scatters —
+        TPU scatters serialize; where-masking a small row is free)."""
+        cols = jnp.arange(M.shape[1], dtype=jnp.int32)[None, :]
+        vs, ix = [], []
+        for _ in range(m):
+            j = jnp.argmax(M, 1).astype(jnp.int32)
+            vs.append(jnp.take_along_axis(M, j[:, None], 1)[:, 0])
+            ix.append(j)
+            M = jnp.where(cols == j[:, None], -2.0, M)
+        return jnp.stack(vs, 1), jnp.stack(ix, 1)
+
+    # The top-m elements lie inside the top-m segments by segment-max
+    # (if an element beat one of those segments' maxes it would displace
+    # it), so: rank segments, gather their columns, rank elements there.
+    n_seg = min(maxc, S)
+    _, seg_ids = ladder(seg_max, n_seg)                   # (B, n_seg)
+    sub = jnp.take_along_axis(Cp, seg_ids[:, :, None], 1)  # (B, n_seg, G)
+    vals, flat = ladder(sub.reshape(B, n_seg * G), maxc)
+    seg_of = jnp.take_along_axis(seg_ids, flat // G, 1)   # (B, maxc)
+    return vals, seg_of * G + flat % G
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -233,7 +277,8 @@ def filter_verify_batch(q_arr, qlens, win_pres, win_syms, *, sigma: int,
     """
     from edlib_tpu.ops.pallas_kernel import (build_peq_device,
                                              reduce_flat_device)
-    B = q_arr.shape[0]
+    q_arr = q_arr.astype(jnp.int32)   # callers may ship uint8 (4x less
+    B = q_arr.shape[0]                # host->device traffic for the reads)
     read_pres, distinct = read_gram_presence(q_arr, qlens, sigma, q)
     C = candidate_counts(read_pres, win_pres)             # (B, n_win)
     tau = (distinct - k * q).astype(jnp.float32)          # per-read

@@ -124,3 +124,60 @@ def test_sharded_reduce_pipeline_engines_match_truth(mesh8):
         r = tuple(np.asarray(x) for x in r)
         for b in range(B):
             assert tuple(int(x[b]) for x in r) == truth(b), (eng, b)
+
+
+@pytest.mark.slow
+def test_nw_banded_flat_device_shard_parity(mesh8):
+    """Banded-NW flat device entry: dp-sharded shard_map == unsharded ==
+    exact NW distances (band covers them) — the dryrun_multichip banded
+    assertion as a pytest."""
+    import jax.numpy as jnp
+    from edlib_tpu.parallel.dist import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from edlib_tpu.ops import pallas_kernel as pk
+    from edlib_tpu.oracle import edit_distance_simple
+    from edlib_tpu.types import AlignMode
+
+    rng = np.random.RandomState(33)
+    sigma = 4
+    eq = np.eye(sigma, dtype=bool)
+    B, qlen = 16, 70
+    nw = encode.num_words(qlen)
+    w = nw * 32 - qlen
+    k_band = 16
+    qs, peq = [], np.zeros((B, sigma + 1, nw), np.uint32)
+    tg = np.full((B, qlen + w + 8), sigma, np.int32)
+    hi = np.zeros(B, np.int32)
+    d_lo = d_hi = 0
+    for b in range(B):
+        qv = rng.randint(0, sigma, qlen).astype(np.int32)
+        qs.append(qv)
+        peq[b] = encode.build_peq_words(qv, eq, n_words=nw)
+        t = qv.copy()
+        muts = rng.rand(len(t)) < 0.06
+        t[muts] = rng.randint(0, sigma, muts.sum())
+        t = t[:len(t) - (b % 4)]
+        tg[b, :len(t)] = t
+        hi[b] = w + len(t)
+        D = qlen - len(t)
+        d_lo = min(d_lo, -((k_band - D) // 2))
+        d_hi = max(d_hi, (D + k_band) // 2)
+
+    def banded(pq, tg_, hi_):
+        return pk.nw_banded_flat_device(pq, tg_, hi_, d_lo, d_hi, chunk=32,
+                                        interpret=True)
+
+    single = np.asarray(banded(jnp.asarray(peq), jnp.asarray(tg),
+                               jnp.asarray(hi)))
+    f = shard_map(banded, mesh=mesh8,
+                  in_specs=(P(("dp", "sp")), P(("dp", "sp")),
+                            P(("dp", "sp"))),
+                  out_specs=P(("dp", "sp")), check_vma=False)
+    shards = np.asarray(f(jnp.asarray(peq), jnp.asarray(tg),
+                          jnp.asarray(hi)))
+    np.testing.assert_array_equal(shards, single)
+    for b in range(B):
+        t = tg[b, :hi[b] - w]
+        want = edit_distance_simple(qs[b], t, AlignMode.NW)[0]
+        assert want <= k_band and single[b] == want, (b, single[b], want)
