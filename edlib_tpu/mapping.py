@@ -21,6 +21,7 @@ word count and post-filtered on host).
 
 from __future__ import annotations
 
+import functools as _functools
 from typing import Sequence, Tuple
 
 import numpy as np
@@ -101,7 +102,14 @@ def map_reads(reads: Sequence, target, mode="HW", k: int = -1, mesh=None
         # EDLIB_TPU_AUTO_MESH_MIN_CELLS must mean one thing at both sites.
         mesh = _auto_mesh(sum(len(r) for r in read_ids) * len(t_ids))
     if mesh is not None and mode == AlignMode.HW:
-        dev = _map_reads_sharded(read_ids, t_ids, sigma, mesh)
+        forced = _os.environ.get("EDLIB_TPU_FORCE_PALLAS", "")
+        if forced or all(d.platform == "tpu" for d in mesh.devices.flat):
+            # Pruned path first: the sharded filter weak-scales with zero
+            # collectives; the full sharded sweep is the fallback.
+            dev = _map_reads_filtered(read_ids, t_ids, sigma, k, forced,
+                                      mesh=mesh)
+        if dev is None:
+            dev = _map_reads_sharded(read_ids, t_ids, sigma, mesh)
     if (dev is None
             and mode == AlignMode.HW and B <= 64 and len(t_ids) >= 50_000
             and not _os.environ.get("EDLIB_TPU_DISABLE_DEVICE")):
@@ -257,13 +265,17 @@ def _map_reads_device(read_ids, t_ids, sigma, hin0, k: int = -1):
     return _sweep_reads_shared(read_ids, t_ids, sigma, hin0, forced)
 
 
-def _map_reads_filtered(read_ids, t_ids, sigma, k, forced):
+def _map_reads_filtered(read_ids, t_ids, sigma, k, forced, mesh=None):
     """MXU q-gram prefilter + windowed verification (ops/qfilter.py) — the
     batched-TPU equivalent of the reference's Ukkonen pruning
     (edlib.cpp:601-642): candidate elimination before the DP instead of a
     per-read adaptive band.  Exact: reads the filter cannot resolve (low
     complexity, best above the rung when k < 0) fall back to the full
-    sweep.  None when the filter does not apply (geometry/vocab/size)."""
+    sweep.  None when the filter does not apply (geometry/vocab/size).
+
+    mesh: shard reads over every mesh axis (the per-target index is
+    replicated; reads are independent, so the sharded filter needs ZERO
+    collectives — weak scaling is embarrassingly parallel)."""
     import os
 
     from edlib_tpu.ops import qfilter as qf
@@ -315,13 +327,26 @@ def _map_reads_filtered(read_ids, t_ids, sigma, k, forced):
     Lv = qf.verify_cols(L, n_words, chunk)
     win_pres, win_syms = _target_index_cached(t_ids, sigma, q, L, stride,
                                               n_win, Lv)
-    gbest, gpos, resolved = qf.filter_verify_batch(
-        jnp.asarray(q_arr), jnp.asarray(qlens), win_pres, win_syms,
-        sigma=sigma, q=q, L=L, stride=stride, tlen=tlen, k=rung, maxc=maxc,
-        nw=n_words, chunk=chunk, interpret=(forced == "interpret"))
-    gbest = np.asarray(gbest).astype(np.int64)
-    gpos = np.asarray(gpos).astype(np.int64)
-    resolved = np.asarray(resolved)
+    if mesh is not None:
+        n_dev = int(mesh.devices.size)
+        B_pad = -(-B // n_dev) * n_dev
+        if B_pad != B:   # pad lanes: full-length null reads, sliced away
+            q_arr = np.vstack([q_arr,
+                               np.zeros((B_pad - B, qmax), q_arr.dtype)])
+            qlens = np.concatenate([qlens,
+                                    np.full(B_pad - B, qmax, np.int32)])
+        f = _filtered_mesh_fn(mesh, sigma, q, L, stride, tlen, rung, maxc,
+                              n_words, chunk, forced == "interpret")
+        gbest, gpos, resolved = f(q_arr, qlens, win_pres, win_syms)
+    else:
+        gbest, gpos, resolved = qf.filter_verify_batch(
+            jnp.asarray(q_arr), jnp.asarray(qlens), win_pres, win_syms,
+            sigma=sigma, q=q, L=L, stride=stride, tlen=tlen, k=rung,
+            maxc=maxc, nw=n_words, chunk=chunk,
+            interpret=(forced == "interpret"))
+    gbest = np.asarray(gbest)[:B].astype(np.int64)
+    gpos = np.asarray(gpos)[:B].astype(np.int64)
+    resolved = np.asarray(resolved)[:B]
     # resolved & gbest > rung == k proves best > k (caller reports -1);
     # with no user cap every such read needs its true best -> full sweep.
     need = ~resolved if k >= 0 else (~resolved | (gbest > rung))
@@ -340,6 +365,34 @@ def _map_reads_filtered(read_ids, t_ids, sigma, k, forced):
 
 _INDEX_CACHE: dict = {}          # geometry+digest -> device index arrays
 _INDEX_CACHE_MAX = 8
+
+
+@_functools.lru_cache(maxsize=None)
+def _filtered_mesh_fn(mesh, sigma, q, L, stride, tlen, rung, maxc, nw,
+                      chunk, interpret):
+    """Build + jit the mesh-sharded filter program ONCE per static config
+    (a fresh closure per call would defeat jax's compile cache — see
+    parallel/dist._hw_locations_fn).  Reads shard over every axis; the
+    target index rides in as replicated ARGUMENTS (closing over the
+    arrays would bake them into the executable per target)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from edlib_tpu.ops import qfilter as qf
+    from edlib_tpu.parallel.dist import shard_map
+
+    axes = tuple(mesh.axis_names)
+
+    def local(qa, ql, wp, ws):
+        return qf.filter_verify_batch(
+            qa, ql, wp, ws, sigma=sigma, q=q, L=L, stride=stride,
+            tlen=tlen, k=rung, maxc=maxc, nw=nw, chunk=chunk,
+            interpret=interpret)
+
+    return jax.jit(shard_map(local, mesh=mesh,
+                             in_specs=(P(axes), P(axes), P(), P()),
+                             out_specs=(P(axes), P(axes), P(axes)),
+                             check_vma=False))
 
 
 def _target_index_cached(t_ids, sigma, q, L, stride, n_win, Lv):

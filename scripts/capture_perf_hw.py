@@ -221,11 +221,18 @@ def step_scaling(cap):
             j = json.loads(line)
         except ValueError:
             continue
+        if j.get("plain"):
+            cap.row("map_reads_plain_reads_per_s", j["reads_per_s"],
+                    "reads/s", "mesh_scaling.py", gcups=j["gcups"],
+                    reads=j["reads"], tlen=j["tlen"])
+            got = True
+            continue
         tag = f"{j['dp']}x{j['sp']}"
         cap.row(f"map_reads_mesh{tag}_reads_per_s", j["reads_per_s"],
                 "reads/s", "mesh_scaling.py", gcups=j["gcups"],
                 reads=j["reads"], tlen=j["tlen"],
-                scaling_efficiency=j.get("scaling_efficiency"))
+                scaling_efficiency=j.get("scaling_efficiency"),
+                mesh_tax=j.get("mesh_tax"))
         got = True
     if not got:
         cap.skip("mesh_scaling", f"rc={rc} {err[-150:]}")

@@ -69,13 +69,13 @@ def build_workload(rng, dp, sp, reads_per_dev, qlen, tlen_per_dev, sigma=4):
     return reads, target_b
 
 
-def run_shape(dp, sp, args, rng, verify=False):
+def run_shape(dp, sp, args, rng, verify=False, mesh=True):
     from edlib_tpu.mapping import map_reads
     from edlib_tpu.parallel import make_alignment_mesh
 
     reads, target = build_workload(rng, dp, sp, args.reads_per_dev,
                                    args.qlen, args.tlen_per_dev)
-    mesh = make_alignment_mesh(dp * sp, dp=dp, sp=sp)
+    mesh = make_alignment_mesh(dp * sp, dp=dp, sp=sp) if mesh else None
     best = pos = None
     times = []
     for _ in range(max(1, args.trials)):
@@ -100,9 +100,9 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--shapes", default=None,
                    help="comma list of DPxSP meshes (default: all that fit)")
-    p.add_argument("--reads-per-dev", type=int, default=1024)
-    p.add_argument("--qlen", type=int, default=120)
-    p.add_argument("--tlen-per-dev", type=int, default=65536)
+    p.add_argument("--reads-per-dev", type=int, default=10240)
+    p.add_argument("--qlen", type=int, default=100)
+    p.add_argument("--tlen-per-dev", type=int, default=1_000_000)
     p.add_argument("--trials", type=int, default=3)
     p.add_argument("--platform", default="auto", choices=["auto", "cpu"],
                    help="cpu pins the virtual-device backend (tests)")
@@ -124,11 +124,29 @@ def main(argv=None):
     rng = np.random.RandomState(0)
     rows = []
     base_per_dev = None
+    plain_rate = None
+    if (1, 1) in shapes:
+        # Mesh-tax reference: the SAME 1x1 workload through the plain
+        # (no-mesh) path — the weak-scaling base must stay within ~1.2x
+        # of it or every efficiency number downstream is flattered.
+        os.environ["EDLIB_TPU_AUTO_MESH"] = "0"
+        try:
+            row = run_shape(1, 1, args, np.random.RandomState(0),
+                            verify=args.verify, mesh=False)
+        finally:
+            os.environ.pop("EDLIB_TPU_AUTO_MESH", None)
+        row["plain"] = True
+        plain_rate = row["reads_per_s"]
+        rows.append(row)
+        print(json.dumps(row))
+        sys.stdout.flush()
     for dp, sp in shapes:
         row = run_shape(dp, sp, args, rng, verify=args.verify)
         per_dev = row["reads_per_s"] / row["devices"]
         if base_per_dev is None:
             base_per_dev = per_dev
+            if plain_rate:
+                row["mesh_tax"] = round(plain_rate / row["reads_per_s"], 4)
         row["scaling_efficiency"] = round(per_dev / base_per_dev, 4)
         rows.append(row)
         print(json.dumps(row))
@@ -138,12 +156,15 @@ def main(argv=None):
            f"{'sec':>8} {'reads/s':>10} {'GCUPS':>8} {'eff':>6}")
     print("\n" + hdr, file=sys.stderr)
     for r in rows:
-        print(f"{r['dp']}x{r['sp']:<5} {r['devices']:>4} {r['reads']:>7} "
+        tag = "plain" if r.get("plain") else f"{r['dp']}x{r['sp']}"
+        eff = r.get("scaling_efficiency")
+        print(f"{tag:>7} {r['devices']:>4} {r['reads']:>7} "
               f"{r['tlen']:>9} {r['seconds']:>8.3f} {r['reads_per_s']:>10.1f} "
-              f"{r['gcups']:>8.2f} {r['scaling_efficiency']:>6.2f}",
+              f"{r['gcups']:>8.2f} {eff if eff is None else format(eff, '6.2f')}",
               file=sys.stderr)
     target_eff = 0.80  # BASELINE.md multi-chip goal
-    worst = min((r["scaling_efficiency"] for r in rows[1:]), default=1.0)
+    worst = min((r["scaling_efficiency"] for r in rows
+                 if not r.get("plain")), default=1.0)
     print(f"\nweak-scaling efficiency (worst shape): {worst:.2f} "
           f"(target >= {target_eff})", file=sys.stderr)
     return 0

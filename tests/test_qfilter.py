@@ -200,3 +200,35 @@ def test_map_reads_filter_path_matches_host(rng, monkeypatch):
     bestk0, posk0 = mapping.map_reads(reads, tb, mode="HW", k=10)
     np.testing.assert_array_equal(bestk, bestk0)
     np.testing.assert_array_equal(posk, posk0)
+
+
+def test_map_reads_filter_mesh_matches_single(rng, monkeypatch):
+    """Sharded filter (reads over all 8 virtual devices, replicated index,
+    zero collectives) == unsharded filter == plain path."""
+    import jax
+    if len(jax.devices()) < 8:
+        import pytest as _pytest
+        _pytest.skip("needs 8 virtual devices")
+    from edlib_tpu import mapping
+    from edlib_tpu.parallel import make_alignment_mesh
+    monkeypatch.setenv("EDLIB_TPU_FORCE_PALLAS", "interpret")
+    monkeypatch.setenv("EDLIB_TPU_QFILTER", "1")
+    tlen, qlen, B = 3000, 96, 19       # B % 8 != 0: pad lanes exercised
+    target = rng.randint(0, SIGMA, tlen).astype(np.uint8)
+    reads = []
+    for b in range(B):
+        if b % 5 == 4:
+            r = rng.randint(0, SIGMA, qlen).astype(np.uint8)
+        else:
+            s = rng.randint(0, tlen - qlen)
+            r = target[s:s + qlen].copy()
+            muts = rng.rand(qlen) < 0.04
+            r[muts] = rng.randint(0, SIGMA, muts.sum())
+        reads.append(bytes(r))
+    tb = bytes(target)
+    mesh = make_alignment_mesh(8, dp=2, sp=4)
+    best_m, pos_m = mapping.map_reads(reads, tb, mode="HW", k=-1, mesh=mesh)
+    monkeypatch.setenv("EDLIB_TPU_AUTO_MESH", "0")
+    best_s, pos_s = mapping.map_reads(reads, tb, mode="HW", k=-1)
+    np.testing.assert_array_equal(best_m, best_s)
+    np.testing.assert_array_equal(pos_m, pos_s)

@@ -181,7 +181,10 @@ def test_mesh_scaling_harness_dryrun(capsys):
                             "--verify"])
     assert rc == 0
     rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert rows[0].get("plain")          # mesh-tax reference row first
+    rows = rows[1:]
     assert [(r["dp"], r["sp"]) for r in rows] == [(1, 1), (2, 1), (1, 2)]
+    assert "mesh_tax" in rows[0]
     for r in rows:
         assert r["reads_per_s"] > 0
         assert "scaling_efficiency" in r
