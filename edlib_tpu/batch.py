@@ -249,6 +249,55 @@ def _run_bucket_mesh(mesh, idxs, pairs, metas, sigma, eq, nw_b, t_scan,
 _BIG_SENTINEL = 0x3FFFFFFF
 
 
+def _eqstream_ok(mode: str, n_pairs: int, nw_b: int, t_scan: int) -> bool:
+    """Whether a per-lane-target bucket past the select-chain alphabet cap
+    can run the eq-stream kernels (HBM Eq-stream footprint under the cap)."""
+    if not mode:
+        return False
+    b_pad = _pow2_at_least(n_pairs, floor=8)
+    cap = int(os.environ.get("EDLIB_TPU_EQSTREAM_MAX_MB", "1024")) << 20
+    return b_pad * t_scan * nw_b * 4 <= cap
+
+
+def _run_bucket_eqstream(idxs, pairs, metas, sigma, eq, nw_b, t_scan,
+                         hin0, want_hits, mode) -> List[PairSummary]:
+    """One per-lane-target bucket with sigma past the select-chain cap:
+    Eq rows gathered by exact MXU one-hot matmuls and streamed through the
+    eq-stream reduce/hits kernels — the reference's full sigma <= 256
+    (edlib.cpp:1417-1462) without leaving the chip."""
+    import jax.numpy as jnp
+    from edlib_tpu.ops import pallas_kernel
+
+    B = len(idxs)
+    B_pad = _pow2_at_least(B, floor=8)
+    peq = np.full((B_pad, sigma + 1, nw_b), 0xFFFFFFFF, dtype=np.uint32)
+    targets = np.full((B_pad, t_scan), sigma, np.int32)
+    lo = np.zeros(B_pad, np.int32)
+    hi = np.zeros(B_pad, np.int32)
+    for row, i in enumerate(idxs):
+        q_ids, t_ids = pairs[i]
+        peq[row] = encode.build_peq_words(q_ids, eq, n_words=nw_b)
+        targets[row, :len(t_ids)] = t_ids
+        lo[row] = metas[i][1]
+        hi[row] = metas[i][1] + len(t_ids)
+    chunk = pallas_kernel.eqstream_chunk(nw_b)
+    outs = pallas_kernel.reduce_flat_device_eqstream(
+        jnp.asarray(peq), jnp.asarray(targets), jnp.asarray(lo),
+        jnp.asarray(hi), hin0=hin0, chunk=chunk, want_hits=want_hits,
+        interpret=(mode == "interpret"))
+    best, pf, pl_, last = (np.asarray(o) for o in outs[:4])
+    hits = np.asarray(outs[4]) if want_hits else None
+    out = []
+    for row, i in enumerate(idxs):
+        w = metas[i][1]
+        positions = None
+        if want_hits:
+            positions = _decode_hit_words(hits[row], -w)
+        out.append(PairSummary(int(best[row]), int(pf[row]) - w,
+                               int(pl_[row]) - w, int(last[row]), positions))
+    return out
+
+
 def _shw_banded_bucket(sweeper, peq, targets, lo, hi, kb, k_user,
                        want_hits, shared, exact_k=False):
     """Banded SHW bucket: k-doubling ladder over the sliding-window
@@ -349,6 +398,12 @@ def _run_bucketed_summary(pairs: List[Tuple[np.ndarray, np.ndarray]],
         use_pallas = bool(mode) and (
             shared or sigma + 1 <= pallas_kernel.max_sigma1(nw_b, False))
         if not use_pallas:
+            if _eqstream_ok(mode, len(idxs), nw_b, t_scan):
+                for i, summ in zip(idxs, _run_bucket_eqstream(
+                        idxs, pairs, metas, sigma, eq, nw_b, t_scan, hin0,
+                        want_hits, mode)):
+                    out[i] = summ
+                continue
             streams = _sweep_bucket([pairs[i][0] for i in idxs],
                                     [pairs[i][1] for i in idxs],
                                     sigma, eq, nw_b, t_scan, hin0)
@@ -458,6 +513,14 @@ def _run_bucketed_nw_banded(pairs: List[Tuple[np.ndarray, np.ndarray]],
         band_ok = use_pallas and nw_b >= _band_min_words()
 
         if not use_pallas:
+            if _eqstream_ok(mode, len(idxs), nw_b, t_scan):
+                # Full-sweep NW distance via the eq-stream reduce (no
+                # banding, but on-chip — beats the XLA scan engine there).
+                summs = _run_bucket_eqstream(idxs, pairs, metas, sigma, eq,
+                                             nw_b, t_scan, 1, False, mode)
+                for row, i in enumerate(idxs):
+                    out[i] = int(summs[row].last_score)
+                continue
             streams = _sweep_bucket([pairs[i][0] for i in idxs],
                                     [pairs[i][1] for i in idxs],
                                     sigma, eq, nw_b, t_scan, 1)
@@ -608,10 +671,11 @@ def align_batch_device(queries: Sequence, targets: Sequence,
     eq = encode.build_equality_matrix(bytes(glob.alphabet), eq_pairs)
     k_eff = _INF if k < 0 else k
 
-    # On TPU, alphabets beyond the Pallas select limit would fall to the
-    # XLA scan engine, which is latency-pathological there — the native
-    # host path is far faster for such (rare) batches.  Shared-target
-    # batches are exempt: the scalar-symbol kernels have no alphabet cap.
+    # On TPU, alphabets beyond the Pallas select limit route to the
+    # eq-stream kernels (MXU one-hot Eq gather — no alphabet cap); only
+    # when a bucket's Eq-stream HBM footprint would blow the cap does the
+    # batch fall back to the native host path.  Shared-target batches are
+    # exempt either way: the scalar-symbol kernels have no alphabet cap.
     from edlib_tpu.ops import pallas_kernel
     all_shared = (len(id_pairs) > 1
                   and all(t is id_pairs[0][1] for _, t in id_pairs))
@@ -619,9 +683,19 @@ def align_batch_device(queries: Sequence, targets: Sequence,
                   if len(q)), default=1)
     if (_pallas_mode() == "tpu" and not all_shared
             and sigma + 1 > pallas_kernel.max_sigma1(nw_max, False)):
-        return [align(q, t, mode=mode, task=task, k=k,
-                      additionalEqualities=additionalEqualities)
-                for q, t in zip(queries, targets)]
+        bucket_counts: Dict[Tuple[int, int], int] = defaultdict(int)
+        for q_ids, t_ids in id_pairs:
+            if len(q_ids) == 0 or len(t_ids) == 0:
+                continue
+            nw_b = _pow2_at_least(encode.num_words(len(q_ids)))
+            w = nw_b * 32 - len(q_ids)
+            t_scan = _pow2_at_least(len(t_ids) + w, floor=32)
+            bucket_counts[(nw_b, t_scan)] += 1
+        if not all(_eqstream_ok("tpu", n, nw_b, t_scan)
+                   for (nw_b, t_scan), n in bucket_counts.items()):
+            return [align(q, t, mode=mode, task=task, k=k,
+                          additionalEqualities=additionalEqualities)
+                    for q, t in zip(queries, targets)]
 
     results: List[AlignResult] = []
     main_idx = []  # indices with non-empty sequences needing device sweeps
@@ -723,6 +797,44 @@ def align_batch_device(queries: Sequence, targets: Sequence,
 
     if task == AlignTask.PATH:
         todo = [i for i in main_idx if results[i].edit_distance >= 0]
+
+        # Small windows (the read-mapping shape: thousands of ~qlen+k
+        # alignment windows) reconstruct on device in batch — capture +
+        # decode + walk in one dispatch per slab (path/batched.py), the
+        # chip-side counterpart of edlib.cpp:883-893 + 976-1134.  Oversize
+        # windows and leftovers keep the pooled native reconstruction.
+        from edlib_tpu.path import batched as batched_path
+        bmode = batched_path.enabled() \
+            if len(todo) >= batched_path.min_batch() else None
+        if bmode:
+            def _dev_eligible(i):
+                res = results[i]
+                qlen = len(id_pairs[i][0])
+                wlen = int(res.end_locations[0]) \
+                    - int(res.start_locations[0]) + 1
+                if wlen < 1 or qlen < 1 \
+                        or qlen * wlen > batched_path.max_cells():
+                    return False
+                nw_b = _pow2_at_least(encode.num_words(qlen))
+                return sigma + 1 <= pallas_kernel.max_sigma1(nw_b, False)
+
+            dev_todo = [i for i in todo if _dev_eligible(i)]
+            if len(dev_todo) >= batched_path.min_batch():
+                dev_pairs, dev_dists = [], []
+                for i in dev_todo:
+                    res = results[i]
+                    q_ids, t_ids = id_pairs[i]
+                    s0_ = int(res.start_locations[0])
+                    e0_ = int(res.end_locations[0])
+                    dev_pairs.append((q_ids, t_ids[s0_:e0_ + 1]))
+                    dev_dists.append(int(res.edit_distance))
+                ops_list = batched_path.batched_windows_path(
+                    dev_pairs, dev_dists, sigma, eq, bmode)
+                for i, ops in zip(dev_todo, ops_list):
+                    results[i].alignment = ops
+                    results[i].alignment_length = len(ops)
+                done_set = set(dev_todo)
+                todo = [i for i in todo if i not in done_set]
 
         def one_path(i, parallel=True):
             res = results[i]

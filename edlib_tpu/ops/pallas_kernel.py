@@ -406,7 +406,7 @@ def _fetch_eq(peq_ref, sym, w, sigma1, shared):
 
 def _reduce_kernel(*refs, n_words: int, sigma1: int, chunk: int,
                    hin0: int, shared: bool, unroll: int,
-                   resume: bool = False):
+                   resume: bool = False, eq_stream: bool = False):
     """Phase-1 kernel: in-register reduction over the score stream.
 
     lo/hi_ref: (8,128) int32 per-lane scan-column windows [lo, hi) — lo is
@@ -430,6 +430,16 @@ def _reduce_kernel(*refs, n_words: int, sigma1: int, chunk: int,
          pvo_ref, mvo_ref, so_ref,
          pv_ref, mv_ref, score_ref, rb_ref, rpf_ref, rpl_ref,
          rl_ref) = refs
+    elif eq_stream:
+        # Eq rows arrive precomputed per column (the MXU one-hot gather,
+        # see eqstream_gather): no symbol stream, no Peq residency — and
+        # therefore no alphabet cap (C3's full sigma <= 256,
+        # edlib.cpp:1417-1462).
+        (targets_ref, lo_ref, hi_ref,
+         best_ref, pfirst_ref, plast_ref, last_ref,
+         pv_ref, mv_ref, score_ref, rb_ref, rpf_ref, rpl_ref,
+         rl_ref) = refs
+        peq_ref = targets_ref
     else:
         (targets_ref, peq_ref, lo_ref, hi_ref,
          best_ref, pfirst_ref, plast_ref, last_ref,
@@ -460,7 +470,10 @@ def _reduce_kernel(*refs, n_words: int, sigma1: int, chunk: int,
 
     def column(c, carry):
         pvs, mvs, score, rb, rpf, rpl, rl = carry
-        sym = targets_ref[0, c] if shared else targets_ref[c]
+        if eq_stream:
+            sym = None
+        else:
+            sym = targets_ref[0, c] if shared else targets_ref[c]
         hin_neg = jnp.zeros((SUBLANES, LANES), jnp.uint32)
         if hin0 == 0:
             hin_pos = jnp.zeros((SUBLANES, LANES), jnp.uint32)
@@ -468,7 +481,10 @@ def _reduce_kernel(*refs, n_words: int, sigma1: int, chunk: int,
             hin_pos = jnp.ones((SUBLANES, LANES), jnp.uint32)
         new_pvs, new_mvs = [], []
         for w in range(n_words):
-            eq = _fetch_eq(peq_ref, sym, w, sigma1, shared)
+            if eq_stream:
+                eq = targets_ref[c * n_words + w]
+            else:
+                eq = _fetch_eq(peq_ref, sym, w, sigma1, shared)
             pv, mv, hin_neg, hin_pos = _advance_word(
                 pvs[w], mvs[w], eq, hin_neg, hin_pos)
             new_pvs.append(pv)
@@ -705,14 +721,21 @@ def reduce_resumable_flat_device(peq, targets, lo, hi, pv0, mv0, s0,
     return flat4 + (pv, mv, s)
 
 
-def _hits_kernel(targets_ref, peq_ref, lo_ref, hi_ref, best_ref, hits_ref,
-                 pv_ref, mv_ref, score_ref, *, n_words: int, sigma1: int,
-                 chunk: int, hin0: int, shared: bool):
+def _hits_kernel(*refs, n_words: int, sigma1: int,
+                 chunk: int, hin0: int, shared: bool,
+                 eq_stream: bool = False):
     """Phase-2 kernel: packed bitmask of columns with score == best.
 
     hits_ref: (chunk//32, 8, 128) uint32 per grid step; bit j of group g =
     hit at scan column t_step*chunk + g*32 + j.
     """
+    if eq_stream:
+        (targets_ref, lo_ref, hi_ref, best_ref, hits_ref,
+         pv_ref, mv_ref, score_ref) = refs
+        peq_ref = targets_ref
+    else:
+        (targets_ref, peq_ref, lo_ref, hi_ref, best_ref, hits_ref,
+         pv_ref, mv_ref, score_ref) = refs
     t_step = pl.program_id(1)
 
     @pl.when(t_step == 0)
@@ -727,7 +750,10 @@ def _hits_kernel(targets_ref, peq_ref, lo_ref, hi_ref, best_ref, hits_ref,
 
     def column(c, carry):
         pvs, mvs, score, mask = carry
-        sym = targets_ref[0, c] if shared else targets_ref[c]
+        if eq_stream:
+            sym = None
+        else:
+            sym = targets_ref[0, c] if shared else targets_ref[c]
         hin_neg = jnp.zeros((SUBLANES, LANES), jnp.uint32)
         if hin0 == 0:
             hin_pos = jnp.zeros((SUBLANES, LANES), jnp.uint32)
@@ -735,7 +761,10 @@ def _hits_kernel(targets_ref, peq_ref, lo_ref, hi_ref, best_ref, hits_ref,
             hin_pos = jnp.ones((SUBLANES, LANES), jnp.uint32)
         new_pvs, new_mvs = [], []
         for w in range(n_words):
-            eq = _fetch_eq(peq_ref, sym, w, sigma1, shared)
+            if eq_stream:
+                eq = targets_ref[c * n_words + w]
+            else:
+                eq = _fetch_eq(peq_ref, sym, w, sigma1, shared)
             pv, mv, hin_neg, hin_pos = _advance_word(
                 pvs[w], mvs[w], eq, hin_neg, hin_pos)
             new_pvs.append(pv)
@@ -1713,6 +1742,162 @@ def reduce_flat_device(peq: jnp.ndarray, targets: jnp.ndarray,
     return flat + (hits[:B, :-(-T // 32)],)
 
 
+# ---------------------------------------------------------------------------
+# Eq-stream engines (round 4): per-lane-target batches past the select-chain
+# alphabet cap.  The general kernels pay an S1-way select per word per
+# column, so max_sigma1 caps them at 64 Peq rows; beyond that the reference
+# still covers sigma <= 256 (edlib.cpp:1417-1462).  Here the Eq lookup moves
+# OUT of the kernel onto the MXU: one-hot(target symbol) x Peq byte-plane
+# matmuls gather every column's Eq rows exactly (each one-hot row has a
+# single 1.0, each byte plane < 256 is exact in bf16, and the f32
+# accumulation of one nonzero product is exact), and the kernels stream the
+# precomputed (chunk*NW, 8, 128) Eq blocks from HBM — no symbol stream, no
+# Peq residency, no alphabet cap.  Bandwidth-bound by design (NW words read
+# per lane-column), which still beats falling off the chip entirely.
+# ---------------------------------------------------------------------------
+
+
+def eqstream_gather(peq: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """eq[b, c, w] = peq[b, targets[b, c], w] via exact MXU one-hot matmuls.
+
+    peq: uint32 (B, S1, NW); targets: int32 (B, T) in [0, S1).
+    Returns uint32 (B, T, NW).
+    """
+    B, S1, NW = peq.shape
+    T = targets.shape[1]
+    onehot = jax.nn.one_hot(targets, S1, dtype=jnp.bfloat16)      # (B, T, S1)
+    planes = jnp.stack([(peq >> (8 * p)) & jnp.uint32(0xFF)
+                        for p in range(4)], axis=-1)              # (B,S1,NW,4)
+    planes = planes.reshape(B, S1, NW * 4).astype(jnp.bfloat16)
+    g = jnp.einsum("bts,bsw->btw", onehot, planes,
+                   preferred_element_type=jnp.float32)
+    gb = g.astype(jnp.uint32).reshape(B, T, NW, 4)
+    return (gb[..., 0] | (gb[..., 1] << 8)
+            | (gb[..., 2] << 16) | (gb[..., 3] << 24))
+
+
+def eqstream_chunk(n_words: int) -> int:
+    """Largest target chunk whose double-buffered Eq block fits the VMEM
+    budget (block = chunk * NW * 1024 lanes * 4 B, two in flight)."""
+    budget = vmem_limit_bytes() // 4
+    for chunk in (256, 128, 64, 32):
+        if chunk * n_words * B_TILE * 4 * 2 <= budget:
+            return chunk
+    return 32
+
+
+def _sweep_reduce_eqstream_call(eq_chunks: jnp.ndarray, lo: jnp.ndarray,
+                                hi: jnp.ndarray, hin0: int, n_words: int,
+                                chunk: int, interpret: bool = False):
+    """eq_chunks: uint32 (n_tiles, n_chunks, chunk*NW, 8, 128) — column c's
+    word w at row c*NW + w.  Returns the reduce kernel's 4 output tiles."""
+    n_tiles, n_chunks = eq_chunks.shape[:2]
+    if interpret:
+        unroll = 1
+    else:
+        unroll = 16 if chunk % 16 == 0 else (8 if chunk % 8 == 0 else 1)
+    kernel = functools.partial(_reduce_kernel, n_words=n_words, sigma1=0,
+                               chunk=chunk, hin0=hin0, shared=False,
+                               unroll=unroll, eq_stream=True)
+    eq_spec = pl.BlockSpec((None, None, chunk * n_words, SUBLANES, LANES),
+                           lambda i, j: (i, j, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((None, SUBLANES, LANES), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_chunks),
+        in_specs=[eq_spec, tile_spec, tile_spec],
+        out_specs=(tile_spec, tile_spec, tile_spec, tile_spec),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((n_tiles, SUBLANES, LANES), jnp.int32)
+            for _ in range(4)),
+        scratch_shapes=[
+            pltpu.VMEM((n_words, SUBLANES, LANES), jnp.uint32),
+            pltpu.VMEM((n_words, SUBLANES, LANES), jnp.uint32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
+    )(eq_chunks, lo, hi)
+
+
+def _sweep_hits_eqstream_call(eq_chunks: jnp.ndarray, lo: jnp.ndarray,
+                              hi: jnp.ndarray, best: jnp.ndarray, hin0: int,
+                              n_words: int, chunk: int,
+                              interpret: bool = False):
+    n_tiles, n_chunks = eq_chunks.shape[:2]
+    assert chunk % 32 == 0
+    kernel = functools.partial(_hits_kernel, n_words=n_words, sigma1=0,
+                               chunk=chunk, hin0=hin0, shared=False,
+                               eq_stream=True)
+    eq_spec = pl.BlockSpec((None, None, chunk * n_words, SUBLANES, LANES),
+                           lambda i, j: (i, j, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((None, SUBLANES, LANES), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_chunks),
+        in_specs=[eq_spec, tile_spec, tile_spec, tile_spec],
+        out_specs=pl.BlockSpec((None, None, chunk // 32, SUBLANES, LANES),
+                               lambda i, j: (i, j, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_tiles, n_chunks, chunk // 32, SUBLANES, LANES), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((n_words, SUBLANES, LANES), jnp.uint32),
+            pltpu.VMEM((n_words, SUBLANES, LANES), jnp.uint32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
+    )(eq_chunks, lo, hi, best)
+
+
+@functools.partial(jax.jit, static_argnames=("hin0", "chunk", "want_hits",
+                                             "interpret"))
+def reduce_flat_device_eqstream(peq: jnp.ndarray, targets: jnp.ndarray,
+                                lo: jnp.ndarray, hi: jnp.ndarray, hin0: int,
+                                chunk: int = 128, want_hits: bool = False,
+                                interpret: bool = False):
+    """Flat-layout reduce for per-lane-target batches of ANY alphabet size:
+    one fused dispatch building the MXU Eq streams and running the
+    eq-stream reduce (+ hits) kernels.  Same returns as reduce_flat_device.
+    """
+    B, S1, NW = peq.shape
+    T = targets.shape[1]
+    n_tiles = -(-B // B_TILE)
+    n_chunks = -(-T // chunk)
+    Bp, Tp = n_tiles * B_TILE, n_chunks * chunk
+    peq_p = jnp.full((Bp, S1, NW), _ONES, jnp.uint32).at[:B].set(peq)
+    tg_p = jnp.full((Bp, Tp), S1 - 1, jnp.int32).at[:B, :T].set(targets)
+    eqs = eqstream_gather(peq_p, tg_p)                        # (Bp, Tp, NW)
+    eq_t = jnp.transpose(
+        eqs.reshape(n_tiles, SUBLANES, LANES, n_chunks, chunk, NW),
+        (0, 3, 4, 5, 1, 2)).reshape(
+            n_tiles, n_chunks, chunk * NW, SUBLANES, LANES)
+    lo_t = _pack_lanes_device(lo.astype(jnp.int32), n_tiles, jnp.int32(0))
+    hi_t = _pack_lanes_device(hi.astype(jnp.int32), n_tiles, jnp.int32(0))
+    outs = _sweep_reduce_eqstream_call(eq_t, lo_t, hi_t, hin0=hin0,
+                                       n_words=NW, chunk=chunk,
+                                       interpret=interpret)
+    flat = tuple(o.reshape(-1)[:B] for o in outs)
+    if not want_hits:
+        return flat
+    best_t = _pack_lanes_device(flat[0], n_tiles, jnp.int32(-(1 << 30)))
+    masks = _sweep_hits_eqstream_call(eq_t, lo_t, hi_t, best_t, hin0=hin0,
+                                      n_words=NW, chunk=chunk,
+                                      interpret=interpret)
+    G = chunk // 32
+    hits = jnp.transpose(masks, (0, 3, 4, 1, 2)).reshape(Bp, n_chunks * G)
+    return flat + (hits[:B, :-(-T // 32)],)
+
+
 def nw_banded_flat_device(peq: jnp.ndarray, targets: jnp.ndarray,
                           hi: jnp.ndarray, d_lo: int, d_hi: int,
                           chunk: int = 256, interpret: bool = False):
@@ -2062,3 +2247,140 @@ class PallasSweeper:
                                   chunk=self.chunk, shared=shared,
                                   interpret=self.interpret)
         return self._decode_mask_rows(masks, B)
+
+
+# ---------------------------------------------------------------------------
+# Column-capture kernel (round 4): batched device PATH for small windows.
+#
+# The reference's small-window PATH stores every column's (Pv, Mv) during the
+# NW sweep and bit-walks them back (edlib.cpp:883-893 capture + 976-1134
+# walk).  Batched TPU equivalent: this kernel is the full-sweep engine with
+# the per-column state *stored* instead of reduced — (chunk*NW, 8, 128)
+# uint32 output blocks per grid step, pipelined VMEM->HBM while the next
+# chunk computes.  No score output is needed: every cell value decodes from
+# the TOP boundary anchor, cell(r, c) = (c+1) + sum_{i<=r}(P_i - M_i), so
+# the decode is a prefix sum over unpacked bits (path/batched.py does this
+# plus the batched walk on device).
+# ---------------------------------------------------------------------------
+
+
+def _capture_kernel(targets_ref, peq_ref, pvo_ref, mvo_ref, pv_ref, mv_ref,
+                    *, n_words: int, sigma1: int, chunk: int, hin0: int,
+                    shared: bool, unroll: int):
+    """pvo/mvo_ref: (chunk*n_words, 8, 128) uint32 per grid step — column c's
+    word w lands at row c*n_words + w (5-D blocks keep Mosaic layouts)."""
+    t_step = pl.program_id(1)
+
+    @pl.when(t_step == 0)
+    def _reset():
+        pv_ref[...] = jnp.full((n_words, SUBLANES, LANES), _ONES, jnp.uint32)
+        mv_ref[...] = jnp.zeros((n_words, SUBLANES, LANES), jnp.uint32)
+
+    def column(c, carry):
+        pvs, mvs = carry
+        sym = targets_ref[0, c] if shared else targets_ref[c]
+        hin_neg = jnp.zeros((SUBLANES, LANES), jnp.uint32)
+        if hin0 == 0:
+            hin_pos = jnp.zeros((SUBLANES, LANES), jnp.uint32)
+        else:
+            hin_pos = jnp.ones((SUBLANES, LANES), jnp.uint32)
+        new_pvs, new_mvs = [], []
+        for w in range(n_words):
+            eq = _fetch_eq(peq_ref, sym, w, sigma1, shared)
+            pv, mv, hin_neg, hin_pos = _advance_word(
+                pvs[w], mvs[w], eq, hin_neg, hin_pos)
+            pvo_ref[c * n_words + w] = pv
+            mvo_ref[c * n_words + w] = mv
+            new_pvs.append(pv)
+            new_mvs.append(mv)
+        return tuple(new_pvs), tuple(new_mvs)
+
+    def columns(i, carry):
+        for j in range(unroll):
+            carry = column(i * unroll + j, carry)
+        return carry
+
+    carry0 = (tuple(pv_ref[w] for w in range(n_words)),
+              tuple(mv_ref[w] for w in range(n_words)))
+    pvs, mvs = jax.lax.fori_loop(0, chunk // unroll, columns, carry0)
+    for w in range(n_words):
+        pv_ref[w] = pvs[w]
+        mv_ref[w] = mvs[w]
+
+
+def _sweep_capture_call(peq: jnp.ndarray, targets: jnp.ndarray, hin0: int,
+                        chunk: int = 128, shared: bool = False,
+                        interpret: bool = False):
+    """Unjitted capture sweep: per-column (Pv, Mv) words to HBM.
+
+    Returns (pv, mv), each uint32 (n_tiles, n_chunks, chunk*NW, 8, 128).
+    """
+    n_tiles, sigma1, n_words = peq.shape[:3]
+    n_chunks = targets.shape[0] if shared else targets.shape[1]
+    if interpret:
+        unroll = 1
+    else:
+        unroll = 8 if chunk % 8 == 0 else 1
+    kernel = functools.partial(_capture_kernel, n_words=n_words,
+                               sigma1=sigma1, chunk=chunk, hin0=hin0,
+                               shared=shared, unroll=unroll)
+    if shared:
+        t_spec = pl.BlockSpec((None, 1, chunk), lambda i, j: (j, 0, 0),
+                              memory_space=pltpu.SMEM)
+    else:
+        t_spec = pl.BlockSpec((None, None, chunk, SUBLANES, LANES),
+                              lambda i, j: (i, j, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    cap_spec = pl.BlockSpec((None, None, chunk * n_words, SUBLANES, LANES),
+                            lambda i, j: (i, j, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    cap_shape = jax.ShapeDtypeStruct(
+        (n_tiles, n_chunks, chunk * n_words, SUBLANES, LANES), jnp.uint32)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_chunks),
+        in_specs=[
+            t_spec,
+            pl.BlockSpec((None, sigma1, n_words, SUBLANES, LANES),
+                         lambda i, j: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(cap_spec, cap_spec),
+        out_shape=(cap_shape, cap_shape),
+        scratch_shapes=[
+            pltpu.VMEM((n_words, SUBLANES, LANES), jnp.uint32),
+            pltpu.VMEM((n_words, SUBLANES, LANES), jnp.uint32),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
+    )(targets, peq)
+
+
+def capture_flat_device(peq: jnp.ndarray, targets: jnp.ndarray, hin0: int,
+                        chunk: int = 128, interpret: bool = False):
+    """Flat-layout capture sweep (traceable): peq (B, S1, NW) uint32,
+    targets (B, T) int32 per-lane windows (pad columns with the wildcard
+    symbol — their captured words are ignored by the walk).  Returns
+    (pv, mv), each uint32 (B, Tp, NW) with Tp = T rounded up to chunk.
+    """
+    B, S1, NW = peq.shape
+    T = targets.shape[1]
+    n_tiles = -(-B // B_TILE)
+    n_chunks = -(-T // chunk)
+    Bp, Tp = n_tiles * B_TILE, n_chunks * chunk
+    peq_p = jnp.full((Bp, S1, NW), _ONES, jnp.uint32).at[:B].set(peq)
+    peq_t = jnp.transpose(
+        peq_p.reshape(n_tiles, SUBLANES, LANES, S1, NW), (0, 3, 4, 1, 2))
+    tg_p = jnp.full((Bp, Tp), S1 - 1, jnp.int32).at[:B, :T].set(targets)
+    tg_t = jnp.transpose(
+        tg_p.reshape(n_tiles, SUBLANES, LANES, n_chunks, chunk),
+        (0, 3, 4, 1, 2))
+    pv, mv = _sweep_capture_call(peq_t, tg_t, hin0=hin0, chunk=chunk,
+                                 interpret=interpret)
+
+    def unpack(cap):
+        # (n_tiles, n_chunks, chunk*NW, 8, 128) -> (B, Tp, NW)
+        c5 = cap.reshape(n_tiles, n_chunks, chunk, NW, SUBLANES, LANES)
+        return jnp.transpose(c5, (0, 4, 5, 1, 2, 3)).reshape(Bp, Tp, NW)[:B]
+
+    return unpack(pv), unpack(mv)

@@ -1,0 +1,102 @@
+"""On-chip eq-stream engine: per-lane-target batches past the select cap.
+
+Measures the MXU one-hot Eq-gather + streamed reduce on a protein-style
+batch (sigma 200, distinct targets per lane) and cross-checks a sample
+against the host big-int engine.  Also times the select-chain kernel at
+sigma 25 on the same shapes so the stream's bandwidth cost is a captured
+ratio, not an argument.
+
+Prints one JSON line:
+  {"backend", "B", "qlen", "tlen", "sigma", "eqstream_gcups",
+   "select25_gcups", "exact": true}
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+B = int(os.environ.get("B", "4096"))
+QLEN = int(os.environ.get("QLEN", "120"))
+TLEN = int(os.environ.get("TLEN", "2048"))
+SIGMA = int(os.environ.get("SIGMA", "200"))
+REPS = int(os.environ.get("REPS", "50"))
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from edlib_tpu import encode
+    from edlib_tpu.ops import host as host_engine
+    from edlib_tpu.ops import pallas_kernel as pk
+
+    rng = np.random.default_rng(5)
+    backend = jax.default_backend()
+
+    def build(sigma):
+        nw = (QLEN + 31) // 32
+        nw = 1 << (nw - 1).bit_length()
+        w = nw * 32 - QLEN
+        t_scan = -(-(TLEN + w) // 32) * 32
+        eq = np.eye(sigma, dtype=bool)
+        peq = np.zeros((B, sigma + 1, nw), np.uint32)
+        targets = np.full((B, t_scan), sigma, np.int32)
+        qs = rng.integers(0, sigma, (B, QLEN), dtype=np.int64)
+        ts = rng.integers(0, sigma, (B, TLEN), dtype=np.int64)
+        for b in range(B):
+            peq[b] = encode.build_peq_words(qs[b], eq, n_words=nw)
+        targets[:, :TLEN] = ts
+        lo = np.full(B, w, np.int32)
+        hi = np.full(B, w + TLEN, np.int32)
+        return peq, targets, lo, hi, qs, ts, eq, nw
+
+    # --- eq-stream at SIGMA --------------------------------------------------
+    peq, targets, lo, hi, qs, ts, eq, nw = build(SIGMA)
+    chunk = pk.eqstream_chunk(nw)
+    args = (jnp.asarray(peq), jnp.asarray(targets), jnp.asarray(lo),
+            jnp.asarray(hi))
+    outs = pk.reduce_flat_device_eqstream(*args, hin0=0, chunk=chunk)
+    best = np.asarray(outs[0])
+    t0 = time.time()
+    for _ in range(REPS):
+        outs = pk.reduce_flat_device_eqstream(*args, hin0=0, chunk=chunk)
+    _ = np.asarray(outs[0])
+    dt = (time.time() - t0) / REPS
+    eqstream_gcups = B * QLEN * TLEN / dt / 1e9
+
+    exact = True
+    w = nw * 32 - QLEN
+    for b in rng.choice(B, 8, replace=False):
+        hp = encode.build_peq_bigint(qs[b].astype(np.int64), eq)
+        hs = host_engine.semiglobal_scores(hp, ts[b], QLEN, "HW")
+        exact &= int(best[b]) == int(hs.min())
+
+    # --- select-chain reference at sigma 25 on the same shapes --------------
+    peq25, targets25, lo25, hi25 = build(25)[:4]
+    jitted25 = jax.jit(lambda *a: pk.reduce_flat_device(*a, hin0=0))
+    a25 = (jnp.asarray(peq25), jnp.asarray(targets25), jnp.asarray(lo25),
+           jnp.asarray(hi25))
+    o = jitted25(*a25)
+    _ = np.asarray(o[0])
+    t0 = time.time()
+    for _ in range(REPS):
+        o = jitted25(*a25)
+    _ = np.asarray(o[0])
+    dt25 = (time.time() - t0) / REPS
+    select25_gcups = B * QLEN * TLEN / dt25 / 1e9
+
+    print(json.dumps({
+        "backend": backend, "B": B, "qlen": QLEN, "tlen": TLEN,
+        "sigma": SIGMA, "eqstream_gcups": round(eqstream_gcups, 1),
+        "select25_gcups": round(select25_gcups, 1),
+        "stream_vs_select25": round(eqstream_gcups / select25_gcups, 3),
+        "exact": bool(exact),
+    }))
+
+
+if __name__ == "__main__":
+    main()
