@@ -353,14 +353,117 @@ def _map_reads_filtered(read_ids, t_ids, sigma, k, forced, mesh=None):
     if need.any():
         idxs = np.nonzero(need)[0]
         sub = [read_ids[i] for i in idxs]
-        # Always the shared sweep: its device target chunks are cached, so
-        # the fallback costs one small dispatch — the segmented path would
-        # re-ship the whole target every call.
-        fb = _sweep_reads_shared(sub, t_ids, sigma, 0, forced)
+        fb = None
+        if len(sub) <= _SEG_FB_B and mesh is None:
+            # Few stragglers: fan each over cached target segments (64x64
+            # lanes) instead of padding the shared sweep to a full kernel
+            # tile — ~50x less DP work, and the padded target stays
+            # device-resident across calls.
+            fb = _segmented_fallback(sub, t_ids, sigma, forced)
+        if fb is None:
+            # Shared sweep: its device target chunks are cached too.
+            fb = _sweep_reads_shared(sub, t_ids, sigma, 0, forced)
         if fb is None:
             return None
         gbest[idxs], gpos[idxs] = fb
     return gbest, gpos
+
+
+_SEG_FB_B = 64
+
+
+@_functools.lru_cache(maxsize=None)
+def _seg_fb_fn(sigma, n_words, n_seg, core, L, interpret):
+    """Jitted segmented-fallback program, built once per static geometry
+    (eager reduce_flat_device would pay one tunnel RTT per jnp op)."""
+    import jax
+    import jax.numpy as jnp
+
+    from edlib_tpu.ops import pallas_kernel as pk
+
+    def f(padded, peq, lo, hi):
+        idx = (core * jnp.arange(n_seg, dtype=jnp.int32)[:, None]
+               + jnp.arange(L, dtype=jnp.int32)[None, :])
+        slices = padded[idx]                                 # (n_seg, L)
+        B = peq.shape[0]
+        tg = jnp.broadcast_to(slices[None], (B, n_seg, L)).reshape(
+            B * n_seg, L)
+        peq_rep = jnp.broadcast_to(
+            peq[:, None], (B, n_seg, sigma + 2, n_words)).reshape(
+            B * n_seg, sigma + 2, n_words)
+        return pk.reduce_flat_device(peq_rep, tg, lo.reshape(-1),
+                                     hi.reshape(-1), hin0=0,
+                                     interpret=interpret)[:2]
+
+    return jax.jit(f)
+
+
+def _segmented_fallback(read_ids, t_ids, sigma, forced):
+    """(best, pos) for <= _SEG_FB_B reads vs the full target via the
+    segmented HW invariant (ops/segmented.py), with a FIXED 64-read plan so
+    the compiled program and the device-resident padded target are reused
+    across calls regardless of how many stragglers each batch produces."""
+    import hashlib
+
+    import jax.numpy as jnp
+
+    from edlib_tpu.ops import pallas_kernel as pk
+    from edlib_tpu.ops.segmented import plan_segments
+
+    B = len(read_ids)
+    tlen = len(t_ids)
+    qmax = max(len(r) for r in read_ids)
+    n_words = encode.num_words(qmax)
+    if sigma + 2 > pk.max_sigma1(n_words, shared=False):
+        return None
+    qmin = min(len(r) for r in read_ids)
+    w_max = n_words * 32 - qmin
+    halo = 2 * qmax - 1
+    n_seg, core = plan_segments(tlen, halo, w_max,
+                                max_lanes=max(1, 4096 // _SEG_FB_B))
+    L = halo + core + w_max
+    null_sym, wild = sigma + 1, sigma
+
+    t_np = np.ascontiguousarray(np.asarray(t_ids, np.int32))
+    key = (hashlib.blake2b(t_np.tobytes(), digest_size=16).digest(),
+           "segfb", sigma, halo, n_seg, core, w_max)
+    padded = _INDEX_CACHE.pop(key, None)
+    if padded is None:
+        padded = jnp.concatenate([
+            jnp.full((halo,), null_sym, jnp.int32), jnp.asarray(t_np),
+            jnp.full((n_seg * core - tlen + w_max,), wild, jnp.int32)])
+    _INDEX_CACHE[key] = padded
+    while len(_INDEX_CACHE) > _INDEX_CACHE_MAX:
+        _INDEX_CACHE.pop(next(iter(_INDEX_CACHE)))
+
+    eq = np.eye(sigma, dtype=bool)
+    peq = np.zeros((_SEG_FB_B, sigma + 2, n_words), np.uint32)
+    lo = np.zeros((_SEG_FB_B, n_seg), np.int32)   # pad lanes: empty window
+    hi = np.zeros((_SEG_FB_B, n_seg), np.int32)
+    seg_cols = np.minimum(core, tlen - core * np.arange(n_seg))
+    for i, r in enumerate(read_ids):
+        peq[i, :sigma + 1] = encode.build_peq_words(
+            np.asarray(r, np.uint8), eq, n_words=n_words)
+        peq[i, sigma + 1] = 0
+        w_i = n_words * 32 - len(r)
+        lo[i] = halo + w_i
+        hi[i] = halo + w_i + seg_cols
+    fn = _seg_fb_fn(sigma, n_words, n_seg, core, L,
+                    forced == "interpret")
+    best, pfirst = fn(padded, jnp.asarray(peq), jnp.asarray(lo),
+                      jnp.asarray(hi))
+    best = np.asarray(best).reshape(_SEG_FB_B, n_seg).astype(np.int64)
+    pfirst = np.asarray(pfirst).reshape(_SEG_FB_B, n_seg).astype(np.int64)
+    out_best = np.empty(B, np.int64)
+    out_pos = np.empty(B, np.int64)
+    seg_base = core * np.arange(n_seg)
+    for i, r in enumerate(read_ids):
+        w_i = n_words * 32 - len(r)
+        b = best[i].min()
+        gpos = seg_base + (pfirst[i] - halo - w_i)
+        out_best[i] = b
+        out_pos[i] = gpos[best[i] == b].min()
+    return out_best, out_pos
 
 
 _INDEX_CACHE: dict = {}          # geometry+digest -> device index arrays

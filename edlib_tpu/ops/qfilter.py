@@ -64,9 +64,17 @@ def choose_q(sigma: int, qlen_min: int, k: int, L: int,
     random-window shared-gram count by n_sigma_noise standard deviations
     (normal approx of C ~ Bin(m', p), p = expected gram presence in an
     L-window), so random windows essentially never pass.
+
+    Real targets are NOT random: correlated oligo usage gives genome
+    windows a far fatter shared-gram tail than the binomial model (on the
+    1 Mbp chromosome the model's q=5 leaves 22% of reads with > maxc
+    passing windows; q=6 leaves 4 of 10240).  One extra order of q costs
+    nothing on the MXU (the presence matmul is vocab-independent in time
+    up to the HBM cap), so bump q by one whenever that stays sound.
     """
     if sigma < 2 or qlen_min < 2 or k < 0:
         return None
+    chosen = None
     for q in range(2, 17):
         vocab = sigma ** q
         if vocab > MAX_VOCAB:
@@ -81,8 +89,15 @@ def choose_q(sigma: int, qlen_min: int, k: int, L: int,
         mu = m_eff * p
         sd = math.sqrt(max(1e-9, m_eff * p * (1.0 - p)))
         if tau > mu + n_sigma_noise * sd:
-            return q
-    return None
+            chosen = q
+            break
+    if chosen is None:
+        return None
+    q2 = chosen + 1
+    if (sigma ** q2 <= MAX_VOCAB and qlen_min - q2 + 1 >= 1
+            and (qlen_min - q2 + 1) - k * q2 >= 1):
+        return q2
+    return chosen
 
 
 def window_geometry(tlen: int, qmax: int, k: int,

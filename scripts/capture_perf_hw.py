@@ -287,6 +287,35 @@ def step_latency(cap):
         cap.skip("latency_ab", f"rc={rc} {err[-150:]}")
 
 
+def step_batched_path(cap):
+    """Batched device PATH vs the pooled native walkers on identical
+    windows (VERDICT r3 #3): byte-identical CIGARs asserted in-harness."""
+    rc, out, err = run([sys.executable, "scripts/hw_batched_path.py"], 2400)
+    j = last_json(out)
+    if rc == 0 and j and j.get("identical") and j.get("backend") == "tpu":
+        cap.row("batched_path_paths_per_s", j["stage_device_paths_per_s"],
+                "paths/s", "hw_batched_path.py", windows=j["windows"],
+                qlen=j["qlen"], stage_device_s=j["stage_device_s"],
+                stage_native_s=j["stage_native_s"],
+                stage_speedup=j["stage_speedup"],
+                e2e_speedup=j["e2e_speedup"])
+    else:
+        cap.skip("batched_path", f"rc={rc} {out[-150:]} {err[-120:]}")
+
+
+def step_eqstream(cap):
+    """Eq-stream engine (sigma past the select cap) GCUPS + exactness."""
+    rc, out, err = run([sys.executable, "scripts/hw_eqstream.py"], 1200)
+    j = last_json(out)
+    if rc == 0 and j and j.get("exact") and j.get("backend") == "tpu":
+        cap.row("eqstream_sigma200_gcups", j["eqstream_gcups"], "GCUPS",
+                "hw_eqstream.py", B=j["B"], qlen=j["qlen"], tlen=j["tlen"],
+                select25_gcups=j["select25_gcups"],
+                stream_vs_select25=j["stream_vs_select25"])
+    else:
+        cap.skip("eqstream", f"rc={rc} {out[-150:]} {err[-120:]}")
+
+
 def step_hw_tests(cap):
     rc, out, err = run([sys.executable, "-m", "pytest",
                         "tests/test_hw_tpu.py", "-q"], 3600)
@@ -323,7 +352,8 @@ def main(argv=None):
              "roofline": step_roofline, "banded": step_banded_revshw,
              "e2e": step_e2e, "scaling": step_scaling,
              "wavefront": step_wavefront_1mbp, "cli": step_cli,
-             "latency": step_latency, "tests": step_hw_tests}
+             "latency": step_latency, "tests": step_hw_tests,
+             "batched_path": step_batched_path, "eqstream": step_eqstream}
     cpu_only = {"latency", "cli"}
     if args.steps:
         order = [s.strip() for s in args.steps.split(",")]
@@ -331,8 +361,8 @@ def main(argv=None):
         order = ["bench", "two_phase", "banded_nw", "banded"]
     else:
         order = ["bench", "two_phase", "banded_nw", "chunks", "roofline",
-                 "banded", "e2e", "scaling", "wavefront", "cli", "latency",
-                 "tests"]
+                 "banded", "e2e", "scaling", "batched_path", "eqstream",
+                 "wavefront", "cli", "latency", "tests"]
 
     if set(order) - cpu_only:  # any step that needs the chip?
         ok, err = probe()

@@ -91,3 +91,36 @@ def test_map_reads_edges():
     assert best[0] == 2 and pos[0] == -1
     with pytest.raises(ValueError):
         map_reads([b"AC"], b"ACGT", mode="NW")
+
+
+def test_map_reads_segmented_fallback(rng, monkeypatch):
+    """Stragglers the q-gram filter cannot resolve route through the
+    cached segmented fallback (fixed 64-read plan) and stay exact."""
+    monkeypatch.setenv("EDLIB_TPU_FORCE_PALLAS", "interpret")
+    monkeypatch.setenv("EDLIB_TPU_QFILTER", "1")       # force the filter on
+    monkeypatch.setenv("EDLIB_TPU_QFILTER_MAXC", "1")  # starve candidates
+    tlen = 6000
+    target = bytes(rng.choice(list(b"ACGT"), tlen).tolist())
+    tb = np.frombuffer(target, np.uint8)
+    reads = []
+    for _ in range(12):
+        s = rng.randint(0, tlen - 80)
+        r = tb[s:s + 80].copy()
+        muts = rng.rand(80) < 0.08
+        r[muts] = rng.choice(list(b"ACGT"), muts.sum())
+        reads.append(r.tobytes())
+    reads.append(b"ACGT" * 20)   # repetitive: many passing windows
+    from edlib_tpu import mapping as mp
+    calls = []
+    orig = mp._segmented_fallback
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(mp, "_segmented_fallback", spy)
+    best, pos = map_reads(reads, target, mode="HW")
+    assert calls, "segmented fallback was not exercised"
+    for i, r in enumerate(reads):
+        want = reference_first(r, target, "HW", -1)
+        assert (best[i], pos[i]) == want, i
