@@ -90,7 +90,11 @@ def step_bench(cap):
     rc, out, err = run([sys.executable, "bench.py"], 900,
                        env={"EDLIB_TPU_BENCH_DEADLINE": "780"})
     j = last_json(out)
-    if j and j.get("value", 0) > 0 and "pallas" in str(j.get("note", "")):
+    # Accept any device-backed headline (the note names the engine:
+    # "qfilter"/"pallas"); reject only native-CPU fallbacks and failures.
+    note = str(j.get("note", "")) if j else ""
+    if j and j.get("value", 0) > 0 and ("pallas" in note
+                                        or "qfilter" in note):
         cap.row("batched_hw_gcups", j["value"], "GCUPS", "bench.py",
                 vs_baseline=j.get("vs_baseline"), note=j.get("note"))
     else:
