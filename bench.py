@@ -8,14 +8,20 @@ Baseline: the reference's implied naive-cell rate at Q=T=50000 is ~80 GCUPS
 on one 2017 CPU core (BASELINE.md).  GCUPS counts query_len * target_len *
 batch cells per second — the accounting the baseline figure implies.
 
-Workload: the reference's read-mapping use case (test_data/E_coli_DH1) —
-batches of reads HW-aligned against one shared genome-scale target,
-returning per-read (best score, first best end position).  The headline
-attempt is the library's default pruned path: MXU q-gram prefilter +
-windowed Pallas verification (ops/qfilter.py) at a 4 Mbp target, each rep
-mapping a FRESH read batch against the amortised per-target index —
-exactness gated on-chip against the full sweep (whole batch) and the host
-bigint engine (sampled reads).  GCUPS counts naive cells (B*Q*T/t), the
+Workload: the reference's read-mapping use case on REAL genome data —
+the reference's own perf scripts all run on real sequences
+(test_data/perf_tests2.sh:80-140).  Batches of reads HW-aligned against
+one shared genome-scale target, returning per-read (best score, first
+best end position).  The headline attempt is the library's default pruned
+path: MXU q-gram prefilter + windowed Pallas verification
+(ops/qfilter.py) at LIBRARY-DEFAULT settings (maxc=16, rung=qlen//10)
+on test_data/Chromosome_2890043_3890042_0 (1 Mbp E. coli chromosome
+slice) tiled to 4 Mbp — a repeat-heavy input (4 exact genome copies)
+with the real-genome correlated-oligo tail, NOT a flattering uniform-
+random target.  Reads are drawn from the tiled chromosome with 5%
+mutations; each rep maps a FRESH read batch against the amortised
+per-target index — exactness gated on-chip against the full sweep
+(whole batch) and the host bigint engine (sampled reads).  GCUPS counts naive cells (B*Q*T/t), the
 same accounting the 80-GCUPS baseline implies for the reference's
 Ukkonen-banded implementation; the note carries the raw full-sweep GCUPS
 side by side.  Everything is generated, packed, swept, and reduced ON
@@ -51,13 +57,19 @@ QLEN = 120        # read length (nw=4 words)
 TARGET_LEN = 65536
 SIGMA = 4
 CHUNK = 512
-# q-gram-filtered attempt: genome-scale target (E. coli size), rung k=12.
-# GCUPS accounting stays naive-cell-equivalent (B*QLEN*T / t) — the SAME
-# accounting the 80-GCUPS baseline implies for the reference's
-# Ukkonen-banded implementation, which also skips most cells.
+# q-gram-filtered attempt: genome-scale target — the reference's real
+# 1 Mbp chromosome tiled to 4 Mbp.  rung K_F = QLEN // 10 = 12 is the
+# library's own default rung (mapping.py), and MAXC_F = 16 the library's
+# default candidate budget (EDLIB_TPU_QFILTER_MAXC).  GCUPS accounting
+# stays naive-cell-equivalent (B*QLEN*T / t) — the SAME accounting the
+# 80-GCUPS baseline implies for the reference's Ukkonen-banded
+# implementation, which also skips most cells.
 TARGET_LEN_F = 4_194_304
 K_F = 12
-MAXC_F = 4
+MAXC_F = 16
+GENOME_FASTA = os.path.join(
+    os.environ.get("EDLIB_REFERENCE_DIR", "/root/reference"), "test_data",
+    "Chromosome_2890043_3890042_0", "Chromosome_2890043_3890042_0.fasta")
 
 _best = None      # dict(gcups=..., note=...) — best result captured so far
 _printed = False
@@ -110,6 +122,28 @@ out_path = sys.argv[2]
 sys.path.insert(0, sys.argv[3])
 B, QLEN, TARGET_LEN, SIGMA, CHUNK, TARGET_LEN_F, K_F, MAXC_F = map(
     int, sys.argv[4:12])
+GENOME_FASTA = sys.argv[12]
+
+
+def load_genome_ids(tlen):
+    # Real-chromosome target ids (A,C,G,T -> 0..3, first-appearance order
+    # of the reference transform for this file), tiled to tlen; falls back
+    # to uniform-random ids (flagged in the note) when the file is absent.
+    try:
+        raw = open(GENOME_FASTA, "rb").read()
+    except OSError:
+        rng = np.random.RandomState(7)
+        return rng.randint(0, SIGMA, tlen).astype(np.int32), "random-fallback"
+    seq = b"".join(l for l in raw.split(b"\n") if not l.startswith(b">"))
+    arr = np.frombuffer(seq, np.uint8)
+    lut = np.full(256, -1, np.int32)
+    order = arr[np.sort(np.unique(arr, return_index=True)[1])]
+    for i, c in enumerate(order[:SIGMA]):
+        lut[c] = i
+    ids = lut[arr]
+    ids = ids[ids >= 0].astype(np.int32)
+    ids = np.tile(ids, -(-tlen // len(ids)))[:tlen]
+    return ids, "Chromosome_2890043_3890042_0 tiled"
 
 from edlib_tpu import encode
 
@@ -164,13 +198,15 @@ from edlib_tpu.ops.pallas_kernel import (
     B_TILE, build_peq_device, pack_tiles_device, sweep_best_pallas_shared)
 
 if backend == "qfilter":
-    # Read-mapping at genome scale: MXU q-gram prefilter + windowed Pallas
-    # verification (ops/qfilter.py), per-target index amortised across
+    # Read-mapping at genome scale on REAL data: MXU q-gram prefilter +
+    # windowed Pallas verification (ops/qfilter.py) over the reference's
+    # 1 Mbp chromosome tiled to 4 Mbp, per-target index amortised across
     # batches (each rep maps a FRESH batch of reads).  Exactness is gated
     # on-chip: the full sweep must agree on every resolved read, and the
     # host bigint engine must agree with the sweep on sampled reads.
     from edlib_tpu.ops import qfilter as qfmod
     TF = TARGET_LEN_F
+    target_ids, target_src = load_genome_ids(TF)
     nw = encode.num_words(QLEN)
     w = nw * 32 - QLEN
     n_chunks = -(-(TF + w) // CHUNK)
@@ -182,8 +218,7 @@ if backend == "qfilter":
     CH_V = 256
     Lv = qfmod.verify_cols(L, nw, CH_V)
 
-    target = jax.random.randint(jax.random.key(1), (TF,), 0, SIGMA,
-                                jnp.int32)
+    target = jnp.asarray(target_ids)
     qlens = jnp.full((B,), QLEN, jnp.int32)
 
     @jax.jit
@@ -258,10 +293,11 @@ if backend == "qfilter":
         int(many(target, win_pres, win_syms))
         dt = min(dt, time.time() - t0) if dt is not None else \
             time.time() - t0
-    note = ("qfilter-%s T=%d k=%d exact (resolved=%.4f, 0 mismatch "
-            "vs full sweep; raw sweep %.0f GCUPS); naive-cell-equiv "
-            "accounting, same as the banded reference baseline" %
-            (jax.default_backend(), TF, K_F, rs.mean(), raw_gcups))
+    note = ("qfilter-%s %s T=%d k=%d maxc=%d exact (resolved=%.4f, "
+            "0 mismatch vs full sweep; raw sweep %.0f GCUPS); "
+            "naive-cell-equiv accounting, same as the banded reference "
+            "baseline" % (jax.default_backend(), target_src, TF, K_F,
+                          MAXC_F, rs.mean(), raw_gcups))
     report(dt, note, REPS, tlen=TF)
     sys.exit(0)
 
@@ -351,7 +387,7 @@ def try_backend(backend: str, timeout: float):
         proc = subprocess.run(
             [sys.executable, "-c", _CHILD_CODE, backend, out_path, REPO,
              str(B), str(QLEN), str(TARGET_LEN), str(SIGMA), str(CHUNK),
-             str(TARGET_LEN_F), str(K_F), str(MAXC_F)],
+             str(TARGET_LEN_F), str(K_F), str(MAXC_F), GENOME_FASTA],
             capture_output=True, timeout=timeout)
         if proc.returncode != 0:
             sys.stderr.write(proc.stderr.decode()[-2000:] + "\n")
