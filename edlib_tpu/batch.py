@@ -14,6 +14,7 @@ device batch instead of re-running serially per location.
 
 from __future__ import annotations
 
+import functools
 import os
 from collections import defaultdict
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -249,14 +250,126 @@ def _run_bucket_mesh(mesh, idxs, pairs, metas, sigma, eq, nw_b, t_scan,
 _BIG_SENTINEL = 0x3FFFFFFF
 
 
-def _eqstream_ok(mode: str, n_pairs: int, nw_b: int, t_scan: int) -> bool:
+def _eqstream_ok(mode: str, n_pairs: int, nw_b: int, t_scan: int,
+                 sigma: int) -> bool:
     """Whether a per-lane-target bucket past the select-chain alphabet cap
-    can run the eq-stream kernels (HBM Eq-stream footprint under the cap)."""
+    can run the (legacy) eq-stream kernels: HBM footprint of the REAL
+    intermediates under the cap.  The kernel pads lanes to B_TILE tiles
+    (not the pow2 estimate), keeps the gathered stream twice (eqs + the
+    tile-transposed eq_t), and the MXU gather materialises a
+    (B_pad, t_scan, sigma+1) bf16 one-hot operand (XLA cannot fuse
+    producers into matmul operands) — the dominant term at large sigma."""
     if not mode:
         return False
-    b_pad = _pow2_at_least(n_pairs, floor=8)
+    from edlib_tpu.ops import pallas_kernel
+    b_pad = -(-max(n_pairs, 1) // pallas_kernel.B_TILE) \
+        * pallas_kernel.B_TILE
     cap = int(os.environ.get("EDLIB_TPU_EQSTREAM_MAX_MB", "1024")) << 20
-    return b_pad * t_scan * nw_b * 4 <= cap
+    stream = b_pad * t_scan * nw_b * 4 * 2        # eqs + eq_t copy
+    onehot = b_pad * t_scan * (sigma + 1) * 2     # bf16 matmul operand
+    return stream + onehot <= cap
+
+
+_BITPLANE_MAX_ALTS = 4
+
+
+@functools.lru_cache(maxsize=32)
+def _bigalpha_plan_cached(sigma: int, eq_key: bytes):
+    eqb = np.frombuffer(eq_key, dtype=bool).reshape(sigma, sigma).copy()
+    np.fill_diagonal(eqb, True)
+    cnt = eqb.sum(1)
+    universal = cnt >= sigma
+    live = ~universal
+    n_alts = int(cnt[live].max()) if live.any() else 1
+    if n_alts > _BITPLANE_MAX_ALTS:
+        return None
+    altset = np.full((sigma, n_alts), -1, np.int32)
+    for v in np.nonzero(live)[0]:
+        alts = np.nonzero(eqb[v])[0]
+        altset[v, :len(alts)] = alts
+    return altset, universal, n_alts
+
+
+def _bigalpha_plan(sigma: int, eq: np.ndarray):
+    """Host-side decomposition of the equality matrix for the bit-plane
+    kernels: per-symbol alternative-id table (each query row matches the
+    target symbols in its row's set), universal-row mask (rows matching
+    everything ride the packed pad mask), and the alternative count E.
+    None when some non-universal row matches more than
+    _BITPLANE_MAX_ALTS symbols (dense custom equalities — legacy
+    eq-stream handles those).  Cached per equality matrix."""
+    eqb = np.ascontiguousarray(eq[:sigma, :sigma].astype(bool))
+    return _bigalpha_plan_cached(sigma, eqb.tobytes())
+
+
+def _run_bucket_bitplane(idxs, pairs, metas, sigma, plan, nw_b, t_scan,
+                         hin0, want_hits, mode) -> List[PairSummary]:
+    """One per-lane-target bucket of ANY alphabet size via the bit-plane
+    kernels (pallas_kernel.reduce_flat_device_bitplane): Eq rows are
+    rebuilt in kernel from VMEM-resident query-id bit planes — no select
+    chain, no HBM Eq stream, no one-hot gather.  The reference's full
+    sigma <= 256 (edlib.cpp:1417-1462) with no alphabet cliff."""
+    import jax.numpy as jnp
+    from edlib_tpu.ops import pallas_kernel
+
+    altset, universal, n_alts = plan
+    nb = pallas_kernel.bitplane_nb(sigma)
+    sent = (1 << nb) - 1
+    R = nw_b * 32
+    B = len(idxs)
+    q_alts = np.full((B, n_alts, R), sent, np.int32)
+    pad_words = np.zeros((B, nw_b), np.uint32)
+    targets = np.full((B, t_scan), sigma, np.int32)
+    lo = np.zeros(B, np.int32)
+    hi = np.zeros(B, np.int32)
+    row_bit = (np.uint32(1) << (np.arange(R, dtype=np.uint32) % 32))
+    for row, i in enumerate(idxs):
+        q_ids, t_ids = pairs[i]
+        qlen = len(q_ids)
+        qv = np.asarray(q_ids, np.int64)
+        alts = altset[qv].T                        # (n_alts, qlen)
+        q_alts[row, :, :qlen] = np.where(alts >= 0, alts, sent)
+        always = np.ones(R, bool)
+        always[:qlen] = universal[qv]
+        pad_words[row] = np.bitwise_or.reduce(
+            np.where(always, row_bit, 0).reshape(nw_b, 32), axis=1)
+        targets[row, :len(t_ids)] = t_ids
+        lo[row] = metas[i][1]
+        hi[row] = metas[i][1] + len(t_ids)
+    outs = pallas_kernel.reduce_flat_device_bitplane(
+        jnp.asarray(q_alts), jnp.asarray(pad_words), jnp.asarray(targets),
+        jnp.asarray(lo), jnp.asarray(hi), hin0=hin0, sigma=sigma,
+        want_hits=want_hits, interpret=(mode == "interpret"))
+    best, pf, pl_, last = (np.asarray(o) for o in outs[:4])
+    hits = np.asarray(outs[4]) if want_hits else None
+    out = []
+    for row, i in enumerate(idxs):
+        w = metas[i][1]
+        positions = None
+        if want_hits:
+            positions = _decode_hit_words(hits[row], -w)
+        out.append(PairSummary(int(best[row]), int(pf[row]) - w,
+                               int(pl_[row]) - w, int(last[row]), positions))
+    return out
+
+
+def _bigalpha_route(mode: str, sigma: int, eq: np.ndarray, n_pairs: int,
+                    nw_b: int, t_scan: int):
+    """Routing for per-lane-target buckets past the select-chain alphabet
+    cap: ('bitplane', plan) when the in-kernel bit-plane engine applies
+    (the fast default), ('eqstream', None) for dense equality matrices the
+    plane decomposition cannot express, (None, None) -> host engines."""
+    if not mode:
+        return None, None
+    from edlib_tpu.ops import pallas_kernel
+    if os.environ.get("EDLIB_TPU_BITPLANE", "") != "0":
+        plan = _bigalpha_plan(sigma, eq)
+        if plan is not None and pallas_kernel.bitplane_ok(
+                nw_b, sigma, plan[2]):
+            return "bitplane", plan
+    if _eqstream_ok(mode, n_pairs, nw_b, t_scan, sigma):
+        return "eqstream", None
+    return None, None
 
 
 def _run_bucket_eqstream(idxs, pairs, metas, sigma, eq, nw_b, t_scan,
@@ -398,7 +511,15 @@ def _run_bucketed_summary(pairs: List[Tuple[np.ndarray, np.ndarray]],
         use_pallas = bool(mode) and (
             shared or sigma + 1 <= pallas_kernel.max_sigma1(nw_b, False))
         if not use_pallas:
-            if _eqstream_ok(mode, len(idxs), nw_b, t_scan):
+            route, plan = _bigalpha_route(mode, sigma, eq, len(idxs),
+                                          nw_b, t_scan)
+            if route == "bitplane":
+                for i, summ in zip(idxs, _run_bucket_bitplane(
+                        idxs, pairs, metas, sigma, plan, nw_b, t_scan,
+                        hin0, want_hits, mode)):
+                    out[i] = summ
+                continue
+            if route == "eqstream":
                 for i, summ in zip(idxs, _run_bucket_eqstream(
                         idxs, pairs, metas, sigma, eq, nw_b, t_scan, hin0,
                         want_hits, mode)):
@@ -513,11 +634,20 @@ def _run_bucketed_nw_banded(pairs: List[Tuple[np.ndarray, np.ndarray]],
         band_ok = use_pallas and nw_b >= _band_min_words()
 
         if not use_pallas:
-            if _eqstream_ok(mode, len(idxs), nw_b, t_scan):
-                # Full-sweep NW distance via the eq-stream reduce (no
-                # banding, but on-chip — beats the XLA scan engine there).
-                summs = _run_bucket_eqstream(idxs, pairs, metas, sigma, eq,
-                                             nw_b, t_scan, 1, False, mode)
+            route, plan = _bigalpha_route(mode, sigma, eq, len(idxs),
+                                          nw_b, t_scan)
+            if route is not None:
+                # Full-sweep NW distance via the bit-plane / eq-stream
+                # reduce (no banding, but on-chip — beats the XLA scan
+                # engine there).
+                if route == "bitplane":
+                    summs = _run_bucket_bitplane(idxs, pairs, metas, sigma,
+                                                 plan, nw_b, t_scan, 1,
+                                                 False, mode)
+                else:
+                    summs = _run_bucket_eqstream(idxs, pairs, metas, sigma,
+                                                 eq, nw_b, t_scan, 1,
+                                                 False, mode)
                 for row, i in enumerate(idxs):
                     out[i] = int(summs[row].last_score)
                 continue
@@ -672,10 +802,12 @@ def align_batch_device(queries: Sequence, targets: Sequence,
     k_eff = _INF if k < 0 else k
 
     # On TPU, alphabets beyond the Pallas select limit route to the
-    # eq-stream kernels (MXU one-hot Eq gather — no alphabet cap); only
-    # when a bucket's Eq-stream HBM footprint would blow the cap does the
-    # batch fall back to the native host path.  Shared-target batches are
-    # exempt either way: the scalar-symbol kernels have no alphabet cap.
+    # bit-plane kernels (in-kernel Eq reconstruction — no alphabet cap),
+    # or to the legacy eq-stream kernels for dense equality matrices;
+    # only when neither applies (dense equalities AND an Eq-stream HBM
+    # footprint past the cap) does the batch fall back to the native host
+    # path.  Shared-target batches are exempt either way: the
+    # scalar-symbol kernels have no alphabet cap.
     from edlib_tpu.ops import pallas_kernel
     all_shared = (len(id_pairs) > 1
                   and all(t is id_pairs[0][1] for _, t in id_pairs))
@@ -691,7 +823,8 @@ def align_batch_device(queries: Sequence, targets: Sequence,
             w = nw_b * 32 - len(q_ids)
             t_scan = _pow2_at_least(len(t_ids) + w, floor=32)
             bucket_counts[(nw_b, t_scan)] += 1
-        if not all(_eqstream_ok("tpu", n, nw_b, t_scan)
+        if not all(_bigalpha_route("tpu", sigma, eq, n, nw_b,
+                                   t_scan)[0] is not None
                    for (nw_b, t_scan), n in bucket_counts.items()):
             return [align(q, t, mode=mode, task=task, k=k,
                           additionalEqualities=additionalEqualities)

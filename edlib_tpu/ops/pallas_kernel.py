@@ -404,9 +404,37 @@ def _fetch_eq(peq_ref, sym, w, sigma1, shared):
     return eq
 
 
+def _bitplane_tb(sym, nb: int):
+    """Per-column bit-broadcast masks: tb[b] = 0xFFFFFFFF iff bit b of the
+    lane's target symbol is set (uint32 (8,128) each)."""
+    symu = sym.astype(jnp.uint32)
+    return [jnp.uint32(0) - ((symu >> jnp.uint32(b)) & jnp.uint32(1))
+            for b in range(nb)]
+
+
+def _bitplane_eq(planes_ref, pad_w, tb, wild, w: int, n_words: int,
+                 nb: int, n_alts: int):
+    """Eq word w from VMEM-resident query-id bit planes: XNOR-AND trick.
+
+    Row i matches symbol s iff every bit of alt_e(i) equals the
+    corresponding bit of s for some alternative e, i.e.
+        Eq_e[w] = ~ OR_b (planes[e, b, w] ^ tb[b])
+    (planes[e, b, w] bit i = bit b of alt_e(32w + i)).  ~16 VPU ops per
+    word per alternative — alphabet-size-INDEPENDENT, vs the O(S1) select
+    chain and the HBM-bound pre-gathered Eq stream."""
+    acc = pad_w | wild
+    for e in range(n_alts):
+        x = planes_ref[(e * nb) * n_words + w] ^ tb[0]
+        for b in range(1, nb):
+            x = x | (planes_ref[(e * nb + b) * n_words + w] ^ tb[b])
+        acc = acc | ~x
+    return acc
+
+
 def _reduce_kernel(*refs, n_words: int, sigma1: int, chunk: int,
                    hin0: int, shared: bool, unroll: int,
-                   resume: bool = False, eq_stream: bool = False):
+                   resume: bool = False, eq_stream: bool = False,
+                   bitplane: int = 0, n_alts: int = 1, wildcard: int = -1):
     """Phase-1 kernel: in-register reduction over the score stream.
 
     lo/hi_ref: (8,128) int32 per-lane scan-column windows [lo, hi) — lo is
@@ -430,6 +458,16 @@ def _reduce_kernel(*refs, n_words: int, sigma1: int, chunk: int,
          pvo_ref, mvo_ref, so_ref,
          pv_ref, mv_ref, score_ref, rb_ref, rpf_ref, rpl_ref,
          rl_ref) = refs
+    elif bitplane:
+        # Per-lane symbol stream + VMEM-resident query-id bit planes: the
+        # Eq rows are computed IN KERNEL via the XNOR-AND trick
+        # (_bitplane_eq) — no alphabet cap (C3's sigma <= 256,
+        # edlib.cpp:1417-1462), no HBM Eq stream, no select chain.
+        (targets_ref, planes_ref, pad_ref, lo_ref, hi_ref,
+         best_ref, pfirst_ref, plast_ref, last_ref,
+         pv_ref, mv_ref, score_ref, rb_ref, rpf_ref, rpl_ref,
+         rl_ref) = refs
+        peq_ref = targets_ref
     elif eq_stream:
         # Eq rows arrive precomputed per column (the MXU one-hot gather,
         # see eqstream_gather): no symbol stream, no Peq residency — and
@@ -474,6 +512,9 @@ def _reduce_kernel(*refs, n_words: int, sigma1: int, chunk: int,
             sym = None
         else:
             sym = targets_ref[0, c] if shared else targets_ref[c]
+        if bitplane:
+            tb = _bitplane_tb(sym, bitplane)
+            wild = jnp.where(sym == wildcard, _ONES, jnp.uint32(0))
         hin_neg = jnp.zeros((SUBLANES, LANES), jnp.uint32)
         if hin0 == 0:
             hin_pos = jnp.zeros((SUBLANES, LANES), jnp.uint32)
@@ -481,7 +522,10 @@ def _reduce_kernel(*refs, n_words: int, sigma1: int, chunk: int,
             hin_pos = jnp.ones((SUBLANES, LANES), jnp.uint32)
         new_pvs, new_mvs = [], []
         for w in range(n_words):
-            if eq_stream:
+            if bitplane:
+                eq = _bitplane_eq(planes_ref, pad_ref[w], tb, wild, w,
+                                  n_words, bitplane, n_alts)
+            elif eq_stream:
                 eq = targets_ref[c * n_words + w]
             else:
                 eq = _fetch_eq(peq_ref, sym, w, sigma1, shared)
@@ -723,13 +767,18 @@ def reduce_resumable_flat_device(peq, targets, lo, hi, pv0, mv0, s0,
 
 def _hits_kernel(*refs, n_words: int, sigma1: int,
                  chunk: int, hin0: int, shared: bool,
-                 eq_stream: bool = False):
+                 eq_stream: bool = False, bitplane: int = 0,
+                 n_alts: int = 1, wildcard: int = -1):
     """Phase-2 kernel: packed bitmask of columns with score == best.
 
     hits_ref: (chunk//32, 8, 128) uint32 per grid step; bit j of group g =
     hit at scan column t_step*chunk + g*32 + j.
     """
-    if eq_stream:
+    if bitplane:
+        (targets_ref, planes_ref, pad_ref, lo_ref, hi_ref, best_ref,
+         hits_ref, pv_ref, mv_ref, score_ref) = refs
+        peq_ref = targets_ref
+    elif eq_stream:
         (targets_ref, lo_ref, hi_ref, best_ref, hits_ref,
          pv_ref, mv_ref, score_ref) = refs
         peq_ref = targets_ref
@@ -754,6 +803,9 @@ def _hits_kernel(*refs, n_words: int, sigma1: int,
             sym = None
         else:
             sym = targets_ref[0, c] if shared else targets_ref[c]
+        if bitplane:
+            tb = _bitplane_tb(sym, bitplane)
+            wild = jnp.where(sym == wildcard, _ONES, jnp.uint32(0))
         hin_neg = jnp.zeros((SUBLANES, LANES), jnp.uint32)
         if hin0 == 0:
             hin_pos = jnp.zeros((SUBLANES, LANES), jnp.uint32)
@@ -761,7 +813,10 @@ def _hits_kernel(*refs, n_words: int, sigma1: int,
             hin_pos = jnp.ones((SUBLANES, LANES), jnp.uint32)
         new_pvs, new_mvs = [], []
         for w in range(n_words):
-            if eq_stream:
+            if bitplane:
+                eq = _bitplane_eq(planes_ref, pad_ref[w], tb, wild, w,
+                                  n_words, bitplane, n_alts)
+            elif eq_stream:
                 eq = targets_ref[c * n_words + w]
             else:
                 eq = _fetch_eq(peq_ref, sym, w, sigma1, shared)
@@ -1893,6 +1948,186 @@ def reduce_flat_device_eqstream(peq: jnp.ndarray, targets: jnp.ndarray,
     masks = _sweep_hits_eqstream_call(eq_t, lo_t, hi_t, best_t, hin0=hin0,
                                       n_words=NW, chunk=chunk,
                                       interpret=interpret)
+    G = chunk // 32
+    hits = jnp.transpose(masks, (0, 3, 4, 1, 2)).reshape(Bp, n_chunks * G)
+    return flat + (hits[:B, :-(-T // 32)],)
+
+
+# ---------------------------------------------------------------------------
+# Bit-plane engine (round 5): the eq-stream gather replaced by IN-KERNEL Eq
+# computation.  The round-4 eq-stream paid a materialised (B, T, S1) one-hot
+# (XLA cannot fuse producers into matmul operands) plus a (B, T, NW) Eq
+# stream — measured 7.0 ms of a 10.7 ms call at sigma=200.  Here the kernel
+# keeps each lane's query-symbol ids as nb = ceil(log2(sigma+2)) packed BIT
+# PLANES in VMEM and reconstructs Eq per column with the XNOR-AND trick
+# (_bitplane_eq): ~16 VPU ops per word per alternative, independent of
+# sigma.  HBM traffic per lane-column drops from 4*NW bytes (pre-gathered
+# words) to 4 (one int32 symbol).  additionalEqualities ride as up to
+# n_alts alternative ids per row; rows matching everything (wildcard pad,
+# universal equality rows) ride in a packed pad mask.  Covers the
+# reference's full sigma <= 256 (edlib.cpp:1417-1462) with no cliff.
+# ---------------------------------------------------------------------------
+
+
+def bitplane_nb(sigma: int) -> int:
+    """Bit planes per alternative: enough for symbols [0, sigma] plus a
+    sentinel id (1<<nb)-1 > sigma that matches no target symbol."""
+    return (sigma + 1).bit_length()
+
+
+def bitplane_ok(n_words: int, sigma: int, n_alts: int) -> bool:
+    """Whether the bit-plane kernels apply: plane block VMEM-resident
+    (n_alts * nb * NW uint32 rows) within a quarter of the VMEM budget."""
+    rows = n_alts * bitplane_nb(sigma) * n_words
+    return rows * SUBLANES * LANES * 4 <= vmem_limit_bytes() // 4
+
+
+def _sweep_reduce_bitplane_call(tg_t, planes_t, pad_t, lo, hi, *, hin0: int,
+                                n_words: int, nb: int, n_alts: int,
+                                wildcard: int, chunk: int,
+                                interpret: bool = False):
+    """tg_t: int32 (n_tiles, n_chunks, chunk, 8, 128) per-lane symbols;
+    planes_t: uint32 (n_tiles, n_alts*nb*n_words, 8, 128);
+    pad_t: uint32 (n_tiles, n_words, 8, 128)."""
+    n_tiles, n_chunks = tg_t.shape[:2]
+    if interpret:
+        unroll = 1
+    else:
+        unroll = 16 if chunk % 16 == 0 else (8 if chunk % 8 == 0 else 1)
+    kernel = functools.partial(_reduce_kernel, n_words=n_words, sigma1=0,
+                               chunk=chunk, hin0=hin0, shared=False,
+                               unroll=unroll, bitplane=nb, n_alts=n_alts,
+                               wildcard=wildcard)
+    t_spec = pl.BlockSpec((None, None, chunk, SUBLANES, LANES),
+                          lambda i, j: (i, j, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    planes_spec = pl.BlockSpec((None, n_alts * nb * n_words, SUBLANES,
+                                LANES), lambda i, j: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    pad_spec = pl.BlockSpec((None, n_words, SUBLANES, LANES),
+                            lambda i, j: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((None, SUBLANES, LANES), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_chunks),
+        in_specs=[t_spec, planes_spec, pad_spec, tile_spec, tile_spec],
+        out_specs=(tile_spec, tile_spec, tile_spec, tile_spec),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((n_tiles, SUBLANES, LANES), jnp.int32)
+            for _ in range(4)),
+        scratch_shapes=[
+            pltpu.VMEM((n_words, SUBLANES, LANES), jnp.uint32),
+            pltpu.VMEM((n_words, SUBLANES, LANES), jnp.uint32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
+    )(tg_t, planes_t, pad_t, lo, hi)
+
+
+def _sweep_hits_bitplane_call(tg_t, planes_t, pad_t, lo, hi, best, *,
+                              hin0: int, n_words: int, nb: int, n_alts: int,
+                              wildcard: int, chunk: int,
+                              interpret: bool = False):
+    n_tiles, n_chunks = tg_t.shape[:2]
+    assert chunk % 32 == 0
+    kernel = functools.partial(_hits_kernel, n_words=n_words, sigma1=0,
+                               chunk=chunk, hin0=hin0, shared=False,
+                               bitplane=nb, n_alts=n_alts,
+                               wildcard=wildcard)
+    t_spec = pl.BlockSpec((None, None, chunk, SUBLANES, LANES),
+                          lambda i, j: (i, j, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    planes_spec = pl.BlockSpec((None, n_alts * nb * n_words, SUBLANES,
+                                LANES), lambda i, j: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    pad_spec = pl.BlockSpec((None, n_words, SUBLANES, LANES),
+                            lambda i, j: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((None, SUBLANES, LANES), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_chunks),
+        in_specs=[t_spec, planes_spec, pad_spec, tile_spec, tile_spec,
+                  tile_spec],
+        out_specs=pl.BlockSpec((None, None, chunk // 32, SUBLANES, LANES),
+                               lambda i, j: (i, j, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_tiles, n_chunks, chunk // 32, SUBLANES, LANES), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((n_words, SUBLANES, LANES), jnp.uint32),
+            pltpu.VMEM((n_words, SUBLANES, LANES), jnp.uint32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
+    )(tg_t, planes_t, pad_t, lo, hi, best)
+
+
+@functools.partial(jax.jit, static_argnames=("hin0", "sigma", "chunk",
+                                             "want_hits", "interpret"))
+def reduce_flat_device_bitplane(q_alts: jnp.ndarray, pad_words: jnp.ndarray,
+                                targets: jnp.ndarray, lo: jnp.ndarray,
+                                hi: jnp.ndarray, hin0: int, sigma: int,
+                                chunk: int = 256, want_hits: bool = False,
+                                interpret: bool = False):
+    """Flat-layout reduce for per-lane-target batches of ANY alphabet size
+    via in-kernel bit-plane Eq computation.  Same returns as
+    reduce_flat_device.
+
+    q_alts: int32 (B, E, R) — alternative symbol ids per query row (R =
+      NW*32); rows/slots with no alternative carry the sentinel
+      (1 << nb) - 1 (or any value > sigma).  For identity equality E = 1
+      and q_alts[:, 0] is just the padded query ids.
+    pad_words: uint32 (B, NW) — packed bits of rows that match EVERY
+      symbol (query wildcard pad rows, universal equality rows).
+    targets: int32 (B, T) symbols in [0, sigma]; sigma is the wildcard.
+    """
+    B, E, R = q_alts.shape
+    NW = R // 32
+    nb = bitplane_nb(sigma)
+    T = targets.shape[1]
+    n_tiles = -(-B // B_TILE)
+    n_chunks = -(-T // chunk)
+    Bp, Tp = n_tiles * B_TILE, n_chunks * chunk
+    sent = jnp.int32((1 << nb) - 1)
+    qa = jnp.full((Bp, E, R), sent, jnp.int32).at[:B].set(
+        q_alts.astype(jnp.int32))
+    pw = jnp.full((Bp, NW), _ONES, jnp.uint32).at[:B].set(pad_words)
+    shifts_b = jnp.arange(nb, dtype=jnp.int32)[None, None, :, None]
+    bitsp = ((qa[:, :, None, :] >> shifts_b) & 1).astype(jnp.uint32)
+    # bitsp: (Bp, E, nb, R)
+    planes = (bitsp.reshape(Bp, E, nb, NW, 32)
+              << jnp.arange(32, dtype=jnp.uint32)).sum(
+        4, dtype=jnp.uint32).reshape(Bp, E * nb * NW)
+    planes_t = jnp.transpose(
+        planes.reshape(n_tiles, SUBLANES, LANES, E * nb * NW), (0, 3, 1, 2))
+    pad_t = jnp.transpose(
+        pw.reshape(n_tiles, SUBLANES, LANES, NW), (0, 3, 1, 2))
+    tg_p = jnp.full((Bp, Tp), sigma, jnp.int32).at[:B, :T].set(targets)
+    tg_t = jnp.transpose(
+        tg_p.reshape(n_tiles, SUBLANES, LANES, n_chunks, chunk),
+        (0, 3, 4, 1, 2))
+    lo_t = _pack_lanes_device(lo.astype(jnp.int32), n_tiles, jnp.int32(0))
+    hi_t = _pack_lanes_device(hi.astype(jnp.int32), n_tiles, jnp.int32(0))
+    outs = _sweep_reduce_bitplane_call(
+        tg_t, planes_t, pad_t, lo_t, hi_t, hin0=hin0, n_words=NW, nb=nb,
+        n_alts=E, wildcard=sigma, chunk=chunk, interpret=interpret)
+    flat = tuple(o.reshape(-1)[:B] for o in outs)
+    if not want_hits:
+        return flat
+    best_t = _pack_lanes_device(flat[0], n_tiles, jnp.int32(-(1 << 30)))
+    masks = _sweep_hits_bitplane_call(
+        tg_t, planes_t, pad_t, lo_t, hi_t, best_t, hin0=hin0, n_words=NW,
+        nb=nb, n_alts=E, wildcard=sigma, chunk=chunk, interpret=interpret)
     G = chunk // 32
     hits = jnp.transpose(masks, (0, 3, 4, 1, 2)).reshape(Bp, n_chunks * G)
     return flat + (hits[:B, :-(-T // 32)],)

@@ -308,14 +308,20 @@ def step_batched_path(cap):
 
 
 def step_eqstream(cap):
-    """Eq-stream engine (sigma past the select cap) GCUPS + exactness."""
+    """Big-alphabet engine (sigma past the select cap) GCUPS + exactness.
+
+    Since round 5 the value is the bit-plane engine (the default route for
+    sigma > 64 distinct-target batches); the legacy eq-stream and the
+    select-chain at sigma 25 ride along as captured ratios."""
     rc, out, err = run([sys.executable, "scripts/hw_eqstream.py"], 1200)
     j = last_json(out)
     if rc == 0 and j and j.get("exact") and j.get("backend") == "tpu":
         cap.row("eqstream_sigma200_gcups", j["eqstream_gcups"], "GCUPS",
                 "hw_eqstream.py", B=j["B"], qlen=j["qlen"], tlen=j["tlen"],
                 select25_gcups=j["select25_gcups"],
-                stream_vs_select25=j["stream_vs_select25"])
+                legacy_stream_gcups=j["legacy_stream_gcups"],
+                bitplane_vs_select25=j["bitplane_vs_select25"],
+                bitplane_vs_legacy=j["bitplane_vs_legacy"])
     else:
         cap.skip("eqstream", f"rc={rc} {out[-150:]} {err[-120:]}")
 

@@ -1,14 +1,18 @@
-"""On-chip eq-stream engine: per-lane-target batches past the select cap.
+"""On-chip big-alphabet engines: per-lane-target batches past the select cap.
 
-Measures the MXU one-hot Eq-gather + streamed reduce on a protein-style
-batch (sigma 200, distinct targets per lane) and cross-checks a sample
-against the host big-int engine.  Also times the select-chain kernel at
-sigma 25 on the same shapes so the stream's bandwidth cost is a captured
-ratio, not an argument.
+Measures the bit-plane engine (in-kernel XNOR-AND Eq reconstruction — the
+library default for sigma > 64 distinct-target batches, see
+batch._bigalpha_route) on a protein-style batch (sigma 200, distinct
+targets per lane) and cross-checks a sample against the host big-int
+engine.  Also times the legacy eq-stream engine (MXU one-hot gather +
+HBM-streamed Eq words — kept for dense equality matrices) and the
+select-chain kernel at sigma 25 on the same shapes, so both ratios are
+captured numbers, not arguments.
 
 Prints one JSON line:
-  {"backend", "B", "qlen", "tlen", "sigma", "eqstream_gcups",
-   "select25_gcups", "exact": true}
+  {"backend", "B", "qlen", "tlen", "sigma", "eqstream_gcups" (bit-plane,
+   the default engine), "legacy_stream_gcups", "select25_gcups",
+   "bitplane_vs_select25", "exact": true}
 """
 
 import json
@@ -54,46 +58,65 @@ def main():
         hi = np.full(B, w + TLEN, np.int32)
         return peq, targets, lo, hi, qs, ts, eq, nw
 
-    # --- eq-stream at SIGMA --------------------------------------------------
+    def timed(step, warm_out_idx=0):
+        o = step()
+        _ = np.asarray(o[warm_out_idx])
+        t0 = time.time()
+        for _ in range(REPS):
+            o = step()
+        _ = np.asarray(o[warm_out_idx])
+        return (time.time() - t0) / REPS, o
+
+    cells = B * QLEN * TLEN
+
+    # --- bit-plane engine at SIGMA (the library default path) ---------------
     peq, targets, lo, hi, qs, ts, eq, nw = build(SIGMA)
-    chunk = pk.eqstream_chunk(nw)
-    args = (jnp.asarray(peq), jnp.asarray(targets), jnp.asarray(lo),
-            jnp.asarray(hi))
-    outs = pk.reduce_flat_device_eqstream(*args, hin0=0, chunk=chunk)
+    R = nw * 32
+    w = R - QLEN
+    nb = pk.bitplane_nb(SIGMA)
+    sent = (1 << nb) - 1
+    q_alts = np.full((B, 1, R), sent, np.int32)
+    q_alts[:, 0, :QLEN] = qs
+    pad_words = np.zeros((B, nw), np.uint32)
+    for r in range(QLEN, R):
+        pad_words[:, r // 32] |= np.uint32(1 << (r % 32))
+    args_bp = (jnp.asarray(q_alts), jnp.asarray(pad_words),
+               jnp.asarray(targets), jnp.asarray(lo), jnp.asarray(hi))
+    dt, outs = timed(lambda: pk.reduce_flat_device_bitplane(
+        *args_bp, hin0=0, sigma=SIGMA))
+    bitplane_gcups = cells / dt / 1e9
     best = np.asarray(outs[0])
-    t0 = time.time()
-    for _ in range(REPS):
-        outs = pk.reduce_flat_device_eqstream(*args, hin0=0, chunk=chunk)
-    _ = np.asarray(outs[0])
-    dt = (time.time() - t0) / REPS
-    eqstream_gcups = B * QLEN * TLEN / dt / 1e9
 
     exact = True
-    w = nw * 32 - QLEN
     for b in rng.choice(B, 8, replace=False):
         hp = encode.build_peq_bigint(qs[b].astype(np.int64), eq)
         hs = host_engine.semiglobal_scores(hp, ts[b], QLEN, "HW")
         exact &= int(best[b]) == int(hs.min())
+
+    # --- legacy eq-stream engine on the same inputs -------------------------
+    chunk = pk.eqstream_chunk(nw)
+    args_es = (jnp.asarray(peq), jnp.asarray(targets), jnp.asarray(lo),
+               jnp.asarray(hi))
+    dt_es, outs_es = timed(lambda: pk.reduce_flat_device_eqstream(
+        *args_es, hin0=0, chunk=chunk))
+    legacy_gcups = cells / dt_es / 1e9
+    exact &= bool((np.asarray(outs_es[0]) == best).all())
 
     # --- select-chain reference at sigma 25 on the same shapes --------------
     peq25, targets25, lo25, hi25 = build(25)[:4]
     jitted25 = jax.jit(lambda *a: pk.reduce_flat_device(*a, hin0=0))
     a25 = (jnp.asarray(peq25), jnp.asarray(targets25), jnp.asarray(lo25),
            jnp.asarray(hi25))
-    o = jitted25(*a25)
-    _ = np.asarray(o[0])
-    t0 = time.time()
-    for _ in range(REPS):
-        o = jitted25(*a25)
-    _ = np.asarray(o[0])
-    dt25 = (time.time() - t0) / REPS
-    select25_gcups = B * QLEN * TLEN / dt25 / 1e9
+    dt25, _ = timed(lambda: jitted25(*a25))
+    select25_gcups = cells / dt25 / 1e9
 
     print(json.dumps({
         "backend": backend, "B": B, "qlen": QLEN, "tlen": TLEN,
-        "sigma": SIGMA, "eqstream_gcups": round(eqstream_gcups, 1),
+        "sigma": SIGMA, "eqstream_gcups": round(bitplane_gcups, 1),
+        "legacy_stream_gcups": round(legacy_gcups, 1),
         "select25_gcups": round(select25_gcups, 1),
-        "stream_vs_select25": round(eqstream_gcups / select25_gcups, 3),
+        "bitplane_vs_select25": round(bitplane_gcups / select25_gcups, 3),
+        "bitplane_vs_legacy": round(bitplane_gcups / legacy_gcups, 3),
         "exact": bool(exact),
     }))
 
