@@ -949,6 +949,12 @@ def align_batch_device(queries: Sequence, targets: Sequence,
                         or qlen * wlen > batched_path.max_cells():
                     return False
                 nw_b = _pow2_at_least(encode.num_words(qlen))
+                if nw_b * 32 > 32767:
+                    # The device decode cumsum runs in int16 (|vbase| can
+                    # reach nw_b*32); such long queries (only device-
+                    # eligible when the window is tiny or the cell cap is
+                    # raised) would silently wrap — keep them native.
+                    return False
                 return sigma + 1 <= pallas_kernel.max_sigma1(nw_b, False)
 
             dev_todo = [i for i in todo if _dev_eligible(i)]

@@ -301,12 +301,14 @@ def _map_reads_filtered(read_ids, t_ids, sigma, k, forced, mesh=None):
     if geom is None:
         return None
     L, stride, n_win = geom
-    q = qf.choose_q(sigma, qmin, rung, L)
+    # Presence-table HBM budget: (n_win + B) rows of vocab+1 bf16 entries
+    # must fit comfortably; passing the bound INTO choose_q makes an
+    # over-ambitious q-bump degrade to the un-bumped q instead of
+    # disabling the filter outright.
+    vocab_cap = (6 << 30) // (2 * (n_win + B)) - 1
+    q = qf.choose_q(sigma, qmin, rung, L, max_vocab=vocab_cap)
     if q is None:
         return None
-    vocab = sigma ** q
-    if (n_win + B) * (vocab + 1) * 2 > 6 << 30:
-        return None  # presence tables would not fit comfortably in HBM
     import jax.numpy as jnp
     n_words = encode.num_words(qmax)
     chunk = 256

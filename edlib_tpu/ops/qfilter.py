@@ -56,7 +56,8 @@ MAX_VOCAB = 1 << 16      # sigma**q cap: presence table width
 
 
 def choose_q(sigma: int, qlen_min: int, k: int, L: int,
-             n_sigma_noise: float = 6.0) -> Optional[int]:
+             n_sigma_noise: float = 6.0,
+             max_vocab: Optional[int] = None) -> Optional[int]:
     """Smallest q whose filter is sound AND effective, or None.
 
     Sound: threshold tau = (qlen_min - q + 1) - k*q >= 1 (worst case
@@ -71,13 +72,19 @@ def choose_q(sigma: int, qlen_min: int, k: int, L: int,
     passing windows; q=6 leaves 4 of 10240).  One extra order of q costs
     nothing on the MXU (the presence matmul is vocab-independent in time
     up to the HBM cap), so bump q by one whenever that stays sound.
+
+    max_vocab: the caller's presence-table budget (e.g. its HBM bound for
+    (n_win + B) rows of sigma**q + 1 bf16 entries); the bump — and the
+    base choice — only pick a q whose vocab fits, so a too-ambitious bump
+    degrades to the un-bumped q instead of disabling the filter.
     """
     if sigma < 2 or qlen_min < 2 or k < 0:
         return None
+    cap = MAX_VOCAB if max_vocab is None else min(MAX_VOCAB, max_vocab)
     chosen = None
     for q in range(2, 17):
         vocab = sigma ** q
-        if vocab > MAX_VOCAB:
+        if vocab > cap:
             return None
         m_eff = qlen_min - q + 1
         if m_eff < 1:
@@ -94,7 +101,7 @@ def choose_q(sigma: int, qlen_min: int, k: int, L: int,
     if chosen is None:
         return None
     q2 = chosen + 1
-    if (sigma ** q2 <= MAX_VOCAB and qlen_min - q2 + 1 >= 1
+    if (sigma ** q2 <= cap and qlen_min - q2 + 1 >= 1
             and (qlen_min - q2 + 1) - k * q2 >= 1):
         return q2
     return chosen

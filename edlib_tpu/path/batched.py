@@ -177,7 +177,8 @@ def batched_windows_path(pairs: List[Tuple[np.ndarray, np.ndarray]],
     pairs: (q_ids, window_ids) int arrays in the global alphabet; dists the
     known edit distances (the walk's starting values).  mode: 'tpu' or
     'interpret'.  Caller guarantees qlen >= 1, wlen >= 1, and
-    qlen * wlen <= max_cells() for every pair.
+    qlen * wlen <= max_cells() for every pair, and padded query words
+    nw_b * 32 <= 32767 (the decode cumsum accumulates in int16).
     """
     chunk = 128
     out: List[Optional[np.ndarray]] = [None] * len(pairs)
@@ -190,6 +191,7 @@ def batched_windows_path(pairs: List[Tuple[np.ndarray, np.ndarray]],
     buckets: Dict[Tuple[int, int], List[int]] = defaultdict(list)
     for i, (q_ids, w_ids) in enumerate(pairs):
         nw_b = _pow2_at_least(encode.num_words(len(q_ids)))
+        assert nw_b * 32 <= 32767, "int16 decode bound (see docstring)"
         C = _pow2_at_least(len(w_ids), floor=chunk)
         buckets[(nw_b, C)].append(i)
 
