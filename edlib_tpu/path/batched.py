@@ -12,15 +12,19 @@ three fused device stages (one jit dispatch per slab):
      cell(r, c) = (c+1) + prefix_sum(Pv bits - Mv bits), a bit-unpack plus
      one cumsum (the query's trailing wildcard pad rows sit BELOW every real
      row, so real cells are exact);
-  3. walk — a batched lax.scan traceback over all windows at once, with the
-     reference's exact move preference (up/INSERT, then left/DELETE, then
-     diagonal; MATCH iff the diagonal value is unchanged — identical cell
-     values + identical preference == identical ops, see path/traceback.py).
+  3. walk — per-cell move codes (the reference's exact preference:
+     up/INSERT, then left/DELETE, then diagonal; MATCH iff the diagonal
+     value is unchanged) and diagonal MATCH-run lengths are precomputed
+     VECTORIZED over the whole rectangle, then a batched lax.scan walks
+     one EDIT EVENT per step (a MATCH-run jump or one op) — ~2*dist+2
+     sequential steps instead of qlen+wlen, each one latency-bound
+     (B,)-gather (identical cell values + identical preference ==
+     identical ops, see path/traceback.py).
 
-Only the per-step move codes (a few MB) and the final (r, c) leave the
-device; the host assembles ops arrays by reversing each move run and
-prepending the boundary run (all-DELETE / all-INSERT), exactly like the
-scalar walk's r==-1 / c==-1 exits.
+Only the per-step (move, run-length) codes (a few MB) and the final
+(r, c) leave the device; the host expands runs, reverses, and prepends
+the boundary run (all-DELETE / all-INSERT), exactly like the scalar
+walk's r==-1 / c==-1 exits.
 """
 
 from __future__ import annotations
@@ -81,25 +85,53 @@ def _pow2_at_least(x: int, floor: int = 1) -> int:
     return n
 
 
-@functools.partial(jax.jit, static_argnames=("sigma", "n_words", "chunk",
-                                             "steps", "interpret"))
-def _capture_walk(q_ids, qlens, windows, r0, c0, v0, eq_s1, *, sigma: int,
-                  n_words: int, chunk: int, steps: int, interpret: bool):
-    """One fused device dispatch: Peq build -> capture -> decode -> walk.
+@functools.partial(jax.jit, static_argnames=("sigma", "n_words", "C",
+                                             "chunk", "steps", "interpret"))
+def _capture_walk(buf, eq_s1, *, sigma: int, n_words: int, C: int,
+                  chunk: int, steps: int, interpret: bool):
+    """One fused device dispatch: Peq build -> capture -> decode ->
+    movecode/run precompute -> event walk.
 
-    q_ids:   uint8 (B, Qmax) query ids (global alphabet), pad ignored
-    windows: uint8 (B, C) window ids, pad columns = sigma (wildcard)
-    r0/c0:   int32 (B,) start cell (qlen-1, wlen-1); v0 = edit distance
-    eq_s1:   bool (sigma+1, sigma+1) equality matrix incl. wildcard row/col
-    Returns (moves int8 (steps, B), r_f, c_f).
+    buf: uint8 (B, total + C + 6) — ONE packed upload per slab (the
+    tunneled device pays ~25 ms RTT per buffer, so six small transfers
+    cost more than the compute): query ids [0:total] (global alphabet,
+    pad ignored), window ids [total:total+C] (pad columns = sigma,
+    wildcard), then qlen, r0, c0 as little-endian uint16 pairs.
+    eq_s1: bool (sigma+1, sigma+1) equality matrix incl. wildcard row/col
+    Returns ONE int16 (2*steps + 2, B): rows [0:steps] move codes,
+    [steps:2*steps] run counts, then r_f, c_f.
+
+    The naive walk gathers 3 neighbor values per DP cell on the path —
+    qlen + wlen sequential (B,)-gathers, each latency-bound on TPU
+    (~0.2 ms/step: 82 ms of a 100 ms slab at 8192x128x128).  Here the
+    per-cell move is precomputed VECTORIZED over the whole rectangle with
+    the reference's exact preference (up/INSERT, then left/DELETE, then
+    diagonal; MATCH iff unchanged — edlib.cpp:1038-1112 order), plus the
+    length of every diagonal MATCH run (log-doubling over diagonal
+    shifts), so the walk advances one EDIT EVENT per step: a MATCH-run
+    jump or a single op.  Exactly dist events + <= dist+1 run jumps, so
+    `steps` need only be ~2*dist+2 (the caller buckets slabs by distance)
+    — identical ops to the scalar walk by construction, ~10x fewer
+    sequential gathers.
     """
     from edlib_tpu.ops.pallas_kernel import capture_flat_device
 
-    B, qmax = q_ids.shape
+    B = buf.shape[0]
     total = n_words * 32
+
+    def u16(col):
+        return (buf[:, col].astype(jnp.int32)
+                + (buf[:, col + 1].astype(jnp.int32) << 8))
+
+    q_ids = buf[:, :total]
+    windows = buf[:, total:total + C]
+    qlens = u16(total + C)
+    r0 = u16(total + C + 2)
+    c0 = u16(total + C + 4)
+
     rows = jnp.arange(total, dtype=jnp.int32)
-    q_pad = jnp.full((B, total), sigma, jnp.int32)
-    q_pad = q_pad.at[:, :qmax].set(q_ids.astype(jnp.int32))
+    q_pad = jnp.where(q_ids.astype(jnp.int32) > sigma, sigma,
+                      q_ids.astype(jnp.int32))
     pad_mask = rows[None, :] >= qlens[:, None]              # (B, total)
     # match[b, s, i] = eq(s, q[b, i]) | pad-wildcard — build_peq_device
     # generalized to equality matrices (C4/C5, edlib.cpp:63-94 + 358-384).
@@ -114,51 +146,76 @@ def _capture_walk(q_ids, qlens, windows, r0, c0, v0, eq_s1, *, sigma: int,
     Tp = pv.shape[1]
     q1 = total + 1
     # Vertical deltas from the packed words; decode every padded row (rows
-    # past qlen are wildcard drains — never visited, r0 < qlen).  The cell
-    # matrix is never materialised: with vbase[b, t, j] = sum_{i<j} delta_i
-    # (an int16 cumsum over a zero-padded delta — |vbase| <= total), every
-    # value is cell(j-1, c) = (c+1) + vbase[b, c, j], and the init column
-    # c = -1 is the analytic cell(r, -1) = r+1.
+    # past qlen are wildcard drains — never visited, r0 < qlen).  With
+    # vbase[b, t, j] = sum_{i<j} delta_i (an int16 cumsum over a
+    # zero-padded delta — |vbase| <= total), cell(j-1, c) = (c+1) +
+    # vbase[b, c, j]; the init column c = -1 is the analytic cell(r, -1)
+    # = r+1.  Vfull[b, cc, j] = cell(j-1, cc-1) includes it at cc = 0.
     bidx = jnp.arange(32, dtype=jnp.uint32)
     delta = (((pv[..., None] >> bidx) & 1).astype(jnp.int8)
              - ((mv[..., None] >> bidx) & 1).astype(jnp.int8))
     vbase = jnp.cumsum(
         jnp.pad(delta.reshape(B, Tp, total),
                 ((0, 0), (0, 0), (1, 0))).astype(jnp.int16), axis=2)
-    Vf = vbase.reshape(B, -1)                              # (B, Tp * q1)
+    init_col = jnp.broadcast_to(
+        jnp.arange(q1, dtype=jnp.int16)[None, None, :], (B, 1, q1))
+    Vfull = jnp.concatenate(
+        [init_col,
+         vbase + jnp.arange(1, Tp + 1, dtype=jnp.int16)[None, :, None]],
+        axis=1)                                            # (B, Tp+1, q1)
 
-    def gather(cc, j):
-        # V[b, cc, j]: cc = target column + 1 (cc = 0 is the init column).
-        j = jnp.clip(j, 0, q1 - 1)
-        tcol = jnp.clip(cc - 1, 0, Tp - 1)
-        base = jnp.take_along_axis(Vf, (tcol * q1 + j)[:, None],
-                                   axis=1)[:, 0].astype(jnp.int32)
-        return jnp.where(cc <= 0, j, cc + base)
+    # Per-cell move with the scalar walk's exact preference (cells (r, c)
+    # with r in [0, total), c in [0, Tp)).
+    v = Vfull[:, 1:, 1:]
+    u = Vfull[:, 1:, :-1]
+    l_ = Vfull[:, :-1, 1:]
+    ul = Vfull[:, :-1, :-1]
+    go_up = u + 1 == v
+    go_left = ~go_up & (l_ + 1 == v)
+    movec = jnp.where(go_up, 1,
+                      jnp.where(go_left, 2,
+                                jnp.where(ul == v, 3, 4)))  # (B, Tp, total)
+
+    # Diagonal MATCH-run lengths by log-doubling: run[cc, j] counts the
+    # consecutive movec==3 cells ending at (cc, j) walking up-left
+    # (including the cell itself); after K doublings run is exact for
+    # runs < 2^(K+1) >= min(Tp, total) + 1.
+    run = (movec == 3).astype(jnp.int16)
+    span = 1
+    while span < min(Tp, total):
+        shifted = jnp.pad(run, ((0, 0), (span, 0), (span, 0)))[
+            :, :Tp, :total]
+        run = run + jnp.where(run == span, shifted, 0)
+        span *= 2
+    packed = (movec.astype(jnp.int32)
+              | (run.astype(jnp.int32) << 3)).astype(jnp.int16)
+    packedf = packed.reshape(B, Tp * total)
 
     def step(state, _):
-        r, c, v, done = state
+        r, c, done = state
         bdry = (r < 0) | (c < 0)
-        u = gather(c + 1, r)        # cell(r-1, c)
-        l_ = gather(c, r + 1)       # cell(r, c-1)
-        ul = gather(c, r)           # cell(r-1, c-1)
+        idx = jnp.clip(c, 0, Tp - 1) * total + jnp.clip(r, 0, total - 1)
+        p = jnp.take_along_axis(packedf, idx[:, None],
+                                axis=1)[:, 0].astype(jnp.int32)
+        m = p & 7
+        n = jnp.where(m == 3, p >> 3, 1)
         act = ~done & ~bdry
-        go_up = u + 1 == v
-        go_left = ~go_up & (l_ + 1 == v)
-        diag = ~go_up & ~go_left
-        move = jnp.where(go_up, 1,
-                         jnp.where(go_left, 2,
-                                   jnp.where(ul == v, 3, 4)))
-        move = jnp.where(act, move, 0).astype(jnp.int8)
-        r = jnp.where(act & (go_up | diag), r - 1, r)
-        c = jnp.where(act & (go_left | diag), c - 1, c)
-        v = jnp.where(act, jnp.where(go_up, u,
-                                     jnp.where(go_left, l_, ul)), v)
-        return (r, c, v, done | bdry), move
+        dr = jnp.where(m == 2, 0, n)
+        dc = jnp.where(m == 1, 0, n)
+        emit_m = jnp.where(act, m, 0).astype(jnp.int8)
+        emit_n = jnp.where(act, n, 0).astype(jnp.int16)
+        r = jnp.where(act, r - dr, r)
+        c = jnp.where(act, c - dc, c)
+        return (r, c, done | bdry), (emit_m, emit_n)
 
     state0 = (r0.astype(jnp.int32), c0.astype(jnp.int32),
-              v0.astype(jnp.int32), jnp.zeros((B,), bool))
-    (r_f, c_f, _, _), moves = jax.lax.scan(step, state0, None, length=steps)
-    return moves, r_f, c_f
+              jnp.zeros((B,), bool))
+    (r_f, c_f, _), (moves, counts) = jax.lax.scan(step, state0, None,
+                                                  length=steps)
+    # ONE packed download (RTT again): moves/counts/r_f/c_f as int16 rows.
+    return jnp.concatenate(
+        [moves.astype(jnp.int16), counts,
+         r_f.astype(jnp.int16)[None], c_f.astype(jnp.int16)[None]], axis=0)
 
 
 def _slab_size(C: int, total_rows: int) -> int:
@@ -200,11 +257,18 @@ def batched_windows_path(pairs: List[Tuple[np.ndarray, np.ndarray]],
     t_pack = t_disp = t_fetch = t_asm = 0.0
 
     eq_dev = jnp.asarray(eq_s1)
+    # Phase 1: pack + dispatch EVERY slab (async) before fetching any —
+    # slab k's device compute overlaps slab k-1's result download, and
+    # each slab is exactly one upload + one download (tunnel RTT bound).
+    inflight = []
     for (nw_b, C), idxs in buckets.items():
         total = nw_b * 32
-        qmax = total  # full word width: compile shapes stable across calls
-        steps = total + C
         slab = _slab_size(C, total)
+        # The event walk needs ~2*dist+2 steps; sorting the bucket by
+        # distance makes slabs distance-homogeneous, so each slab's step
+        # count (a compile-shape bucket, pow2) tracks ITS worst lane
+        # instead of the bucket's.
+        idxs = sorted(idxs, key=lambda i: dists[i])
         for s0 in range(0, len(idxs), slab):
             t0 = time.time()
             sub = idxs[s0:s0 + slab]
@@ -212,47 +276,54 @@ def batched_windows_path(pairs: List[Tuple[np.ndarray, np.ndarray]],
             # are cheap; a second compiled variant over a tunneled
             # remote-compile service is not).
             B = slab
-            q_arr = np.zeros((B, qmax), np.uint8)
-            w_arr = np.full((B, C), sigma, np.uint8)
-            qlens = np.ones(B, np.int32)
-            r0 = np.zeros(B, np.int32)
-            c0 = np.zeros(B, np.int32)
-            v0 = np.zeros(B, np.int32)
+            buf = np.zeros((B, total + C + 6), np.uint8)
+            buf[:, total:total + C] = sigma
+            buf[:, total + C] = 1                  # pad lanes: qlen=1
             for row, i in enumerate(sub):
                 q_ids, w_ids = pairs[i]
-                q_arr[row, :len(q_ids)] = q_ids
-                w_arr[row, :len(w_ids)] = w_ids
-                qlens[row] = len(q_ids)
-                r0[row] = len(q_ids) - 1
-                c0[row] = len(w_ids) - 1
-                v0[row] = dists[i]
+                buf[row, :len(q_ids)] = q_ids
+                buf[row, total:total + len(w_ids)] = w_ids
+                for col, val in ((total + C, len(q_ids)),
+                                 (total + C + 2, len(q_ids) - 1),
+                                 (total + C + 4, len(w_ids) - 1)):
+                    buf[row, col] = val & 0xFF
+                    buf[row, col + 1] = val >> 8
+            steps = _pow2_at_least(
+                min(2 * max(dists[i] for i in sub) + 4, total + C),
+                floor=16)
             t1 = time.time()
-            moves, r_f, c_f = _capture_walk(
-                jnp.asarray(q_arr), jnp.asarray(qlens), jnp.asarray(w_arr),
-                jnp.asarray(r0), jnp.asarray(c0), jnp.asarray(v0), eq_dev,
-                sigma=sigma, n_words=nw_b, chunk=chunk, steps=steps,
-                interpret=(mode == "interpret"))
+            packed = _capture_walk(
+                jnp.asarray(buf), eq_dev, sigma=sigma, n_words=nw_b, C=C,
+                chunk=chunk, steps=steps, interpret=(mode == "interpret"))
+            inflight.append((sub, steps, packed))
             t2 = time.time()
-            moves = np.ascontiguousarray(np.asarray(moves).T)  # (B, steps)
-            r_f = np.asarray(r_f)
-            c_f = np.asarray(c_f)
-            t3 = time.time()
-            ends = moves == 0
-            n_moves = np.where(ends.any(axis=1),
-                               np.argmax(ends, axis=1), moves.shape[1])
-            for row, i in enumerate(sub):
-                walk = _MOVE_TO_OP[moves[row, :n_moves[row]]]
-                if int(r_f[row]) == -1:
-                    tail = np.full(int(c_f[row]) + 1, EDOP_DELETE, np.uint8)
-                else:
-                    tail = np.full(int(r_f[row]) + 1, EDOP_INSERT, np.uint8)
-                out[i] = np.concatenate([walk, tail])[::-1].copy()
-            if prof:
-                t4 = time.time()
-                t_pack += t1 - t0
-                t_disp += t2 - t1
-                t_fetch += t3 - t2
-                t_asm += t4 - t3
+            t_pack += t1 - t0
+            t_disp += t2 - t1
+
+    # Phase 2: fetch + assemble in dispatch order.
+    for sub, steps, packed in inflight:
+        t2 = time.time()
+        packed = np.asarray(packed)                # ONE (2*steps+2, B) pull
+        moves = np.ascontiguousarray(packed[:steps].T)       # (B, steps)
+        counts = np.ascontiguousarray(packed[steps:2 * steps].T)
+        r_f = packed[-2]
+        c_f = packed[-1]
+        t3 = time.time()
+        ends = moves == 0
+        n_moves = np.where(ends.any(axis=1),
+                           np.argmax(ends, axis=1), moves.shape[1])
+        for row, i in enumerate(sub):
+            ne = n_moves[row]
+            walk = np.repeat(_MOVE_TO_OP[moves[row, :ne]],
+                             counts[row, :ne])
+            if int(r_f[row]) == -1:
+                tail = np.full(int(c_f[row]) + 1, EDOP_DELETE, np.uint8)
+            else:
+                tail = np.full(int(r_f[row]) + 1, EDOP_INSERT, np.uint8)
+            out[i] = np.concatenate([walk, tail])[::-1].copy()
+        t4 = time.time()
+        t_fetch += t3 - t2
+        t_asm += t4 - t3
     if prof:
         print(f"[bpath prof] pack={t_pack:.3f}s dispatch={t_disp:.3f}s "
               f"fetch={t_fetch:.3f}s assemble={t_asm:.3f}s")
