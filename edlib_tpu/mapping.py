@@ -32,23 +32,15 @@ from edlib_tpu.types import AlignMode
 _INF = float("inf")
 
 
-def _prep(reads: Sequence[bytes], target: bytes):
-    """Vectorised alphabet transform (reference first-appearance order,
-    target first then reads in call order): one pass over the concatenated
-    bytes instead of a per-read python loop — at 10k+ reads the encode is
-    otherwise the e2e bottleneck."""
-    t_arr = np.frombuffer(target, dtype=np.uint8)
-    lens = [len(r) for r in reads]
-    cat = (np.frombuffer(b"".join(reads), dtype=np.uint8)
-           if reads else np.empty(0, np.uint8))
-    allb = np.concatenate([t_arr, cat])
-    n_vals = int((np.bincount(allb, minlength=256) > 0).sum())
-    glob_idx = np.full(256, -1, dtype=np.int32)
-    seen = 0
-    for ofs in range(0, len(allb), 1 << 16):
-        # Chunked first-appearance scan: np.unique's full sort costs ~50 ms
-        # on Mbp inputs, but genomic alphabets close after the first chunk.
-        chunk = allb[ofs:ofs + (1 << 16)]
+def _first_appearance_map(arr: np.ndarray, glob_idx: np.ndarray,
+                          seen: int) -> int:
+    """Extend glob_idx with arr's unmapped byte values in first-appearance
+    order (chunked: np.unique's full sort costs ~50 ms on Mbp inputs, but
+    genomic alphabets close after the first chunk).  Returns new seen."""
+    n_vals = int((np.bincount(arr, minlength=256)
+                  [np.nonzero(glob_idx < 0)[0]] > 0).sum()) + seen
+    for ofs in range(0, len(arr), 1 << 16):
+        chunk = arr[ofs:ofs + (1 << 16)]
         vals, first = np.unique(chunk, return_index=True)
         for v in vals[np.argsort(first)]:
             if glob_idx[v] < 0:
@@ -56,10 +48,58 @@ def _prep(reads: Sequence[bytes], target: bytes):
                 seen += 1
         if seen == n_vals:
             break
-    t_ids = glob_idx[t_arr].astype(np.int32)
+    return seen
+
+
+_TMAP_CACHE: dict = {}
+_TMAP_CACHE_MAX = 8
+
+
+def _prep(reads: Sequence[bytes], target: bytes):
+    """Vectorised alphabet transform (reference first-appearance order,
+    target first then reads in call order): one pass over the concatenated
+    bytes instead of a per-read python loop — at 10k+ reads the encode is
+    otherwise the e2e bottleneck.
+
+    Returns (read_ids list, t_ids, sigma, flat) where flat = (ids_2d,
+    qlen) when every read has the same length (the mapping fast path
+    packs that 2-D array straight onto the device) else None.  The
+    target-side transform is cached by content digest — real mapping
+    streams many read batches against one reference, and reads only ever
+    EXTEND the map (target symbols come first), so the cached target ids
+    stay valid."""
+    import hashlib
+
+    t_arr = np.frombuffer(target, dtype=np.uint8)
+    t_key = hashlib.blake2b(target, digest_size=16).digest()
+    hit = _TMAP_CACHE.pop(t_key, None)
+    if hit is None:
+        glob_idx = np.full(256, -1, dtype=np.int32)
+        seen = _first_appearance_map(t_arr, glob_idx, 0)
+        t_ids = glob_idx[t_arr].astype(np.int32)
+        hit = (glob_idx, seen, t_ids)
+    _TMAP_CACHE[t_key] = hit
+    while len(_TMAP_CACHE) > _TMAP_CACHE_MAX:
+        _TMAP_CACHE.pop(next(iter(_TMAP_CACHE)))
+    glob_idx0, seen0, t_ids = hit
+
+    lens = [len(r) for r in reads]
+    cat = (np.frombuffer(b"".join(reads), dtype=np.uint8)
+           if reads else np.empty(0, np.uint8))
+    if (glob_idx0[cat] < 0).any():
+        glob_idx = glob_idx0.copy()
+        seen = _first_appearance_map(cat, glob_idx, seen0)
+    else:
+        glob_idx, seen = glob_idx0, seen0
     ids = glob_idx[cat].astype(np.int32)
-    read_ids = (np.split(ids, np.cumsum(lens)[:-1]) if reads else [])
-    return read_ids, t_ids, len(vals)
+    flat = None
+    if reads and lens.count(lens[0]) == len(lens) and lens[0] > 0:
+        ids2d = ids.reshape(len(reads), lens[0])
+        read_ids = list(ids2d)
+        flat = (ids2d, lens[0])
+    else:
+        read_ids = (np.split(ids, np.cumsum(lens)[:-1]) if reads else [])
+    return read_ids, t_ids, seen, flat
 
 
 def map_reads(reads: Sequence, target, mode="HW", k: int = -1, mesh=None
@@ -81,7 +121,7 @@ def map_reads(reads: Sequence, target, mode="HW", k: int = -1, mesh=None
     if isinstance(target, str):
         target = target.encode()
     reads_b = [r.encode() if isinstance(r, str) else bytes(r) for r in reads]
-    read_ids, t_ids, sigma = _prep(reads_b, bytes(target))
+    read_ids, t_ids, sigma, flat = _prep(reads_b, bytes(target))
     B = len(reads_b)
     best = np.full(B, -1, dtype=np.int64)
     pos = np.full(B, -1, dtype=np.int64)
@@ -107,7 +147,7 @@ def map_reads(reads: Sequence, target, mode="HW", k: int = -1, mesh=None
             # Pruned path first: the sharded filter weak-scales with zero
             # collectives; the full sharded sweep is the fallback.
             dev = _map_reads_filtered(read_ids, t_ids, sigma, k, forced,
-                                      mesh=mesh)
+                                      mesh=mesh, flat=flat)
         if dev is None:
             dev = _map_reads_sharded(read_ids, t_ids, sigma, mesh)
     if (dev is None
@@ -117,25 +157,23 @@ def map_reads(reads: Sequence, target, mode="HW", k: int = -1, mesh=None
         # kernel — segment the target instead (ops/segmented.py).
         dev = _map_reads_segmented(read_ids, t_ids, sigma)
     if dev is None:
-        dev = _map_reads_device(read_ids, t_ids, sigma, hin0, k)
+        dev = _map_reads_device(read_ids, t_ids, sigma, hin0, k, flat=flat)
     if dev is None:
         # Host path: per-read native align() already applies the -1
         # candidate and k filtering — its results are final.
         return _map_reads_host(reads_b, target, mode, k)
     raw_best, raw_pos = dev
-    for i, r in enumerate(read_ids):
-        b = int(raw_best[i])
-        p = int(raw_pos[i])
-        qlen = len(r)
-        # The -1 end-location candidate (score exactly qlen; edlib 64-bit
-        # padding emulation) sorts before any real position.
-        if qlen % 64 != 0 and qlen <= b:
-            b = min(b, qlen)
-            p = -1
-        if k >= 0 and b > k:
-            continue
-        best[i] = b
-        pos[i] = p
+    b = np.asarray(raw_best, dtype=np.int64)
+    p = np.asarray(raw_pos, dtype=np.int64)
+    qlens = np.fromiter((len(r) for r in read_ids), np.int64, B)
+    # The -1 end-location candidate (score exactly qlen; edlib 64-bit
+    # padding emulation) sorts before any real position.
+    cap = (qlens % 64 != 0) & (qlens <= b)
+    b = np.where(cap, qlens, b)
+    p = np.where(cap, -1, p)
+    ok = (b <= k) if k >= 0 else np.ones(B, bool)
+    best[ok] = b[ok]
+    pos[ok] = p[ok]
     return best, pos
 
 
@@ -236,7 +274,7 @@ def _map_reads_host(reads_b, target, mode, k):
     return best, pos
 
 
-def _map_reads_device(read_ids, t_ids, sigma, hin0, k: int = -1):
+def _map_reads_device(read_ids, t_ids, sigma, hin0, k: int = -1, flat=None):
     """Shared-target Pallas reduction kernel; None when not applicable."""
     import os
 
@@ -259,13 +297,15 @@ def _map_reads_device(read_ids, t_ids, sigma, hin0, k: int = -1):
         if not hw.device_ready() or jax.default_backend() != "tpu":
             return None
     if hin0 == 0:
-        res = _map_reads_filtered(read_ids, t_ids, sigma, k, forced)
+        res = _map_reads_filtered(read_ids, t_ids, sigma, k, forced,
+                                  flat=flat)
         if res is not None:
             return res
     return _sweep_reads_shared(read_ids, t_ids, sigma, hin0, forced)
 
 
-def _map_reads_filtered(read_ids, t_ids, sigma, k, forced, mesh=None):
+def _map_reads_filtered(read_ids, t_ids, sigma, k, forced, mesh=None,
+                        flat=None):
     """MXU q-gram prefilter + windowed verification (ops/qfilter.py) — the
     batched-TPU equivalent of the reference's Ukkonen pruning
     (edlib.cpp:601-642): candidate elimination before the DP instead of a
@@ -316,6 +356,20 @@ def _map_reads_filtered(read_ids, t_ids, sigma, k, forced, mesh=None):
     # the hit's overlapping-window neighbourhood plus genome-correlation
     # noise that maxc=4 cannot (unresolved reads cost a full sweep each).
     maxc = min(int(os.environ.get("EDLIB_TPU_QFILTER_MAXC", "16")), n_win)
+    Lv = qf.verify_cols(L, n_words, chunk)
+    win_pres, win_syms = _target_index_cached(t_ids, sigma, q, L, stride,
+                                              n_win, Lv)
+    from edlib_tpu.ops import pallas_kernel as pk
+    if (mesh is None and sigma <= 255
+            and sigma + 2 <= pk.max_sigma1(n_words, shared=False)):
+        # Fused single-dispatch path: filter + top-FB straggler fallback
+        # (segmented full-target sweep) + on-device merge in ONE jitted
+        # program, ONE packed upload and ONE packed download — the
+        # tunneled device pays ~25 ms RTT per buffer, which otherwise
+        # dominates genome-scale mapping calls (docs/PERF.md round 5).
+        return _map_reads_fused(read_ids, t_ids, sigma, k, rung, forced,
+                                flat, qmax, qmin, n_words, chunk, maxc, q,
+                                L, stride, win_pres, win_syms)
     dt = np.int32 if sigma > 255 else np.uint8   # reads ship 4x smaller
     if qmin == qmax:
         q_arr = np.ascontiguousarray(np.stack(read_ids), dtype=dt)
@@ -326,9 +380,6 @@ def _map_reads_filtered(read_ids, t_ids, sigma, k, forced, mesh=None):
         for i, r in enumerate(read_ids):
             q_arr[i, :len(r)] = r
             qlens[i] = len(r)
-    Lv = qf.verify_cols(L, n_words, chunk)
-    win_pres, win_syms = _target_index_cached(t_ids, sigma, q, L, stride,
-                                              n_win, Lv)
     if mesh is not None:
         n_dev = int(mesh.devices.size)
         B_pad = -(-B // n_dev) * n_dev
@@ -372,6 +423,165 @@ def _map_reads_filtered(read_ids, t_ids, sigma, k, forced, mesh=None):
 
 
 _SEG_FB_B = 64
+_QF_BIG = 1 << 30
+
+
+@_functools.lru_cache(maxsize=None)
+def _fused_filter_fn(sigma, q, L, stride, tlen, rung, maxc, nw, chunk,
+                     n_seg, core, seg_L, halo, k_is_user, interpret):
+    """Jitted fused program: q-gram filter + verification + a fixed-width
+    segmented full-target sweep for the first _SEG_FB_B unresolved reads
+    + on-device merge.  Built once per static geometry; takes ONE packed
+    read buffer and returns ONE packed (3, B) int32 result — over a
+    tunneled backend every extra buffer costs an RTT."""
+    import jax
+    import jax.numpy as jnp
+
+    from edlib_tpu.ops import pallas_kernel as pk
+    from edlib_tpu.ops import qfilter as qf
+
+    seg_cols = np.minimum(core, tlen - core * np.arange(n_seg)).astype(
+        np.int32)
+
+    def f(q_buf, win_pres, win_syms, seg_padded):
+        B = q_buf.shape[0]
+        if q_buf.dtype == jnp.uint8:
+            qmax = q_buf.shape[1] - 2
+            qa = q_buf[:, :qmax].astype(jnp.int32)
+            qlens = (q_buf[:, qmax].astype(jnp.int32)
+                     + (q_buf[:, qmax + 1].astype(jnp.int32) << 8))
+        else:
+            qmax = q_buf.shape[1] - 1
+            qa = q_buf[:, :qmax].astype(jnp.int32)
+            qlens = q_buf[:, qmax].astype(jnp.int32)
+        gb, gp, rs = qf.filter_verify_batch(
+            qa, qlens, win_pres, win_syms, sigma=sigma, q=q, L=L,
+            stride=stride, tlen=tlen, k=rung, maxc=maxc, nw=nw,
+            chunk=chunk, interpret=interpret)
+        # resolved & gb > rung == k proves best > k (the caller reports
+        # -1); with no user cap every such read needs its true best.
+        need = ~rs if k_is_user else ((~rs) | (gb > rung))
+        FB = min(_SEG_FB_B, B)
+        rank = jnp.cumsum(need.astype(jnp.int32)) - 1
+        granted = need & (rank < FB)
+        ar = jnp.arange(B, dtype=jnp.int32)
+        order = jnp.argsort(jnp.where(need, ar, B + ar))[:FB]
+
+        def run_fb(_):
+            peq = pk.build_peq_device(qa, qlens, sigma, nw)   # (B, S1, NW)
+            peq_fb = jnp.concatenate(
+                [peq[order], jnp.zeros((FB, 1, nw), jnp.uint32)], axis=1)
+            w_fb = nw * 32 - qlens[order]                     # (FB,)
+            idx = (core * jnp.arange(n_seg, dtype=jnp.int32)[:, None]
+                   + jnp.arange(seg_L, dtype=jnp.int32)[None, :])
+            slices = seg_padded[idx]                          # (n_seg, L)
+            tg = jnp.broadcast_to(
+                slices[None], (FB, n_seg, seg_L)).reshape(FB * n_seg,
+                                                          seg_L)
+            peq_rep = jnp.broadcast_to(
+                peq_fb[:, None], (FB, n_seg, sigma + 2, nw)).reshape(
+                FB * n_seg, sigma + 2, nw)
+            lo = jnp.broadcast_to((halo + w_fb)[:, None], (FB, n_seg))
+            hi = (halo + w_fb)[:, None] + jnp.asarray(seg_cols)[None, :]
+            fb_best, fb_pf, _, _ = pk.reduce_flat_device(
+                peq_rep, tg, lo.reshape(-1), hi.reshape(-1), hin0=0,
+                interpret=interpret)
+            fb_best = fb_best.reshape(FB, n_seg)
+            fb_pf = fb_pf.reshape(FB, n_seg)
+            bmin = fb_best.min(1)
+            gpos_seg = (core * jnp.arange(n_seg, dtype=jnp.int32))[None, :] \
+                + fb_pf - halo - w_fb[:, None]
+            pmin = jnp.where(fb_best == bmin[:, None], gpos_seg,
+                             _QF_BIG).min(1)
+            return bmin.astype(jnp.int32), pmin.astype(jnp.int32)
+
+        def no_fb(_):
+            return (jnp.full((FB,), _QF_BIG, jnp.int32),
+                    jnp.full((FB,), _QF_BIG, jnp.int32))
+
+        fb_b, fb_p = jax.lax.cond(need.any(), run_fb, no_fb, None)
+        g_at = granted[order]
+        gb2 = gb.at[order].set(
+            jnp.where(g_at, fb_b, gb[order].astype(jnp.int32)))
+        gp2 = gp.at[order].set(
+            jnp.where(g_at, fb_p, gp[order].astype(jnp.int32)))
+        unhandled = need & ~granted
+        return jnp.stack([gb2.astype(jnp.int32), gp2.astype(jnp.int32),
+                          unhandled.astype(jnp.int32)], axis=0)
+
+    return jax.jit(f)
+
+
+def _map_reads_fused(read_ids, t_ids, sigma, k, rung, forced, flat, qmax,
+                     qmin, n_words, chunk, maxc, q, L, stride, win_pres,
+                     win_syms):
+    """Single-dispatch filtered mapping (see _fused_filter_fn)."""
+    import jax.numpy as jnp
+
+    from edlib_tpu.ops.segmented import plan_segments
+
+    B = len(read_ids)
+    tlen = len(t_ids)
+    FB = min(_SEG_FB_B, B)
+    w_max = n_words * 32 - qmin
+    halo = 2 * qmax - 1
+    n_seg, core = plan_segments(tlen, halo, w_max,
+                                max_lanes=max(1, 4096 // FB))
+    seg_L = halo + core + w_max
+    seg_padded = _seg_padded_cached(t_ids, sigma, halo, n_seg, core, w_max)
+    if flat is not None and sigma <= 255:
+        ids2d, qlen0 = flat
+        q_buf = np.empty((B, qmax + 2), np.uint8)
+        q_buf[:, :qmax] = ids2d
+        q_buf[:, qmax] = qlen0 & 0xFF
+        q_buf[:, qmax + 1] = qlen0 >> 8
+    else:
+        q_buf = np.zeros((B, qmax + 2), np.uint8)
+        for i, r in enumerate(read_ids):
+            q_buf[i, :len(r)] = r
+            q_buf[i, qmax] = len(r) & 0xFF
+            q_buf[i, qmax + 1] = len(r) >> 8
+    fn = _fused_filter_fn(sigma, q, L, stride, tlen, rung, maxc, n_words,
+                          chunk, n_seg, core, seg_L, halo, k >= 0,
+                          forced == "interpret")
+    packed = np.asarray(fn(jnp.asarray(q_buf), win_pres, win_syms,
+                           seg_padded))
+    gbest = packed[0].astype(np.int64)
+    gpos = packed[1].astype(np.int64)
+    unhandled = packed[2].astype(bool)
+    if unhandled.any():
+        # More than FB stragglers (rare — resolved rates run 99.5%+ on
+        # real genomes): the rest take the cached shared sweep.
+        idxs = np.nonzero(unhandled)[0]
+        fb = _sweep_reads_shared([read_ids[i] for i in idxs], t_ids,
+                                 sigma, 0, forced)
+        if fb is None:
+            return None
+        gbest[idxs], gpos[idxs] = fb
+    return gbest, gpos
+
+
+def _seg_padded_cached(t_ids, sigma, halo, n_seg, core, w_max):
+    """Device-resident segmented-sweep target (halo of NULLs, wildcard
+    tail), cached by content digest + geometry (see _INDEX_CACHE)."""
+    import hashlib
+
+    import jax.numpy as jnp
+
+    t_np = np.ascontiguousarray(np.asarray(t_ids, np.int32))
+    tlen = len(t_np)
+    null_sym, wild = sigma + 1, sigma
+    key = (hashlib.blake2b(t_np.tobytes(), digest_size=16).digest(),
+           "segfb", sigma, halo, n_seg, core, w_max)
+    padded = _INDEX_CACHE.pop(key, None)
+    if padded is None:
+        padded = jnp.concatenate([
+            jnp.full((halo,), null_sym, jnp.int32), jnp.asarray(t_np),
+            jnp.full((n_seg * core - tlen + w_max,), wild, jnp.int32)])
+    _INDEX_CACHE[key] = padded
+    while len(_INDEX_CACHE) > _INDEX_CACHE_MAX:
+        _INDEX_CACHE.pop(next(iter(_INDEX_CACHE)))
+    return padded
 
 
 @_functools.lru_cache(maxsize=None)
@@ -424,19 +634,7 @@ def _segmented_fallback(read_ids, t_ids, sigma, forced):
     n_seg, core = plan_segments(tlen, halo, w_max,
                                 max_lanes=max(1, 4096 // _SEG_FB_B))
     L = halo + core + w_max
-    null_sym, wild = sigma + 1, sigma
-
-    t_np = np.ascontiguousarray(np.asarray(t_ids, np.int32))
-    key = (hashlib.blake2b(t_np.tobytes(), digest_size=16).digest(),
-           "segfb", sigma, halo, n_seg, core, w_max)
-    padded = _INDEX_CACHE.pop(key, None)
-    if padded is None:
-        padded = jnp.concatenate([
-            jnp.full((halo,), null_sym, jnp.int32), jnp.asarray(t_np),
-            jnp.full((n_seg * core - tlen + w_max,), wild, jnp.int32)])
-    _INDEX_CACHE[key] = padded
-    while len(_INDEX_CACHE) > _INDEX_CACHE_MAX:
-        _INDEX_CACHE.pop(next(iter(_INDEX_CACHE)))
+    padded = _seg_padded_cached(t_ids, sigma, halo, n_seg, core, w_max)
 
     eq = np.eye(sigma, dtype=bool)
     peq = np.zeros((_SEG_FB_B, sigma + 2, n_words), np.uint32)

@@ -93,9 +93,11 @@ def test_map_reads_edges():
         map_reads([b"AC"], b"ACGT", mode="NW")
 
 
-def test_map_reads_segmented_fallback(rng, monkeypatch):
+def test_map_reads_fused_fallback(rng, monkeypatch):
     """Stragglers the q-gram filter cannot resolve route through the
-    cached segmented fallback (fixed 64-read plan) and stay exact."""
+    IN-JIT segmented fallback of the fused path (mapping._fused_filter_fn)
+    and stay exact — starving maxc forces unresolved reads, so wrong
+    results here would mean the fallback never ran."""
     monkeypatch.setenv("EDLIB_TPU_FORCE_PALLAS", "interpret")
     monkeypatch.setenv("EDLIB_TPU_QFILTER", "1")       # force the filter on
     monkeypatch.setenv("EDLIB_TPU_QFILTER_MAXC", "1")  # starve candidates
@@ -112,15 +114,42 @@ def test_map_reads_segmented_fallback(rng, monkeypatch):
     reads.append(b"ACGT" * 20)   # repetitive: many passing windows
     from edlib_tpu import mapping as mp
     calls = []
-    orig = mp._segmented_fallback
+    orig = mp._map_reads_fused
 
     def spy(*a, **kw):
         calls.append(1)
         return orig(*a, **kw)
 
-    monkeypatch.setattr(mp, "_segmented_fallback", spy)
+    monkeypatch.setattr(mp, "_map_reads_fused", spy)
     best, pos = map_reads(reads, target, mode="HW")
-    assert calls, "segmented fallback was not exercised"
+    assert calls, "fused filter path was not exercised"
+    for i, r in enumerate(reads):
+        want = reference_first(r, target, "HW", -1)
+        assert (best[i], pos[i]) == want, i
+
+
+def test_map_reads_fused_overflow_to_shared_sweep(rng, monkeypatch):
+    """More unresolved reads than the in-jit fallback's fixed width route
+    through the host-side shared sweep — exactness preserved."""
+    monkeypatch.setenv("EDLIB_TPU_FORCE_PALLAS", "interpret")
+    monkeypatch.setenv("EDLIB_TPU_QFILTER", "1")
+    monkeypatch.setenv("EDLIB_TPU_QFILTER_MAXC", "1")
+    from edlib_tpu import mapping as mp
+    monkeypatch.setattr(mp, "_SEG_FB_B", 2)  # overflow with 3+ stragglers
+    tlen = 6000
+    target = bytes(rng.choice(list(b"ACGT"), tlen).tolist())
+    tb = np.frombuffer(target, np.uint8)
+    reads = []
+    for _ in range(6):
+        s = rng.randint(0, tlen - 80)
+        r = tb[s:s + 80].copy()
+        muts = rng.rand(80) < 0.08
+        r[muts] = rng.choice(list(b"ACGT"), muts.sum())
+        reads.append(r.tobytes())
+    for _ in range(4):           # repetitive: many passing windows each
+        reads.append(b"ACGT" * 20)
+        reads.append(b"AAAA" * 20)
+    best, pos = map_reads(reads, target, mode="HW")
     for i, r in enumerate(reads):
         want = reference_first(r, target, "HW", -1)
         assert (best[i], pos[i]) == want, i
