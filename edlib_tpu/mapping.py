@@ -150,6 +150,15 @@ def map_reads(reads: Sequence, target, mode="HW", k: int = -1, mesh=None
                                       mesh=mesh, flat=flat)
         if dev is None:
             dev = _map_reads_sharded(read_ids, t_ids, sigma, mesh)
+    if dev is None and mode == AlignMode.SHW:
+        # SHW spans are target PREFIXES: any alignment with score <= r
+        # ends within the first qmax + r columns (score at end e is
+        # >= e+1-qlen), so one sweep of that slice resolves every read
+        # whose best is <= r, ties and first-position included — the
+        # anchored-prefix counterpart of the HW q-gram pruning.  A
+        # doubling ladder (the reference's dynamic-k pattern,
+        # edlib.cpp:199-217) covers unresolved reads.
+        dev = _map_reads_shw_pruned(read_ids, t_ids, sigma, k)
     if (dev is None
             and mode == AlignMode.HW and B <= 64 and len(t_ids) >= 50_000
             and not _os.environ.get("EDLIB_TPU_DISABLE_DEVICE")):
@@ -246,6 +255,62 @@ def _map_reads_sharded(read_ids, t_ids, sigma, mesh):
         want_hits=False)
     return np.asarray(b_)[:B].astype(np.int64), \
         np.asarray(pf)[:B].astype(np.int64)
+
+
+def _map_reads_shw_pruned(read_ids, t_ids, sigma, k):
+    """SHW best-hit mapping via prefix-slice sweeps (see map_reads).
+
+    Soundness: for read length m, the SHW score at prefix end e is at
+    least e + 1 - m (every extra target symbol past the query costs a
+    deletion), so a best score b <= r has ALL ends of score <= b inside
+    [0, m + r) — the slice sweep's (best, first-pos) equals the
+    full-target answer whenever best <= r.  With a user k the single
+    r = k pass is complete (best > k reads are reported > k and the
+    caller -1s them); with k < 0 unresolved reads double r until the
+    slice covers the target.  None when the device path is unavailable
+    (caller falls through to the host engines)."""
+    import os
+
+    if os.environ.get("EDLIB_TPU_DISABLE_DEVICE") \
+            or os.environ.get("EDLIB_TPU_SHW_PRUNE", "") == "0":
+        return None
+    forced = os.environ.get("EDLIB_TPU_FORCE_PALLAS", "")
+    B = len(read_ids)
+    tlen = len(t_ids)
+    qmax = max(len(r) for r in read_ids)
+    cells = sum(len(r) for r in read_ids) * tlen
+    if not forced and (cells < 50_000_000 or B < 128):
+        return None  # pruning exists to make BIG jobs cheap; host is fine
+    try:
+        import jax
+    except Exception:
+        return None
+    if not forced:
+        from edlib_tpu.utils import hw
+        if not hw.device_ready() or jax.default_backend() != "tpu":
+            return None
+    rung = k if k >= 0 else max(64, qmax // 4)
+    best = np.full(B, -1, np.int64)
+    pos = np.full(B, -1, np.int64)
+    todo = list(range(B))
+    while todo:
+        P = min(qmax + rung, tlen)
+        sub = [read_ids[i] for i in todo]
+        res = _sweep_reads_shared(sub, t_ids[:P], sigma, 1, forced)
+        if res is None:
+            return None
+        b_s, p_s = res
+        if P >= tlen or k >= 0:
+            for row, i in enumerate(todo):
+                best[i], pos[i] = b_s[row], p_s[row]
+            break
+        resolved = b_s <= rung
+        for row, i in enumerate(todo):
+            if resolved[row]:
+                best[i], pos[i] = b_s[row], p_s[row]
+        todo = [i for row, i in enumerate(todo) if not resolved[row]]
+        rung *= 4
+    return best, pos
 
 
 def _map_reads_segmented(read_ids, t_ids, sigma):

@@ -307,6 +307,19 @@ def step_batched_path(cap):
         cap.skip("batched_path", f"rc={rc} {out[-150:]} {err[-120:]}")
 
 
+def step_shw_map(cap):
+    """SHW map_reads prefix-slice pruning vs the full sweep at 1 Mbp."""
+    rc, out, err = run([sys.executable, "scripts/hw_shw_map.py"], 1200)
+    j = last_json(out)
+    if rc == 0 and j and j.get("exact") and j.get("backend") == "tpu":
+        cap.row("shw_map_pruned_speedup", j["speedup"], "x",
+                "hw_shw_map.py", reads=j["reads"], qlen=j["qlen"],
+                tlen=j["tlen"], pruned_s=j["pruned_s"],
+                full_s=j["full_s"], reads_per_s=j["reads_per_s"])
+    else:
+        cap.skip("shw_map", f"rc={rc} {out[-150:]} {err[-120:]}")
+
+
 def step_eqstream(cap):
     """Big-alphabet engine (sigma past the select cap) GCUPS + exactness.
 
@@ -363,7 +376,8 @@ def main(argv=None):
              "e2e": step_e2e, "scaling": step_scaling,
              "wavefront": step_wavefront_1mbp, "cli": step_cli,
              "latency": step_latency, "tests": step_hw_tests,
-             "batched_path": step_batched_path, "eqstream": step_eqstream}
+             "batched_path": step_batched_path, "eqstream": step_eqstream,
+             "shw_map": step_shw_map}
     cpu_only = {"latency", "cli"}
     if args.steps:
         order = [s.strip() for s in args.steps.split(",")]
@@ -372,7 +386,7 @@ def main(argv=None):
     else:
         order = ["bench", "two_phase", "banded_nw", "chunks", "roofline",
                  "banded", "e2e", "scaling", "batched_path", "eqstream",
-                 "wavefront", "cli", "latency", "tests"]
+                 "shw_map", "wavefront", "cli", "latency", "tests"]
 
     if set(order) - cpu_only:  # any step that needs the chip?
         ok, err = probe()

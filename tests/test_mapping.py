@@ -153,3 +153,37 @@ def test_map_reads_fused_overflow_to_shared_sweep(rng, monkeypatch):
     for i, r in enumerate(reads):
         want = reference_first(r, target, "HW", -1)
         assert (best[i], pos[i]) == want, i
+
+
+def test_map_reads_shw_pruned_ladder(rng, monkeypatch):
+    """SHW prefix-slice pruning (mapping._map_reads_shw_pruned): resolved
+    reads come from the first qmax+r columns; unresolved reads climb the
+    doubling ladder; results match the per-read reference, k semantics
+    included."""
+    monkeypatch.setenv("EDLIB_TPU_FORCE_PALLAS", "interpret")
+    tlen = 4000
+    target = bytes(rng.choice(list(b"ACGT"), tlen).tolist())
+    tb = np.frombuffer(target, np.uint8)
+    reads = []
+    for i in range(8):
+        r = tb[:70].copy()                 # prefix-anchored (low best)
+        muts = rng.rand(70) < 0.06
+        r[muts] = rng.choice(list(b"ACGT"), muts.sum())
+        reads.append(r.tobytes())
+    for _ in range(4):                     # random (high best -> ladder)
+        reads.append(bytes(rng.choice(list(b"ACGT"), 70).tolist()))
+    from edlib_tpu import mapping as mp
+    calls = []
+    orig = mp._map_reads_shw_pruned
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(mp, "_map_reads_shw_pruned", spy)
+    for k in (-1, 8, 0):
+        best, pos = map_reads(reads, target, mode="SHW", k=k)
+        for i, r in enumerate(reads):
+            want = reference_first(r, target, "SHW", k)
+            assert (best[i], pos[i]) == want, (k, i)
+    assert calls, "SHW pruned path was not exercised"
