@@ -417,13 +417,25 @@ def _map_reads_filtered(read_ids, t_ids, sigma, k, forced, mesh=None,
     import jax.numpy as jnp
     n_words = encode.num_words(qmax)
     chunk = 256
-    # Verifying windows is cheap (a few extra lanes per read); 16 absorbs
-    # the hit's overlapping-window neighbourhood plus genome-correlation
-    # noise that maxc=4 cannot (unresolved reads cost a full sweep each).
-    maxc = min(int(os.environ.get("EDLIB_TPU_QFILTER_MAXC", "16")), n_win)
     Lv = qf.verify_cols(L, n_words, chunk)
-    win_pres, win_syms = _target_index_cached(t_ids, sigma, q, L, stride,
-                                              n_win, Lv)
+    env_maxc = os.environ.get("EDLIB_TPU_QFILTER_MAXC")
+    if env_maxc is not None:
+        # Explicit override: trust the caller's candidate budget.
+        maxc = min(int(env_maxc), n_win)
+        win_pres, win_syms = _target_index_cached(t_ids, sigma, q, L,
+                                                  stride, n_win, Lv)
+    else:
+        # Derive (q, maxc) from the target index itself (qf.auto_tune):
+        # probe reads sampled from the target run the filter's first
+        # stage, the p99 pass count picks maxc, q escalates while the
+        # tail stays unbounded, and repeat-rich targets where candidate
+        # elimination cannot work disable the filter outright instead of
+        # paying a fallback sweep per read.  Cached per target+geometry.
+        tuned = _auto_tune_cached(t_ids, sigma, q, rung, qmin, L, stride,
+                                  n_win, Lv, vocab_cap)
+        if tuned is None:
+            return None
+        q, maxc, win_pres, win_syms = tuned
     from edlib_tpu.ops import pallas_kernel as pk
     if (mesh is None and sigma <= 255
             and sigma + 2 <= pk.max_sigma1(n_words, shared=False)):
@@ -761,6 +773,37 @@ def _filtered_mesh_fn(mesh, sigma, q, L, stride, tlen, rung, maxc, nw,
                              in_specs=(P(axes), P(axes), P(), P()),
                              out_specs=(P(axes), P(axes), P(axes)),
                              check_vma=False))
+
+
+def _auto_tune_cached(t_ids, sigma, q0, rung, qmin, L, stride, n_win, Lv,
+                      vocab_cap):
+    """Cached qf.auto_tune verdict for one target+geometry: (q, maxc,
+    win_pres, win_syms), or None when the filter cannot bound the
+    target's shared-gram tail (repeat-rich: route to the full sweep)."""
+    import hashlib
+
+    from edlib_tpu.ops import qfilter as qf
+
+    t_np = np.ascontiguousarray(np.asarray(t_ids, np.int32))
+    key = (hashlib.blake2b(t_np.tobytes(), digest_size=16).digest(),
+           "tune", sigma, rung, qmin, L, stride, n_win, Lv)
+    hit = _INDEX_CACHE.pop(key, None)
+    if hit is None:
+        q, maxc, _, _, pred = qf.auto_tune(
+            t_np, sigma, q0, rung, qmin, L, stride, n_win, Lv,
+            index_builder=lambda qq: _target_index_cached(
+                t_ids, sigma, qq, L, stride, n_win, Lv),
+            max_vocab=vocab_cap)
+        hit = (q, maxc, pred)
+    _INDEX_CACHE[key] = hit
+    while len(_INDEX_CACHE) > _INDEX_CACHE_MAX:
+        _INDEX_CACHE.pop(next(iter(_INDEX_CACHE)))
+    q, maxc, pred = hit
+    if q is None:
+        return None
+    win_pres, win_syms = _target_index_cached(t_ids, sigma, q, L, stride,
+                                              n_win, Lv)
+    return q, maxc, win_pres, win_syms
 
 
 def _target_index_cached(t_ids, sigma, q, L, stride, n_win, Lv):

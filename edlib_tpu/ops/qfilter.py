@@ -332,6 +332,74 @@ def filter_verify_batch(q_arr, qlens, win_pres, win_syms, *, sigma: int,
     return gbest, gpos, resolved
 
 
+@functools.partial(jax.jit, static_argnames=("sigma", "q", "k"))
+def sample_pass_counts(q_arr, qlens, win_pres, sigma: int, q: int, k: int):
+    """Per-sample passing-window counts — the filter's own first stage run
+    on probe reads (exactly read_gram_presence -> candidate_counts ->
+    threshold), used to measure a target's shared-gram tail."""
+    pres, distinct = read_gram_presence(q_arr, qlens, sigma, q)
+    C = candidate_counts(pres, win_pres)
+    tau = (distinct - k * q).astype(jnp.float32)
+    return (C >= tau[:, None]).sum(1, dtype=jnp.int32)
+
+
+_MAXC_LADDER = (4, 8, 16, 32, 64)
+
+
+def auto_tune(t_np, sigma: int, q0: int, k: int, qlen_min: int, L: int,
+              stride: int, n_win: int, Lv: int, index_builder,
+              n_samples: int = 128, max_vocab: Optional[int] = None):
+    """(q, maxc, win_pres, win_syms, pred_resolved) derived from the
+    TARGET INDEX ITSELF, or (None, ...) when no sound q bounds the
+    shared-gram tail (repeat-rich targets where candidate elimination
+    cannot work and the full sweep is the honest route).
+
+    The noise model in choose_q assumes random targets; real genomes have
+    fatter tails and repeat-rich targets (tandem repeats, homopolymer
+    runs) blow them up entirely — n_pass approaches n_win, resolution
+    collapses, and every read pays the fallback.  Instead of hardcoding
+    maxc, probe reads sampled FROM the target run the filter's own first
+    stage against the index (sample_pass_counts): the p99 pass count
+    picks maxc from the ladder, and if even maxc=64 leaves >10% of
+    probes unresolved the filter reports itself useless (q escalates
+    first while sound and within the vocab budget).  Error-free probes
+    are the right load model: mutations only remove shared grams.
+
+    index_builder(q) -> (win_pres, win_syms) builds (or returns cached)
+    the index for a given q, so accepted q's index is reused by the
+    actual filter call.
+    """
+    cap = MAX_VOCAB if max_vocab is None else min(MAX_VOCAB, max_vocab)
+    rng = np.random.RandomState(12345)
+    starts = rng.randint(0, max(1, len(t_np) - qlen_min), n_samples)
+    probes = np.stack([t_np[s:s + qlen_min] for s in starts]).astype(
+        np.int32)
+    qlens = jnp.full((n_samples,), qlen_min, jnp.int32)
+    q_try = q0
+    while True:
+        win_pres, win_syms = index_builder(q_try)
+        n_pass = np.asarray(sample_pass_counts(
+            jnp.asarray(probes), qlens, win_pres, sigma, q_try, k))
+        p99 = int(np.percentile(n_pass, 99))
+        for maxc in _MAXC_LADDER:
+            if p99 + 5 <= maxc:
+                pred = float((n_pass <= maxc).mean())
+                return q_try, maxc, win_pres, win_syms, pred
+        pred64 = float((n_pass <= _MAXC_LADDER[-1]).mean())
+        if pred64 >= 0.9:
+            return (q_try, _MAXC_LADDER[-1], win_pres, win_syms, pred64)
+        if int(np.median(n_pass)) > max(_MAXC_LADDER[-1], n_win // 8):
+            # The TYPICAL probe matches a large fraction of all windows:
+            # exact repeats share every gram at any q, so escalating only
+            # burns index builds (vocab x sigma each step) — bail now.
+            return None, 0, None, None, pred64
+        q2 = q_try + 1
+        m_eff2 = qlen_min - q2 + 1
+        if sigma ** q2 > cap or m_eff2 < 1 or m_eff2 - k * q2 < 1:
+            return None, 0, None, None, pred64
+        q_try = q2
+
+
 def filter_verify_map(q_arr, qlens, t_ids, *, sigma: int, q: int, L: int,
                       stride: int, n_win: int, k: int, maxc: int, nw: int,
                       chunk: int = 256, interpret: bool = False):

@@ -320,6 +320,22 @@ def step_shw_map(cap):
         cap.skip("shw_map", f"rc={rc} {out[-150:]} {err[-120:]}")
 
 
+def step_adversarial(cap):
+    """Filter auto-tune verdict + resolved rate per target class."""
+    rc, out, err = run([sys.executable, "scripts/hw_adversarial.py"], 1200)
+    j = last_json(out)
+    if rc == 0 and j and j.get("backend") == "tpu":
+        for name, row in j["classes"].items():
+            cap.row(f"qfilter_{name}_reads_per_s", row["map_reads_per_s"],
+                    "reads/s", "hw_adversarial.py", **{
+                        k: row[k] for k in ("q", "maxc", "enabled",
+                                            "pred_resolved",
+                                            "resolved_rate")
+                        if k in row})
+    else:
+        cap.skip("adversarial", f"rc={rc} {out[-150:]} {err[-120:]}")
+
+
 def step_eqstream(cap):
     """Big-alphabet engine (sigma past the select cap) GCUPS + exactness.
 
@@ -377,7 +393,7 @@ def main(argv=None):
              "wavefront": step_wavefront_1mbp, "cli": step_cli,
              "latency": step_latency, "tests": step_hw_tests,
              "batched_path": step_batched_path, "eqstream": step_eqstream,
-             "shw_map": step_shw_map}
+             "shw_map": step_shw_map, "adversarial": step_adversarial}
     cpu_only = {"latency", "cli"}
     if args.steps:
         order = [s.strip() for s in args.steps.split(",")]
@@ -386,7 +402,8 @@ def main(argv=None):
     else:
         order = ["bench", "two_phase", "banded_nw", "chunks", "roofline",
                  "banded", "e2e", "scaling", "batched_path", "eqstream",
-                 "shw_map", "wavefront", "cli", "latency", "tests"]
+                 "shw_map", "adversarial", "wavefront", "cli", "latency",
+                 "tests"]
 
     if set(order) - cpu_only:  # any step that needs the chip?
         ok, err = probe()

@@ -232,3 +232,98 @@ def test_map_reads_filter_mesh_matches_single(rng, monkeypatch):
     best_s, pos_s = mapping.map_reads(reads, tb, mode="HW", k=-1)
     np.testing.assert_array_equal(best_m, best_s)
     np.testing.assert_array_equal(pos_m, pos_s)
+
+
+def _adversarial_targets(rng, tlen=40000):
+    """Repeat-rich target classes: tandem repeats, homopolymer runs, and
+    a shuffled-composition control."""
+    unit = rng.randint(0, 4, 200).astype(np.int32)
+    tandem = np.tile(unit, -(-tlen // len(unit)))[:tlen]
+    homo = np.concatenate([
+        np.full(rng.randint(50, 400), rng.randint(0, 4), np.int32)
+        for _ in range(tlen // 100)])[:tlen]
+    if len(homo) < tlen:
+        homo = np.tile(homo, 2)[:tlen]
+    shuffled = rng.randint(0, 4, tlen).astype(np.int32)
+    return {"tandem": tandem, "homopolymer": homo, "shuffled": shuffled}
+
+
+def test_auto_tune_disables_on_tandem_repeats(rng):
+    """On a tandem-repeat target every window shares most grams: the
+    index-derived tuner must refuse to enable the filter (no sound q
+    bounds the tail) instead of letting every read pay a fallback."""
+    t = _adversarial_targets(rng)["tandem"]
+    qlen, k = 100, 10
+    geom = qf.window_geometry(len(t), qlen, k)
+    assert geom is not None
+    L, stride, n_win = geom
+    q0 = qf.choose_q(4, qlen, k, L)
+    Lv = qf.verify_cols(L, encode.num_words(qlen), 256)
+
+    def builder(qq):
+        return qf.build_target_index(jnp.asarray(t), 4, qq, L, stride,
+                                     n_win, Lv)
+
+    q, maxc, _, _, pred = qf.auto_tune(t, 4, q0, k, qlen, L, stride,
+                                       n_win, Lv, builder)
+    assert q is None, (q, maxc, pred)
+
+
+def test_auto_tune_bounds_fallback_on_real_classes(rng):
+    """Where the tuner enables the filter, its chosen maxc must keep the
+    unresolved fraction bounded (<= 10%) on probe reads drawn from the
+    target — asserted per adversarial class that stays enabled, plus
+    end-to-end exactness of map_reads on every class."""
+    from edlib_tpu.mapping import map_reads
+    from edlib_tpu.align import align
+
+    targets = _adversarial_targets(rng, tlen=40000)
+    qlen, k = 100, 10
+    for name, t in targets.items():
+        geom = qf.window_geometry(len(t), qlen, k)
+        L, stride, n_win = geom
+        q0 = qf.choose_q(4, qlen, k, L)
+        Lv = qf.verify_cols(L, encode.num_words(qlen), 256)
+
+        def builder(qq):
+            return qf.build_target_index(jnp.asarray(t), 4, qq, L,
+                                         stride, n_win, Lv)
+
+        q, maxc, win_pres, _, pred = qf.auto_tune(
+            t, 4, q0, k, qlen, L, stride, n_win, Lv, builder)
+        if q is not None:
+            assert pred >= 0.9, (name, q, maxc, pred)
+            # measured (not just predicted) bound on fresh probes
+            rng2 = np.random.RandomState(7)
+            starts = rng2.randint(0, len(t) - qlen, 64)
+            probes = np.stack([t[s:s + qlen] for s in starts])
+            n_pass = np.asarray(qf.sample_pass_counts(
+                jnp.asarray(probes.astype(np.int32)),
+                jnp.full((64,), qlen, jnp.int32), win_pres, 4, q, k))
+            assert (n_pass <= maxc).mean() >= 0.9, (name, q, maxc)
+
+
+def test_map_reads_exact_on_adversarial_targets(rng, monkeypatch):
+    """map_reads stays exact on every adversarial class whether the
+    filter engages, escalates q, or disables itself."""
+    from edlib_tpu.mapping import map_reads
+    from edlib_tpu.align import align
+
+    monkeypatch.setenv("EDLIB_TPU_FORCE_PALLAS", "interpret")
+    monkeypatch.setenv("EDLIB_TPU_QFILTER", "1")
+    monkeypatch.delenv("EDLIB_TPU_QFILTER_MAXC", raising=False)
+    targets = _adversarial_targets(rng, tlen=4000)
+    for name, t in targets.items():
+        tb = bytes(bytearray(int(x) + 65 for x in t))
+        reads = []
+        for _ in range(6):
+            s = rng.randint(0, len(t) - 80)
+            r = t[s:s + 80].copy()
+            muts = rng.rand(80) < 0.06
+            r[muts] = rng.randint(0, 4, muts.sum())
+            reads.append(bytes(bytearray(int(x) + 65 for x in r)))
+        best, pos = map_reads(reads, tb, mode="HW")
+        for i, r in enumerate(reads):
+            want = align(r, tb, mode="HW", task="locations")
+            assert best[i] == want["editDistance"], (name, i)
+            assert pos[i] == want["locations"][0][1], (name, i)
