@@ -412,7 +412,7 @@ def _run_bucket_eqstream(idxs, pairs, metas, sigma, eq, nw_b, t_scan,
 
 
 def _shw_banded_bucket(sweeper, peq, targets, lo, hi, kb, k_user,
-                       want_hits, shared, exact_k=False):
+                       want_hits, shared):
     """Banded SHW bucket: k-doubling ladder over the sliding-window
     kernel, capped at the per-lane guaranteed bounds kb (>= each lane's
     true best, so the capped run always completes every lane within the
@@ -431,12 +431,7 @@ def _shw_banded_bucket(sweeper, peq, targets, lo, hi, kb, k_user,
     pf = np.full(B, -1, np.int64)
     pl_ = np.full(B, -1, np.int64)
     done = np.zeros(B, bool)
-    # With EXACT per-lane k (reversed-SHW start locations), a ladder is
-    # strictly wasted work: every pass re-sweeps all columns, so total
-    # window work is >= the single pass at max(kb) that the last rung
-    # needs anyway.  Loose bounds (hamming cap) keep the ladder — early
-    # narrow rungs usually finish most lanes below the bound.
-    k_cur = k_lim if exact_k else min(64, k_lim)
+    k_cur = min(64, k_lim)
     while True:
         rb, rf, rl = sweeper.reduce_shw_banded(peq, targets, lo, hi, k_cur,
                                                shared=shared)
@@ -474,8 +469,7 @@ def _shw_banded_bucket(sweeper, peq, targets, lo, hi, kb, k_user,
 def _run_bucketed_summary(pairs: List[Tuple[np.ndarray, np.ndarray]],
                           sigma: int, eq: np.ndarray, hin0: int,
                           want_hits: bool, mesh=None, shw_kb=None,
-                          k_user: int = -1,
-                          shw_kb_exact: bool = False) -> List[PairSummary]:
+                          k_user: int = -1) -> List[PairSummary]:
     """Bucketed sweeps returning per-pair summaries (real position space).
 
     On TPU this is the two-phase Pallas path: a register-resident reduction
@@ -560,7 +554,7 @@ def _run_bucketed_summary(pairs: List[Tuple[np.ndarray, np.ndarray]],
             kb = np.array([shw_kb[i] for i in idxs], np.int64)
             bbest, bpf, bpl, bpos = _shw_banded_bucket(
                 sweeper, peq, targets, lo, hi, kb, k_user, want_hits,
-                shared, exact_k=shw_kb_exact)
+                shared)
             for row, i in enumerate(idxs):
                 w = metas[i][1]
                 positions = None
@@ -1041,19 +1035,14 @@ def _fill_start_locations(results, id_pairs, main_idx, mode, sigma, eq,
     if not sub_pairs:
         return
     # Only the LAST minimal SHW position is needed (edlib.cpp:258-260): the
-    # reduce pass carries it directly — no score streams, no hit pass.  The
-    # reversed-SHW best always equals the pair's edit distance (e is a
-    # minimal end position), so positions attaining the stream best are
-    # exactly the minimal ones.
-    # Each reversed-SHW best IS the pair's edit distance (e is a minimal
-    # end position), so the banded kernel gets exact per-lane k bounds:
-    # one-shot band-pruned sweeps, no ladder overshoot.
-    sub_kb = None
-    if mesh is None:
-        sub_kb = np.array([results[i].edit_distance for i, _, _ in sub_owner],
-                          np.int64)
+    # reduce pass carries it directly — no score streams, no hit pass.
+    # These re-runs take the plain full-sweep reduce kernels: the prefix
+    # slice above already caps each sweep at ~Q+d columns, and a stage-
+    # level A/B showed the banded variant buying nothing on top of it
+    # (round-4 revshw_banded_speedup rows ~1.0 — the stage is bound by
+    # the per-lane target transfer, not kernel word count), so the
+    # round-4 exact-k banded routing was deleted as measured dead weight.
     summaries = _run_bucketed_summary(sub_pairs, sigma, eq, hin0=1,
-                                      want_hits=False, mesh=mesh,
-                                      shw_kb=sub_kb, shw_kb_exact=True)
+                                      want_hits=False, mesh=mesh)
     for (i, j, e), summ in zip(sub_owner, summaries):
         results[i].start_locations[j] = e - summ.pos_last

@@ -173,30 +173,6 @@ def step_roofline(cap):
         cap.skip("vpu_roofline", f"rc={rc} {err[-120:]}")
 
 
-def step_banded_revshw(cap):
-    """The HW-banded question (VERDICT r2 #10): banded vs full reversed-SHW
-    at 3% and 10% noise — measured ratio, not an argument."""
-    res = {}
-    for mut in ("0.03", "0.10"):
-        for bmw, tag in (("8", "banded"), ("9999", "full")):
-            rc, out, err = run(
-                [sys.executable, "scripts/hw_banded_revshw.py", bmw], 560,
-                env={"EDLIB_TPU_HWB_MUT": mut})
-            j = last_json(out)
-            if rc == 0 and j and j.get("backend") == "tpu":
-                res[(mut, tag)] = j["seconds"]
-                cap.row(f"revshw_{tag}_mut{mut}", j["seconds"], "s",
-                        "hw_banded_revshw.py", pairs=j["pairs"],
-                        qlen=j["qlen"], tlen=j["tlen"])
-            else:
-                cap.skip(f"revshw {tag} mut={mut}", f"rc={rc} {err[-120:]}")
-    for mut in ("0.03", "0.10"):
-        if (mut, "banded") in res and (mut, "full") in res:
-            cap.row(f"revshw_banded_speedup_mut{mut}",
-                    round(res[(mut, "full")] / res[(mut, "banded")], 3),
-                    "x", "hw_banded_revshw.py ratio")
-
-
 def step_e2e(cap):
     """End-to-end map_reads wall (host encode + transfers + device sweep):
     the docs/PERF.md '10240 reads x 100bp vs 1Mbp' headline row."""
@@ -371,10 +347,10 @@ def step_hw_tests(cap):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
-                    help="bench + two-phase + banded ratio only")
+                    help="bench + two-phase + banded-NW only")
     ap.add_argument("--steps", default=None,
                     help="comma list: bench,two_phase,banded_nw,chunks,"
-                         "roofline,banded,tests")
+                         "roofline,shw_map,adversarial,tests")
     ap.add_argument("--merge", action="store_true", default=True,
                     help="keep existing PERF_HW.json rows whose metric is "
                          "not re-captured this run (DEFAULT — a partial "
@@ -388,7 +364,7 @@ def main(argv=None):
     cap = Capture()
     steps = {"bench": step_bench, "two_phase": step_two_phase,
              "banded_nw": step_banded_nw, "chunks": step_chunk_sweep,
-             "roofline": step_roofline, "banded": step_banded_revshw,
+             "roofline": step_roofline,
              "e2e": step_e2e, "scaling": step_scaling,
              "wavefront": step_wavefront_1mbp, "cli": step_cli,
              "latency": step_latency, "tests": step_hw_tests,
@@ -398,10 +374,10 @@ def main(argv=None):
     if args.steps:
         order = [s.strip() for s in args.steps.split(",")]
     elif args.quick:
-        order = ["bench", "two_phase", "banded_nw", "banded"]
+        order = ["bench", "two_phase", "banded_nw"]
     else:
         order = ["bench", "two_phase", "banded_nw", "chunks", "roofline",
-                 "banded", "e2e", "scaling", "batched_path", "eqstream",
+                 "e2e", "scaling", "batched_path", "eqstream",
                  "shw_map", "adversarial", "wavefront", "cli", "latency",
                  "tests"]
 
