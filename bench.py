@@ -59,9 +59,10 @@ SIGMA = 4
 CHUNK = 512
 # q-gram-filtered attempt: genome-scale target — the reference's real
 # 1 Mbp chromosome tiled to 4 Mbp.  rung K_F = QLEN // 10 = 12 is the
-# library's own default rung (mapping.py), and MAXC_F = 16 the library's
-# default candidate budget (EDLIB_TPU_QFILTER_MAXC).  GCUPS accounting
-# stays naive-cell-equivalent (B*QLEN*T / t) — the SAME accounting the
+# library's own default rung (mapping.py); (q, maxc) come from the same
+# index-derived auto-tuner the library uses (qf.auto_tune), with MAXC_F
+# only as the never-taken fallback.  GCUPS accounting stays
+# naive-cell-equivalent (B*QLEN*T / t) — the SAME accounting the
 # 80-GCUPS baseline implies for the reference's Ukkonen-banded
 # implementation, which also skips most cells.
 TARGET_LEN_F = 4_194_304
@@ -213,8 +214,8 @@ if backend == "qfilter":
     geom = qfmod.window_geometry(TF, QLEN, K_F)
     assert geom is not None
     L, stride, n_win = geom
-    q = qfmod.choose_q(SIGMA, QLEN, K_F, L)
-    assert q is not None
+    q0 = qfmod.choose_q(SIGMA, QLEN, K_F, L)
+    assert q0 is not None
     CH_V = 256
     Lv = qfmod.verify_cols(L, nw, CH_V)
 
@@ -231,13 +232,25 @@ if backend == "qfilter":
         rand_sym = jax.random.randint(k2c, (B, QLEN), 0, SIGMA, jnp.int32)
         return jnp.where(muts, rand_sym, reads)
 
+    # Library-default tuning: derive (q, maxc) from the target index
+    # itself, exactly like mapping._map_reads_filtered (qf.auto_tune).
+    # MAXC_F is only the fallback if the tuner declines (it never does on
+    # this target — tuned values land in the note).
+    def _builder(qq):
+        return qfmod.build_target_index(target, SIGMA, qq, L, stride,
+                                        n_win, Lv)
+
+    q, maxc, win_pres, win_syms, _pred = qfmod.auto_tune(
+        np.asarray(target_ids), SIGMA, q0, K_F, QLEN, L, stride, n_win,
+        Lv, _builder)
+    if q is None:
+        q, maxc = q0, MAXC_F
+        win_pres, win_syms = _builder(q)
+
     def run(reads, win_pres, win_syms):
         return qfmod.filter_verify_batch(
             reads, qlens, win_pres, win_syms, sigma=SIGMA, q=q, L=L,
-            stride=stride, tlen=TF, k=K_F, maxc=MAXC_F, nw=nw, chunk=CH_V)
-
-    win_pres, win_syms = qfmod.build_target_index(target, SIGMA, q, L,
-                                                  stride, n_win, Lv)
+            stride=stride, tlen=TF, k=K_F, maxc=maxc, nw=nw, chunk=CH_V)
     reads = make_reads(jax.random.key(0), target)
     gbest, gpos, resolved = run(reads, win_pres, win_syms)
     jax.block_until_ready(gbest)
@@ -293,11 +306,12 @@ if backend == "qfilter":
         int(many(target, win_pres, win_syms))
         dt = min(dt, time.time() - t0) if dt is not None else \
             time.time() - t0
-    note = ("qfilter-%s %s T=%d k=%d maxc=%d exact (resolved=%.4f, "
-            "0 mismatch vs full sweep; raw sweep %.0f GCUPS); "
-            "naive-cell-equiv accounting, same as the banded reference "
-            "baseline" % (jax.default_backend(), target_src, TF, K_F,
-                          MAXC_F, rs.mean(), raw_gcups))
+    note = ("qfilter-%s %s T=%d k=%d q=%d maxc=%d (auto-tuned, library "
+            "default) exact (resolved=%.4f, 0 mismatch vs full sweep; "
+            "raw sweep %.0f GCUPS); naive-cell-equiv accounting, same as "
+            "the banded reference baseline" %
+            (jax.default_backend(), target_src, TF, K_F, q, maxc,
+             rs.mean(), raw_gcups))
     report(dt, note, REPS, tlen=TF)
     sys.exit(0)
 
