@@ -2499,11 +2499,36 @@ class PallasSweeper:
 # ---------------------------------------------------------------------------
 
 
-def _capture_kernel(targets_ref, peq_ref, pvo_ref, mvo_ref, pv_ref, mv_ref,
-                    *, n_words: int, sigma1: int, chunk: int, hin0: int,
-                    shared: bool, unroll: int):
+def _advance_word_h(Pv, Mv, Eq, hin_neg_u, hin_pos_u):
+    """_advance_word that also returns the UNSHIFTED horizontal delta
+    masks (Ph bit i = [cell(i,c) - cell(i,c-1) == +1], Mh likewise -1) —
+    the per-row horizontal deltas the traceback preference needs."""
+    Xv = Eq | Mv
+    Eq = Eq | hin_neg_u
+    Xh = (((Eq & Pv) + Pv) ^ Pv) | Eq
+    Ph = Mv | ~(Xh | Pv)
+    Mh = Pv & Xh
+    hout_pos = Ph >> 31
+    hout_neg = Mh >> 31
+    Phs = (Ph << 1) | hin_pos_u
+    Mhs = (Mh << 1) | hin_neg_u
+    PvOut = Mhs | ~(Xv | Phs)
+    MvOut = Phs & Xv
+    return PvOut, MvOut, hout_neg, hout_pos, Ph, Mh
+
+
+def _capture_kernel(*refs, n_words: int, sigma1: int, chunk: int, hin0: int,
+                    shared: bool, unroll: int, want_h: bool = False):
     """pvo/mvo_ref: (chunk*n_words, 8, 128) uint32 per grid step — column c's
-    word w lands at row c*n_words + w (5-D blocks keep Mosaic layouts)."""
+    word w lands at row c*n_words + w (5-D blocks keep Mosaic layouts).
+    want_h also stores the per-column horizontal delta masks (Ph, Mh):
+    the traceback's move preference is a pure bitwise function of
+    (Pv, Ph, Mh) — no prefix-sum decode needed (path/batched.py)."""
+    if want_h:
+        (targets_ref, peq_ref, pvo_ref, mvo_ref, pho_ref, mho_ref,
+         pv_ref, mv_ref) = refs
+    else:
+        (targets_ref, peq_ref, pvo_ref, mvo_ref, pv_ref, mv_ref) = refs
     t_step = pl.program_id(1)
 
     @pl.when(t_step == 0)
@@ -2522,8 +2547,14 @@ def _capture_kernel(targets_ref, peq_ref, pvo_ref, mvo_ref, pv_ref, mv_ref,
         new_pvs, new_mvs = [], []
         for w in range(n_words):
             eq = _fetch_eq(peq_ref, sym, w, sigma1, shared)
-            pv, mv, hin_neg, hin_pos = _advance_word(
-                pvs[w], mvs[w], eq, hin_neg, hin_pos)
+            if want_h:
+                pv, mv, hin_neg, hin_pos, ph, mh = _advance_word_h(
+                    pvs[w], mvs[w], eq, hin_neg, hin_pos)
+                pho_ref[c * n_words + w] = ph
+                mho_ref[c * n_words + w] = mh
+            else:
+                pv, mv, hin_neg, hin_pos = _advance_word(
+                    pvs[w], mvs[w], eq, hin_neg, hin_pos)
             pvo_ref[c * n_words + w] = pv
             mvo_ref[c * n_words + w] = mv
             new_pvs.append(pv)
@@ -2545,10 +2576,11 @@ def _capture_kernel(targets_ref, peq_ref, pvo_ref, mvo_ref, pv_ref, mv_ref,
 
 def _sweep_capture_call(peq: jnp.ndarray, targets: jnp.ndarray, hin0: int,
                         chunk: int = 128, shared: bool = False,
-                        interpret: bool = False):
-    """Unjitted capture sweep: per-column (Pv, Mv) words to HBM.
+                        interpret: bool = False, want_h: bool = False):
+    """Unjitted capture sweep: per-column (Pv, Mv[, Ph, Mh]) words to HBM.
 
-    Returns (pv, mv), each uint32 (n_tiles, n_chunks, chunk*NW, 8, 128).
+    Returns 2 (or 4 with want_h) uint32 arrays, each
+    (n_tiles, n_chunks, chunk*NW, 8, 128).
     """
     n_tiles, sigma1, n_words = peq.shape[:3]
     n_chunks = targets.shape[0] if shared else targets.shape[1]
@@ -2558,7 +2590,7 @@ def _sweep_capture_call(peq: jnp.ndarray, targets: jnp.ndarray, hin0: int,
         unroll = 8 if chunk % 8 == 0 else 1
     kernel = functools.partial(_capture_kernel, n_words=n_words,
                                sigma1=sigma1, chunk=chunk, hin0=hin0,
-                               shared=shared, unroll=unroll)
+                               shared=shared, unroll=unroll, want_h=want_h)
     if shared:
         t_spec = pl.BlockSpec((None, 1, chunk), lambda i, j: (j, 0, 0),
                               memory_space=pltpu.SMEM)
@@ -2571,6 +2603,7 @@ def _sweep_capture_call(peq: jnp.ndarray, targets: jnp.ndarray, hin0: int,
                             memory_space=pltpu.VMEM)
     cap_shape = jax.ShapeDtypeStruct(
         (n_tiles, n_chunks, chunk * n_words, SUBLANES, LANES), jnp.uint32)
+    n_out = 4 if want_h else 2
     return pl.pallas_call(
         kernel,
         grid=(n_tiles, n_chunks),
@@ -2580,8 +2613,8 @@ def _sweep_capture_call(peq: jnp.ndarray, targets: jnp.ndarray, hin0: int,
                          lambda i, j: (i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(cap_spec, cap_spec),
-        out_shape=(cap_shape, cap_shape),
+        out_specs=tuple(cap_spec for _ in range(n_out)),
+        out_shape=tuple(cap_shape for _ in range(n_out)),
         scratch_shapes=[
             pltpu.VMEM((n_words, SUBLANES, LANES), jnp.uint32),
             pltpu.VMEM((n_words, SUBLANES, LANES), jnp.uint32),
@@ -2592,11 +2625,13 @@ def _sweep_capture_call(peq: jnp.ndarray, targets: jnp.ndarray, hin0: int,
 
 
 def capture_flat_device(peq: jnp.ndarray, targets: jnp.ndarray, hin0: int,
-                        chunk: int = 128, interpret: bool = False):
+                        chunk: int = 128, interpret: bool = False,
+                        want_h: bool = False):
     """Flat-layout capture sweep (traceable): peq (B, S1, NW) uint32,
     targets (B, T) int32 per-lane windows (pad columns with the wildcard
     symbol — their captured words are ignored by the walk).  Returns
-    (pv, mv), each uint32 (B, Tp, NW) with Tp = T rounded up to chunk.
+    (pv, mv) — plus (ph, mh) horizontal delta masks with want_h — each
+    uint32 (B, Tp, NW) with Tp = T rounded up to chunk.
     """
     B, S1, NW = peq.shape
     T = targets.shape[1]
@@ -2610,12 +2645,12 @@ def capture_flat_device(peq: jnp.ndarray, targets: jnp.ndarray, hin0: int,
     tg_t = jnp.transpose(
         tg_p.reshape(n_tiles, SUBLANES, LANES, n_chunks, chunk),
         (0, 3, 4, 1, 2))
-    pv, mv = _sweep_capture_call(peq_t, tg_t, hin0=hin0, chunk=chunk,
-                                 interpret=interpret)
+    caps = _sweep_capture_call(peq_t, tg_t, hin0=hin0, chunk=chunk,
+                               interpret=interpret, want_h=want_h)
 
     def unpack(cap):
         # (n_tiles, n_chunks, chunk*NW, 8, 128) -> (B, Tp, NW)
         c5 = cap.reshape(n_tiles, n_chunks, chunk, NW, SUBLANES, LANES)
         return jnp.transpose(c5, (0, 4, 5, 1, 2, 3)).reshape(Bp, Tp, NW)[:B]
 
-    return unpack(pv), unpack(mv)
+    return tuple(unpack(c) for c in caps)

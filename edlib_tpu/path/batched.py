@@ -6,12 +6,12 @@ The reference reconstructs each small-window path by storing every column's
 three fused device stages (one jit dispatch per slab):
 
   1. capture — the Pallas column-capture kernel sweeps every window in the
-     batch and stores packed per-column (Pv, Mv) words to HBM
-     (ops/pallas_kernel.py::capture_flat_device);
-  2. decode — cell values from the TOP boundary anchor, entirely on device:
-     cell(r, c) = (c+1) + prefix_sum(Pv bits - Mv bits), a bit-unpack plus
-     one cumsum (the query's trailing wildcard pad rows sit BELOW every real
-     row, so real cells are exact);
+     batch and stores packed per-column (Pv, Mv, Ph, Mh) delta words to
+     HBM (ops/pallas_kernel.py::capture_flat_device want_h=True);
+  2. decode — the move at every cell is a PURE BITWISE function of those
+     masks (go_up <=> Pv, go_left <=> Ph, MATCH <=> the vertical delta
+     cancels the row-above horizontal delta): no cell values are ever
+     materialised, no prefix sums run;
   3. walk — per-cell move codes (the reference's exact preference:
      up/INSERT, then left/DELETE, then diagonal; MATCH iff the diagonal
      value is unchanged) and diagonal MATCH-run lengths are precomputed
@@ -141,40 +141,34 @@ def _capture_walk(buf, eq_s1, *, sigma: int, n_words: int, C: int,
     shifts = jnp.arange(32, dtype=jnp.uint32)
     peq = (bits32 << shifts).sum(axis=3, dtype=jnp.uint32)  # (B, S1, NW)
 
-    pv, mv = capture_flat_device(peq, windows.astype(jnp.int32), hin0=1,
-                                 chunk=chunk, interpret=interpret)
+    pv, mv, ph, mh = capture_flat_device(
+        peq, windows.astype(jnp.int32), hin0=1, chunk=chunk,
+        interpret=interpret, want_h=True)
     Tp = pv.shape[1]
-    q1 = total + 1
-    # Vertical deltas from the packed words; decode every padded row (rows
-    # past qlen are wildcard drains — never visited, r0 < qlen).  With
-    # vbase[b, t, j] = sum_{i<j} delta_i (an int16 cumsum over a
-    # zero-padded delta — |vbase| <= total), cell(j-1, c) = (c+1) +
-    # vbase[b, c, j]; the init column c = -1 is the analytic cell(r, -1)
-    # = r+1.  Vfull[b, cc, j] = cell(j-1, cc-1) includes it at cc = 0.
+    # Per-cell move with the scalar walk's exact preference, as a PURE
+    # BITWISE function of Myers' own delta masks (no value decode, no
+    # prefix sums):
+    #   go_up   (u+1 == v)  <=>  v - u = +1      <=>  Pv bit (r, c)
+    #   go_left (l+1 == v)  <=>  h(r, c) = +1    <=>  Ph bit (r, c)
+    #   MATCH   (ul == v)   <=>  delta_v(r, c) + h(r-1, c) == 0
+    # with the analytic boundary h(-1, c) = +1 (top row costs c+1).
     bidx = jnp.arange(32, dtype=jnp.uint32)
-    delta = (((pv[..., None] >> bidx) & 1).astype(jnp.int8)
-             - ((mv[..., None] >> bidx) & 1).astype(jnp.int8))
-    vbase = jnp.cumsum(
-        jnp.pad(delta.reshape(B, Tp, total),
-                ((0, 0), (0, 0), (1, 0))).astype(jnp.int16), axis=2)
-    init_col = jnp.broadcast_to(
-        jnp.arange(q1, dtype=jnp.int16)[None, None, :], (B, 1, q1))
-    Vfull = jnp.concatenate(
-        [init_col,
-         vbase + jnp.arange(1, Tp + 1, dtype=jnp.int16)[None, :, None]],
-        axis=1)                                            # (B, Tp+1, q1)
 
-    # Per-cell move with the scalar walk's exact preference (cells (r, c)
-    # with r in [0, total), c in [0, Tp)).
-    v = Vfull[:, 1:, 1:]
-    u = Vfull[:, 1:, :-1]
-    l_ = Vfull[:, :-1, 1:]
-    ul = Vfull[:, :-1, :-1]
-    go_up = u + 1 == v
-    go_left = ~go_up & (l_ + 1 == v)
-    movec = jnp.where(go_up, 1,
-                      jnp.where(go_left, 2,
-                                jnp.where(ul == v, 3, 4)))  # (B, Tp, total)
+    def bits(x):   # (B, Tp, NW) uint32 -> (B, Tp, total) bool
+        return ((x[..., None] >> bidx) & 1).astype(jnp.bool_).reshape(
+            B, Tp, total)
+
+    pvb, mvb, phb, mhb = bits(pv), bits(mv), bits(ph), bits(mh)
+    ph_up = jnp.concatenate(
+        [jnp.ones((B, Tp, 1), jnp.bool_), phb[..., :-1]], axis=2)
+    mh_up = jnp.concatenate(
+        [jnp.zeros((B, Tp, 1), jnp.bool_), mhb[..., :-1]], axis=2)
+    diag_match = ((pvb & mh_up) | (mvb & ph_up)
+                  | (~pvb & ~mvb & ~ph_up & ~mh_up))
+    movec = jnp.where(pvb, 1,
+                      jnp.where(phb, 2,
+                                jnp.where(diag_match, 3, 4)))
+    # movec: (B, Tp, total) int32
 
     # Diagonal MATCH-run lengths by log-doubling: run[cc, j] counts the
     # consecutive movec==3 cells ending at (cc, j) walking up-left
