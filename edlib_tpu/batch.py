@@ -529,6 +529,21 @@ def _run_bucketed_summary(pairs: List[Tuple[np.ndarray, np.ndarray]],
                                            want_hits)
             continue
 
+        use_band = (shw_kb is not None and hin0 == 1
+                    and nw_b >= _band_min_words())
+        if (not shared and not use_band and sigma >= 32
+                and os.environ.get("EDLIB_TPU_BITPLANE", "") != "0"):
+            # Mid-size alphabets: the bit-plane kernels beat the S1-way
+            # select chain well before the 64-row cap (measured 1.5x+ at
+            # sigma>=32 on per-lane 2kbp batches; never worse above 16).
+            plan = _bigalpha_plan(sigma, eq)
+            if plan is not None and pallas_kernel.bitplane_ok(
+                    nw_b, sigma, plan[2]):
+                for i, summ in zip(idxs, _run_bucket_bitplane(
+                        idxs, pairs, metas, sigma, plan, nw_b, t_scan,
+                        hin0, want_hits, mode)):
+                    out[i] = summ
+                continue
         B = len(idxs)
         B_pad = _pow2_at_least(B, floor=8)
         peq = np.full((B_pad, sigma + 1, nw_b), 0xFFFFFFFF, dtype=np.uint32)

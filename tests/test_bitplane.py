@@ -176,3 +176,32 @@ def test_align_batch_equalities_big_alphabet(rng, monkeypatch):
                      additionalEqualities=pairs)
         assert got[i]["editDistance"] == want["editDistance"], i
         assert got[i]["locations"] == want["locations"], i
+
+
+def test_mid_sigma_routes_to_bitplane(rng, monkeypatch):
+    """Per-lane-target buckets with 32 <= sigma <= 64 (inside the select
+    cap) route to the bit-plane kernels — measured faster there — and
+    match per-pair align()."""
+    monkeypatch.setenv("EDLIB_TPU_FORCE_PALLAS", "interpret")
+    from edlib_tpu import batch as batch_mod
+    calls = []
+    orig = batch_mod._run_bucket_bitplane
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(batch_mod, "_run_bucket_bitplane", spy)
+    sigma = 40
+    queries, targets = [], []
+    for _ in range(5):
+        queries.append(bytes(rng.randint(0, sigma, rng.randint(10, 50),
+                                         dtype=np.uint8)))
+        targets.append(bytes(rng.randint(0, sigma, rng.randint(40, 120),
+                                         dtype=np.uint8)))
+    got = align_batch_device(queries, targets, mode="HW", task="locations")
+    assert calls, "mid-sigma bucket did not route to bitplane"
+    for i, (q, t) in enumerate(zip(queries, targets)):
+        want = align(q, t, mode="HW", task="locations")
+        assert got[i]["editDistance"] == want["editDistance"], i
+        assert got[i]["locations"] == want["locations"], i
