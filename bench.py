@@ -214,7 +214,7 @@ if backend == "qfilter":
     geom = qfmod.window_geometry(TF, QLEN, K_F)
     assert geom is not None
     L, stride, n_win = geom
-    q0 = qfmod.choose_q(SIGMA, QLEN, K_F, L)
+    q0 = qfmod.choose_q(SIGMA, QLEN, K_F, L, bump=False)
     assert q0 is not None
     CH_V = 256
     Lv = qfmod.verify_cols(L, nw, CH_V)

@@ -411,14 +411,20 @@ def _map_reads_filtered(read_ids, t_ids, sigma, k, forced, mesh=None,
     # over-ambitious q-bump degrade to the un-bumped q instead of
     # disabling the filter outright.
     vocab_cap = (6 << 30) // (2 * (n_win + B)) - 1
-    q = qf.choose_q(sigma, qmin, rung, L, max_vocab=vocab_cap)
-    if q is None:
-        return None
     import jax.numpy as jnp
     n_words = encode.num_words(qmax)
     chunk = 256
     Lv = qf.verify_cols(L, n_words, chunk)
     env_maxc = os.environ.get("EDLIB_TPU_QFILTER_MAXC")
+    # The auto-tuner starts at the model's MINIMAL q (bump=False) and
+    # escalates on probe evidence — the filter matmul is FLOP-bound at
+    # vocab = sigma**q, so the static one-order safety bump costs
+    # sigma x the FLOPs; the env-override path keeps the bump (no
+    # measurement backs it up there).
+    q = qf.choose_q(sigma, qmin, rung, L, max_vocab=vocab_cap,
+                    bump=env_maxc is not None)
+    if q is None:
+        return None
     if env_maxc is not None:
         # Explicit override: trust the caller's candidate budget.
         maxc = min(int(env_maxc), n_win)

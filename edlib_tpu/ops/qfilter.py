@@ -57,7 +57,8 @@ MAX_VOCAB = 1 << 16      # sigma**q cap: presence table width
 
 def choose_q(sigma: int, qlen_min: int, k: int, L: int,
              n_sigma_noise: float = 6.0,
-             max_vocab: Optional[int] = None) -> Optional[int]:
+             max_vocab: Optional[int] = None,
+             bump: bool = True) -> Optional[int]:
     """Smallest q whose filter is sound AND effective, or None.
 
     Sound: threshold tau = (qlen_min - q + 1) - k*q >= 1 (worst case
@@ -98,8 +99,12 @@ def choose_q(sigma: int, qlen_min: int, k: int, L: int,
         if tau > mu + n_sigma_noise * sd:
             chosen = q
             break
-    if chosen is None:
-        return None
+    if chosen is None or not bump:
+        # bump=False: callers running the index-derived auto-tuner start
+        # at the model's minimal q and escalate ON EVIDENCE — the filter
+        # matmul is FLOP-bound at vocab = sigma**q (measured at MXU
+        # peak), so one needless order of q costs sigma x the FLOPs.
+        return chosen
     q2 = chosen + 1
     if (sigma ** q2 <= cap and qlen_min - q2 + 1 >= 1
             and (qlen_min - q2 + 1) - k * q2 >= 1):
@@ -362,8 +367,12 @@ def auto_tune(t_np, sigma: int, q0: int, k: int, qlen_min: int, L: int,
     stage against the index (sample_pass_counts): the p99 pass count
     picks maxc from the ladder, and if even maxc=64 leaves >10% of
     probes unresolved the filter reports itself useless (q escalates
-    first while sound and within the vocab budget).  Error-free probes
-    are the right load model: mutations only remove shared grams.
+    first while sound and within the vocab budget).  Probes carry k
+    substitutions — the WORST read the filter must still resolve: a
+    mutated read's tau = D - k*q sits ~k*q below an error-free probe's,
+    so error-free probes overstate the margin and accept a q whose
+    mutated-read tail explodes (measured: q=5 at 1 Mbp passes error-free
+    probes but leaves 22% of 5%-mutated reads with >16 windows).
 
     index_builder(q) -> (win_pres, win_syms) builds (or returns cached)
     the index for a given q, so accepted q's index is reused by the
@@ -374,30 +383,46 @@ def auto_tune(t_np, sigma: int, q0: int, k: int, qlen_min: int, L: int,
     starts = rng.randint(0, max(1, len(t_np) - qlen_min), n_samples)
     probes = np.stack([t_np[s:s + qlen_min] for s in starts]).astype(
         np.int32)
+    if k > 0 and sigma > 1:
+        # Design-point load: k substitutions per probe (<= k edits).
+        rows = np.arange(n_samples)[:, None]
+        pos = rng.randint(0, qlen_min, (n_samples, k))
+        delta = rng.randint(1, sigma, (n_samples, k)).astype(np.int32)
+        probes[rows, pos] = (probes[rows, pos] + delta) % sigma
     qlens = jnp.full((n_samples,), qlen_min, jnp.int32)
     q_try = q0
+    last_resort = None
     while True:
         win_pres, win_syms = index_builder(q_try)
         n_pass = np.asarray(sample_pass_counts(
             jnp.asarray(probes), qlens, win_pres, sigma, q_try, k))
         p99 = int(np.percentile(n_pass, 99))
-        for maxc in _MAXC_LADDER:
+        for maxc in _MAXC_LADDER[:-1]:
+            # Clean acceptance ladder tops out at 32: a 64-candidate
+            # verify costs ~8x the typical 8 AND usually rides with a
+            # fat unresolved tail — one more order of q is cheaper
+            # (measured at 1 Mbp: q=5/maxc=64 maps 3x slower than
+            # q=6/maxc=8).  64 stays available as the last resort below.
             if p99 + 5 <= maxc:
                 pred = float((n_pass <= maxc).mean())
                 return q_try, maxc, win_pres, win_syms, pred
         pred64 = float((n_pass <= _MAXC_LADDER[-1]).mean())
-        if pred64 >= 0.9:
-            return (q_try, _MAXC_LADDER[-1], win_pres, win_syms, pred64)
+        if pred64 >= 0.9 and last_resort is None:
+            last_resort = (q_try, _MAXC_LADDER[-1], win_pres, win_syms,
+                           pred64)
         if int(np.median(n_pass)) > max(_MAXC_LADDER[-1], n_win // 8):
             # The TYPICAL probe matches a large fraction of all windows:
             # exact repeats share every gram at any q, so escalating only
             # burns index builds (vocab x sigma each step) — bail now.
-            return None, 0, None, None, pred64
+            break
         q2 = q_try + 1
         m_eff2 = qlen_min - q2 + 1
         if sigma ** q2 > cap or m_eff2 < 1 or m_eff2 - k * q2 < 1:
-            return None, 0, None, None, pred64
+            break
         q_try = q2
+    if last_resort is not None:
+        return last_resort
+    return None, 0, None, None, 0.0
 
 
 def filter_verify_map(q_arr, qlens, t_ids, *, sigma: int, q: int, L: int,
