@@ -698,8 +698,6 @@ def _segmented_fallback(read_ids, t_ids, sigma, forced):
     segmented HW invariant (ops/segmented.py), with a FIXED 64-read plan so
     the compiled program and the device-resident padded target are reused
     across calls regardless of how many stragglers each batch produces."""
-    import hashlib
-
     import jax.numpy as jnp
 
     from edlib_tpu.ops import pallas_kernel as pk

@@ -274,9 +274,6 @@ def test_auto_tune_bounds_fallback_on_real_classes(rng):
     unresolved fraction bounded (<= 10%) on probe reads drawn from the
     target — asserted per adversarial class that stays enabled, plus
     end-to-end exactness of map_reads on every class."""
-    from edlib_tpu.mapping import map_reads
-    from edlib_tpu.align import align
-
     targets = _adversarial_targets(rng, tlen=40000)
     qlen, k = 100, 10
     for name, t in targets.items():
