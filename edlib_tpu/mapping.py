@@ -443,16 +443,18 @@ def _map_reads_filtered(read_ids, t_ids, sigma, k, forced, mesh=None,
             return None
         q, maxc, win_pres, win_syms = tuned
     from edlib_tpu.ops import pallas_kernel as pk
-    if (mesh is None and sigma <= 255
+    if (sigma <= 255
             and sigma + 2 <= pk.max_sigma1(n_words, shared=False)):
         # Fused single-dispatch path: filter + top-FB straggler fallback
         # (segmented full-target sweep) + on-device merge in ONE jitted
         # program, ONE packed upload and ONE packed download — the
         # tunneled device pays ~25 ms RTT per buffer, which otherwise
         # dominates genome-scale mapping calls (docs/PERF.md round 5).
+        # Under a mesh the same body runs per shard (reads shard, index
+        # replicated, zero collectives).
         return _map_reads_fused(read_ids, t_ids, sigma, k, rung, forced,
                                 flat, qmax, qmin, n_words, chunk, maxc, q,
-                                L, stride, win_pres, win_syms)
+                                L, stride, win_pres, win_syms, mesh=mesh)
     dt = np.int32 if sigma > 255 else np.uint8   # reads ship 4x smaller
     if qmin == qmax:
         q_arr = np.ascontiguousarray(np.stack(read_ids), dtype=dt)
@@ -511,12 +513,18 @@ _QF_BIG = 1 << 30
 
 @_functools.lru_cache(maxsize=None)
 def _fused_filter_fn(sigma, q, L, stride, tlen, rung, maxc, nw, chunk,
-                     n_seg, core, seg_L, halo, k_is_user, interpret):
+                     n_seg, core, seg_L, halo, k_is_user, interpret,
+                     mesh=None):
     """Jitted fused program: q-gram filter + verification + a fixed-width
     segmented full-target sweep for the first _SEG_FB_B unresolved reads
     + on-device merge.  Built once per static geometry; takes ONE packed
     read buffer and returns ONE packed (3, B) int32 result — over a
-    tunneled backend every extra buffer costs an RTT."""
+    tunneled backend every extra buffer costs an RTT.
+
+    mesh: shard reads over every mesh axis (indexes replicated) — each
+    shard runs the identical fused body, stragglers fall back WITHIN
+    their shard (zero collectives, embarrassingly-parallel weak
+    scaling)."""
     import jax
     import jax.numpy as jnp
 
@@ -543,7 +551,9 @@ def _fused_filter_fn(sigma, q, L, stride, tlen, rung, maxc, nw, chunk,
             chunk=chunk, interpret=interpret)
         # resolved & gb > rung == k proves best > k (the caller reports
         # -1); with no user cap every such read needs its true best.
-        need = ~rs if k_is_user else ((~rs) | (gb > rung))
+        # qlen == 0 marks mesh pad lanes: never fallback, results sliced
+        # away by the caller.
+        need = (~rs if k_is_user else ((~rs) | (gb > rung))) & (qlens > 0)
         FB = min(_SEG_FB_B, B)
         rank = jnp.cumsum(need.astype(jnp.int32)) - 1
         granted = need & (rank < FB)
@@ -592,18 +602,29 @@ def _fused_filter_fn(sigma, q, L, stride, tlen, rung, maxc, nw, chunk,
         return jnp.stack([gb2.astype(jnp.int32), gp2.astype(jnp.int32),
                           unhandled.astype(jnp.int32)], axis=0)
 
-    return jax.jit(f)
+    if mesh is None:
+        return jax.jit(f)
+    from jax.sharding import PartitionSpec as P
+
+    from edlib_tpu.parallel.dist import shard_map
+
+    axes = tuple(mesh.axis_names)
+    return jax.jit(shard_map(f, mesh=mesh,
+                             in_specs=(P(axes), P(), P(), P()),
+                             out_specs=P(None, axes), check_vma=False))
 
 
 def _map_reads_fused(read_ids, t_ids, sigma, k, rung, forced, flat, qmax,
                      qmin, n_words, chunk, maxc, q, L, stride, win_pres,
-                     win_syms):
+                     win_syms, mesh=None):
     """Single-dispatch filtered mapping (see _fused_filter_fn)."""
     import jax.numpy as jnp
 
     from edlib_tpu.ops.segmented import plan_segments
 
     B = len(read_ids)
+    B_pad = B if mesh is None else \
+        -(-B // int(mesh.devices.size)) * int(mesh.devices.size)
     tlen = len(t_ids)
     FB = min(_SEG_FB_B, B)
     w_max = n_words * 32 - qmin
@@ -612,23 +633,22 @@ def _map_reads_fused(read_ids, t_ids, sigma, k, rung, forced, flat, qmax,
                                 max_lanes=max(1, 4096 // FB))
     seg_L = halo + core + w_max
     seg_padded = _seg_padded_cached(t_ids, sigma, halo, n_seg, core, w_max)
+    q_buf = np.zeros((B_pad, qmax + 2), np.uint8)  # pad lanes: qlen=0
     if flat is not None and sigma <= 255:
         ids2d, qlen0 = flat
-        q_buf = np.empty((B, qmax + 2), np.uint8)
-        q_buf[:, :qmax] = ids2d
-        q_buf[:, qmax] = qlen0 & 0xFF
-        q_buf[:, qmax + 1] = qlen0 >> 8
+        q_buf[:B, :qmax] = ids2d
+        q_buf[:B, qmax] = qlen0 & 0xFF
+        q_buf[:B, qmax + 1] = qlen0 >> 8
     else:
-        q_buf = np.zeros((B, qmax + 2), np.uint8)
         for i, r in enumerate(read_ids):
             q_buf[i, :len(r)] = r
             q_buf[i, qmax] = len(r) & 0xFF
             q_buf[i, qmax + 1] = len(r) >> 8
     fn = _fused_filter_fn(sigma, q, L, stride, tlen, rung, maxc, n_words,
                           chunk, n_seg, core, seg_L, halo, k >= 0,
-                          forced == "interpret")
+                          forced == "interpret", mesh=mesh)
     packed = np.asarray(fn(jnp.asarray(q_buf), win_pres, win_syms,
-                           seg_padded))
+                           seg_padded))[:, :B]
     gbest = packed[0].astype(np.int64)
     gpos = packed[1].astype(np.int64)
     unhandled = packed[2].astype(bool)
