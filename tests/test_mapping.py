@@ -187,3 +187,48 @@ def test_map_reads_shw_pruned_ladder(rng, monkeypatch):
             want = reference_first(r, target, "SHW", k)
             assert (best[i], pos[i]) == want, (k, i)
     assert calls, "SHW pruned path was not exercised"
+
+
+def test_map_reads_target_caches_reused(rng, monkeypatch):
+    """Repeated map_reads calls against ONE target reuse the cached
+    alphabet transform, q-gram index, and tuner verdict (real mapping
+    streams many read batches against one reference) — and fresh batches
+    stay exact."""
+    monkeypatch.setenv("EDLIB_TPU_FORCE_PALLAS", "interpret")
+    monkeypatch.setenv("EDLIB_TPU_QFILTER", "1")
+    from edlib_tpu import mapping as mp
+    from edlib_tpu.ops import qfilter as qf
+    builds = []
+    orig = qf.build_target_index
+
+    def spy(*a, **kw):
+        builds.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(qf, "build_target_index", spy)
+    mp._INDEX_CACHE.clear()
+    mp._TMAP_CACHE.clear()
+    tlen = 4000
+    target = bytes(rng.choice(list(b"ACGT"), tlen).tolist())
+    tb = np.frombuffer(target, np.uint8)
+
+    def batch():
+        reads = []
+        for _ in range(8):
+            s = rng.randint(0, tlen - 80)
+            r = tb[s:s + 80].copy()
+            muts = rng.rand(80) < 0.05
+            r[muts] = rng.choice(list(b"ACGT"), muts.sum())
+            reads.append(r.tobytes())
+        return reads
+
+    r1 = batch()
+    map_reads(r1, target, mode="HW")
+    n_first = len(builds)
+    assert n_first >= 1
+    r2 = batch()
+    best, pos = map_reads(r2, target, mode="HW")
+    assert len(builds) == n_first, "target index was rebuilt on call 2"
+    for i, r in enumerate(r2):
+        want = reference_first(r, target, "HW", -1)
+        assert (best[i], pos[i]) == want, i
