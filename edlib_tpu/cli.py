@@ -206,6 +206,15 @@ def main(argv: Optional[List[str]] = None) -> int:
                         k = args.k
             if not args.find_alignment or args.silent:
                 print(f"\r{i + 1}/{len(queries)}", end="", flush=True)
+        progress_printed = True
+
+    # The reference prints "\rI/N" after EVERY query (aligner.cpp:198);
+    # batched backends emit the identical byte sequence post-hoc so
+    # redirected output stays byte-exact.
+    if (not args.find_alignment or args.silent) \
+            and not locals().get("progress_printed"):
+        print("".join(f"\r{i + 1}/{len(queries)}"
+                      for i in range(len(queries))), end="", flush=True)
 
     # Replay the adaptive-k heap for batch mode (identical outputs to the
     # sequential loop; see module docstring).

@@ -941,13 +941,17 @@ def sweep_hits_pallas(peq: jnp.ndarray, targets: jnp.ndarray,
 _WIN_ROUND = 4  # window widths round up to this many words (compile reuse)
 
 
-def _fetch_eq_win(peq_win, sym, w, sigma1, shared):
-    """Eq tile for window word w from the pre-sliced (S1, n_win, 8, 128)
-    Peq window — only the symbol index is ever dynamic, so the unrolled
-    column loop stays cheap to compile."""
+def _fetch_eq_win(peq_ref, peq_win, off, sym, w, sigma1, shared):
+    """Eq tile for window word w.
+
+    shared: dynamic (symbol, word) read STRAIGHT FROM THE REF —
+    dynamic_slice on a loaded value is not lowerable by Mosaic (found by
+    the CLI byte-diff drive: interpret-mode tests never exercise the
+    lowering), but dynamic ref indexing is.  Non-shared: S1-way select
+    over the pre-sliced (S1, n_win, 8, 128) window (only the symbol is
+    dynamic, so the unrolled column loop stays cheap to compile)."""
     if shared:
-        return jax.lax.dynamic_index_in_dim(peq_win, sym, axis=0,
-                                            keepdims=False)[w]
+        return peq_ref[sym, off + w]
     eq = jnp.zeros((SUBLANES, LANES), jnp.uint32)
     for s in range(sigma1):
         eq = jnp.where(sym == s, peq_win[s, w], eq)
@@ -995,7 +999,8 @@ def _nw_banded_kernel(woff_ref, targets_ref, peq_ref, hi_ref, out_ref,
         hp = jnp.ones((SUBLANES, LANES), jnp.uint32)  # NW/band-top boundary
         new_pvs, new_mvs = [], []
         for w in range(n_win):
-            eq = _fetch_eq_win(peq_win, sym, w, sigma1, shared)
+            eq = _fetch_eq_win(peq_ref, peq_win, off, sym, w,
+                                   sigma1, shared)
             pv, mv, hn, hp = _advance_word(pvs[w], mvs[w], eq, hn, hp)
             new_pvs.append(pv)
             new_mvs.append(mv)
@@ -1140,7 +1145,8 @@ def _shw_banded_kernel(woff_ref, targets_ref, peq_ref, lo_ref, hi_ref,
         hp = jnp.ones((SUBLANES, LANES), jnp.uint32)  # SHW/band-top boundary
         new_pvs, new_mvs = [], []
         for w in range(n_win):
-            eq = _fetch_eq_win(peq_win, sym, w, sigma1, shared)
+            eq = _fetch_eq_win(peq_ref, peq_win, off, sym, w,
+                                   sigma1, shared)
             pv, mv, hn, hp = _advance_word(pvs[w], mvs[w], eq, hn, hp)
             new_pvs.append(pv)
             new_mvs.append(mv)
@@ -1277,7 +1283,8 @@ def _shw_banded_hits_kernel(woff_ref, targets_ref, peq_ref, lo_ref, hi_ref,
         hp = jnp.ones((SUBLANES, LANES), jnp.uint32)
         new_pvs, new_mvs = [], []
         for w in range(n_win):
-            eq = _fetch_eq_win(peq_win, sym, w, sigma1, shared)
+            eq = _fetch_eq_win(peq_ref, peq_win, off, sym, w,
+                                   sigma1, shared)
             pv, mv, hn, hp = _advance_word(pvs[w], mvs[w], eq, hn, hp)
             new_pvs.append(pv)
             new_mvs.append(mv)

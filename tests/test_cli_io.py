@@ -168,3 +168,24 @@ def test_cli_auto_routes_device_for_all_tasks(tmp_path, monkeypatch, capsys):
     rc, _ = run_cli(["-m", "HW", "-l", "-s", q, t], capsys)
     assert rc == 0
     assert "jax" in calls
+
+
+def test_cli_progress_counter_byte_parity(tmp_path, capsys, monkeypatch):
+    """The reference prints "\\rI/N" after EVERY query when alignments are
+    not printed (aligner.cpp:198); batched backends must emit the same
+    byte sequence post-hoc so redirected output stays byte-exact."""
+    import numpy as np
+    rng = np.random.RandomState(0)
+    seqs = "".join(">q%d\n%s\n" % (i, "".join(
+        "ACGT"[c] for c in rng.randint(0, 4, 40))) for i in range(6))
+    q = write(tmp_path, "q.fa", seqs)
+    t = write(tmp_path, "t.fa", ">t\n" + "".join(
+        "ACGT"[c] for c in rng.randint(0, 4, 4000)) + "\n")
+    expect = "0/6" + "".join("\r%d/6" % (i + 1) for i in range(6))
+    # host sequential loop
+    rc, out = run_cli(["-m", "HW", "-l", q, t], capsys)
+    assert rc == 0 and expect in out
+    # pooled/batched branches must match byte-for-byte too
+    monkeypatch.setenv("EDLIB_TPU_FORCE_PALLAS", "interpret")
+    rc, out2 = run_cli(["-m", "HW", "-l", "--backend", "jax", q, t], capsys)
+    assert rc == 0 and expect in out2

@@ -327,3 +327,44 @@ print(json.dumps(out))
         want = [{**w, "locations": [list(p) for p in w["locations"]]}
                 for w in want]
         assert got[m] == want, mode
+
+
+def test_hw_shared_target_banded_kernels(tpu_ok):
+    """SHARED-target banded kernels must LOWER and run on the chip: the
+    shared branch of _fetch_eq_win once did a dynamic_slice on a loaded
+    value, which Mosaic cannot lower — interpret-mode tests (CPU) never
+    exercise lowering, and the crash only surfaced in the CLI byte-diff
+    drive (NW/SHW over one shared target, nw_b >= band threshold)."""
+    code = r"""
+from tests.test_hw_tpu import _gen_shared_banded
+from edlib_tpu.batch import align_batch_device
+queries, target = _gen_shared_banded()
+targets = [target] * len(queries)           # SAME object: shared bucket
+out = [align_batch_device(queries, targets, mode="NW", task="distance"),
+       align_batch_device(queries, targets, mode="SHW", task="locations")]
+print(json.dumps(out))
+"""
+    got = _child_json(code, timeout=900)
+    from edlib_tpu import align
+    queries, target = _gen_shared_banded()
+    for m, (mode, task) in enumerate((("NW", "distance"),
+                                      ("SHW", "locations"))):
+        want = [align(q, target, mode=mode, task=task) for q in queries]
+        want = [{**w, "locations": [list(p) for p in w["locations"]]}
+                for w in want]
+        assert got[m] == want, mode
+
+
+def _gen_shared_banded():
+    """8 queries of ~300bp (nw_b = 16 >= band threshold) vs ONE shared
+    2kbp target — routes through the shared-target banded kernels."""
+    rng = np.random.RandomState(17)
+    t = rng.choice(list(b"ACGT"), 2000).astype(np.uint8)
+    queries = []
+    for i in range(8):
+        s = rng.randint(0, len(t) - 300)
+        q = t[s:s + 300].copy()
+        muts = rng.rand(300) < 0.05
+        q[muts] = rng.choice(list(b"ACGT"), muts.sum())
+        queries.append(q.tobytes())
+    return queries, t.tobytes()
