@@ -368,3 +368,16 @@ def _gen_shared_banded():
         q[muts] = rng.choice(list(b"ACGT"), muts.sum())
         queries.append(q.tobytes())
     return queries, t.tobytes()
+
+
+def test_hw_kernel_variant_lowering(tpu_ok):
+    """Kernel variants that no other on-chip path exercises must LOWER
+    and run exactly on the real device (the shared-banded Mosaic crash
+    showed interpret-only coverage hides lowering gaps): the resumable
+    reduce (multi-chip carry pipelines), bitplane want_hits, and the
+    legacy eq-stream want_hits."""
+    code = open(os.path.join(_REPO, "tests", "data_hw_variant_probe.py")
+                ).read()
+    got = _child_json(code, timeout=900)
+    assert got == {"resumable": True, "bitplane_hits": True,
+                   "eqstream_hits": True}, got
