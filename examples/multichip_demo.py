@@ -12,7 +12,19 @@ the single-device path either way — the location merges happen on device
 via pmin/pmax collectives and packed hit bitmasks; parallel/dist.py).
 """
 
+import os
+import sys
+
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("JAX_PLATFORMS"):
+    # Environments that force-register a TPU plugin via sitecustomize can
+    # override the env var; re-assert it programmatically BEFORE any
+    # backend initialisation (same workaround as tests/conftest.py).
+    import jax
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 import edlib_tpu
 from edlib_tpu.parallel import make_alignment_mesh
