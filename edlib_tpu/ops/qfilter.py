@@ -293,17 +293,20 @@ def filter_verify_batch(q_arr, qlens, win_pres, win_syms, *, sigma: int,
         an unverified window: caller must fall back to the full sweep).
 
     MXU filter (candidate_counts) -> top-maxc candidate windows by count
-    -> per-lane windowed Pallas verification (reduce_flat_device) ->
-    on-device combine.  Position semantics: every verified window's score
-    stream dominates the global one (fewer allowed starts) and touches it
-    exactly on spans it contains, so min-combining (score, first-pos)
-    over candidate windows reproduces the global (best, first best end
+    -> per-lane windowed Pallas verification (select-chain kernels for
+    small alphabets; bit-plane kernels beyond sigma=32, where the S1-way
+    select costs more to run AND compile) -> on-device combine.
+    Position semantics: every verified window's score stream dominates
+    the global one (fewer allowed starts) and touches it exactly on
+    spans it contains, so min-combining (score, first-pos) over
+    candidate windows reproduces the global (best, first best end
     position) whenever the true best is <= k — the window containing the
     globally-first best span reports exactly that column, and any other
     window reporting the same score does so at a true best column >= it.
     """
-    from edlib_tpu.ops.pallas_kernel import (build_peq_device,
-                                             reduce_flat_device)
+    from edlib_tpu.ops.pallas_kernel import (bitplane_nb, build_peq_device,
+                                             reduce_flat_device,
+                                             reduce_flat_device_bitplane)
     q_arr = q_arr.astype(jnp.int32)   # callers may ship uint8 (4x less
     B = q_arr.shape[0]                # host->device traffic for the reads)
     read_pres, distinct = read_gram_presence(q_arr, qlens, sigma, q)
@@ -322,12 +325,32 @@ def filter_verify_batch(q_arr, qlens, win_pres, win_syms, *, sigma: int,
     # at scan col c == true score at col c - W_b).
     sym = win_syms[widx]                                  # (B, maxc, Lv)
     targets = sym.reshape(B * maxc, win_syms.shape[1])
-    peq = build_peq_device(q_arr, qlens, sigma, nw)       # (B, S1, NW)
-    peq_rep = jnp.repeat(peq, maxc, axis=0)
     lo = jnp.broadcast_to(W[:, None], (B, maxc)).reshape(B * maxc)
     hi = (W[:, None] + l_eff).reshape(B * maxc)
-    best_c, pf_c, _, _ = reduce_flat_device(
-        peq_rep, targets, lo, hi, hin0=0, chunk=chunk, interpret=interpret)
+    if sigma > 32:
+        # The filter requires identity equality (module docstring), so
+        # the bit-plane q_alts are just the reads (E=1) with the
+        # trailing pad rows riding the pad mask.
+        R = nw * 32
+        sent = jnp.int32((1 << bitplane_nb(sigma)) - 1)
+        rows = jnp.arange(R, dtype=jnp.int32)
+        pad = rows[None, :] >= qlens[:, None]             # (B, R)
+        qa_full = jnp.full((B, R), sent, jnp.int32).at[:, :q_arr.shape[1]
+                                                       ].set(q_arr)
+        q_alts = jnp.where(pad, sent, qa_full)[:, None, :]
+        pad_words = (pad.reshape(B, nw, 32).astype(jnp.uint32)
+                     << jnp.arange(32, dtype=jnp.uint32)).sum(
+            2, dtype=jnp.uint32)
+        best_c, pf_c, _, _ = reduce_flat_device_bitplane(
+            jnp.repeat(q_alts, maxc, axis=0),
+            jnp.repeat(pad_words, maxc, axis=0), targets, lo, hi,
+            hin0=0, sigma=sigma, chunk=chunk, interpret=interpret)
+    else:
+        peq = build_peq_device(q_arr, qlens, sigma, nw)   # (B, S1, NW)
+        peq_rep = jnp.repeat(peq, maxc, axis=0)
+        best_c, pf_c, _, _ = reduce_flat_device(
+            peq_rep, targets, lo, hi, hin0=0, chunk=chunk,
+            interpret=interpret)
     best_c = jnp.where(valid, best_c.reshape(B, maxc), _BIG)
     pf_c = pf_c.reshape(B, maxc)
     gbest = best_c.min(1)

@@ -324,3 +324,49 @@ def test_map_reads_exact_on_adversarial_targets(rng, monkeypatch):
             want = align(r, tb, mode="HW", task="locations")
             assert best[i] == want["editDistance"], (name, i)
             assert pos[i] == want["locations"][0][1], (name, i)
+
+
+def test_filter_bitplane_verify_big_sigma(rng):
+    """Above sigma=32 the filter's verification runs the bit-plane
+    kernels (no select chain, no compile blowup) — exactness unchanged
+    vs the host oracle, mixed lengths and wildcard boundary windows
+    included."""
+    sigma, tlen, qlen, B, k = 48, 6000, 100, 12, 10
+    target = rng.randint(0, sigma, tlen).astype(np.int32)
+    reads, qlens = [], np.zeros(B, np.int32)
+    q_arr = np.zeros((B, qlen), np.int32)
+    for b in range(B):
+        ql = qlen if b % 3 else qlen - 7
+        if b % 4 == 3:
+            r = rng.randint(0, sigma, ql)
+        else:
+            start = rng.randint(0, tlen - ql)
+            r = target[start:start + ql].copy()
+            muts = rng.rand(ql) < 0.05
+            r[muts] = rng.randint(0, sigma, muts.sum())
+        q_arr[b, :ql] = r
+        qlens[b] = ql
+        reads.append(q_arr[b])
+    nw = encode.num_words(qlen)
+    geom = qf.window_geometry(tlen, qlen, k)
+    L, stride, n_win = geom
+    q = qf.choose_q(sigma, int(qlens.min()), k, L)
+    assert q is not None
+    gbest, gpos, resolved = map(np.asarray, qf.filter_verify_map(
+        jnp.asarray(q_arr), jnp.asarray(qlens), jnp.asarray(target),
+        sigma=sigma, q=q, L=L, stride=stride, n_win=n_win, k=k, maxc=8,
+        nw=nw, chunk=64, interpret=True))
+    eq = np.eye(sigma, dtype=bool)
+    for b in range(B):
+        if not resolved[b]:
+            continue
+        hp = encode.build_peq_bigint(reads[b][:qlens[b]].astype(np.int64),
+                                     eq)
+        hs = host_engine.semiglobal_scores(hp, target, int(qlens[b]), "HW")
+        tb, tp = int(hs.min()), int(np.argmin(hs))
+        if tb <= k:
+            assert int(gbest[b]) == tb, (b, int(gbest[b]), tb)
+            assert int(gpos[b]) == tp, (b, int(gpos[b]), tp)
+        else:
+            assert int(gbest[b]) > k, b
+    assert resolved.any()
