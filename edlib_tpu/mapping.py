@@ -443,8 +443,9 @@ def _map_reads_filtered(read_ids, t_ids, sigma, k, forced, mesh=None,
             return None
         q, maxc, win_pres, win_syms = tuned
     from edlib_tpu.ops import pallas_kernel as pk
-    if (sigma <= 255
-            and sigma + 2 <= pk.max_sigma1(n_words, shared=False)):
+    if sigma <= 255 and (
+            sigma + 2 <= pk.max_sigma1(n_words, shared=False)
+            or pk.bitplane_ok(n_words, sigma, 1)):
         # Fused single-dispatch path: filter + top-FB straggler fallback
         # (segmented full-target sweep) + on-device merge in ONE jitted
         # program, ONE packed upload and ONE packed download — the
@@ -561,9 +562,6 @@ def _fused_filter_fn(sigma, q, L, stride, tlen, rung, maxc, nw, chunk,
         order = jnp.argsort(jnp.where(need, ar, B + ar))[:FB]
 
         def run_fb(_):
-            peq = pk.build_peq_device(qa, qlens, sigma, nw)   # (B, S1, NW)
-            peq_fb = jnp.concatenate(
-                [peq[order], jnp.zeros((FB, 1, nw), jnp.uint32)], axis=1)
             w_fb = nw * 32 - qlens[order]                     # (FB,)
             idx = (core * jnp.arange(n_seg, dtype=jnp.int32)[:, None]
                    + jnp.arange(seg_L, dtype=jnp.int32)[None, :])
@@ -571,14 +569,46 @@ def _fused_filter_fn(sigma, q, L, stride, tlen, rung, maxc, nw, chunk,
             tg = jnp.broadcast_to(
                 slices[None], (FB, n_seg, seg_L)).reshape(FB * n_seg,
                                                           seg_L)
-            peq_rep = jnp.broadcast_to(
-                peq_fb[:, None], (FB, n_seg, sigma + 2, nw)).reshape(
-                FB * n_seg, sigma + 2, nw)
             lo = jnp.broadcast_to((halo + w_fb)[:, None], (FB, n_seg))
             hi = (halo + w_fb)[:, None] + jnp.asarray(seg_cols)[None, :]
-            fb_best, fb_pf, _, _ = pk.reduce_flat_device(
-                peq_rep, tg, lo.reshape(-1), hi.reshape(-1), hin0=0,
-                interpret=interpret)
+            if sigma > 32:
+                # Bit-plane sweep (identity equality; the segmented NULL
+                # halo symbol sigma+1 matches no READ symbol and is not
+                # the wildcard, so real rows mismatch it exactly like the
+                # zeroed null Peq row).  PAD rows do match nulls here
+                # (unlike the zero row) — unobservable: a bottom-row path
+                # takes exactly w pad steps, all at columns AFTER its
+                # real span's end >= halo, so pad-null contact never
+                # reaches the readout window [halo+w, ...).  No select
+                # chain, no alphabet cap.
+                R = nw * 32
+                sent = jnp.int32((1 << pk.bitplane_nb(sigma)) - 1)
+                rows = jnp.arange(R, dtype=jnp.int32)
+                qo = qa[order]
+                qlo = qlens[order]
+                pad = rows[None, :] >= qlo[:, None]           # (FB, R)
+                qa_full = jnp.full((FB, R), sent, jnp.int32).at[
+                    :, :qa.shape[1]].set(qo)
+                q_alts = jnp.where(pad, sent, qa_full)[:, None, :]
+                pad_words = (pad.reshape(FB, nw, 32).astype(jnp.uint32)
+                             << jnp.arange(32, dtype=jnp.uint32)).sum(
+                    2, dtype=jnp.uint32)
+                fb_best, fb_pf, _, _ = pk.reduce_flat_device_bitplane(
+                    jnp.repeat(q_alts, n_seg, axis=0),
+                    jnp.repeat(pad_words, n_seg, axis=0), tg,
+                    lo.reshape(-1), hi.reshape(-1), hin0=0, sigma=sigma,
+                    interpret=interpret)
+            else:
+                peq = pk.build_peq_device(qa, qlens, sigma, nw)
+                peq_fb = jnp.concatenate(
+                    [peq[order], jnp.zeros((FB, 1, nw), jnp.uint32)],
+                    axis=1)
+                peq_rep = jnp.broadcast_to(
+                    peq_fb[:, None], (FB, n_seg, sigma + 2, nw)).reshape(
+                    FB * n_seg, sigma + 2, nw)
+                fb_best, fb_pf, _, _ = pk.reduce_flat_device(
+                    peq_rep, tg, lo.reshape(-1), hi.reshape(-1), hin0=0,
+                    interpret=interpret)
             fb_best = fb_best.reshape(FB, n_seg)
             fb_pf = fb_pf.reshape(FB, n_seg)
             bmin = fb_best.min(1)

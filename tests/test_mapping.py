@@ -232,3 +232,38 @@ def test_map_reads_target_caches_reused(rng, monkeypatch):
     for i, r in enumerate(r2):
         want = reference_first(r, target, "HW", -1)
         assert (best[i], pos[i]) == want, i
+
+
+def test_map_reads_fused_big_sigma(rng, monkeypatch):
+    """Alphabets past the select cap (sigma > 62) take the fused
+    single-dispatch filter path too (bit-plane verify + bit-plane in-jit
+    fallback) — exact vs the per-read reference."""
+    monkeypatch.setenv("EDLIB_TPU_FORCE_PALLAS", "interpret")
+    monkeypatch.setenv("EDLIB_TPU_QFILTER", "1")
+    sigma, tlen = 100, 5000
+    t = rng.randint(0, sigma, tlen).astype(np.int32)
+    target = bytes(bytearray(int(c) for c in t))
+    reads = []
+    for i in range(10):
+        if i % 4 == 3:
+            r = rng.randint(0, sigma, 60)
+        else:
+            s = rng.randint(0, tlen - 60)
+            r = t[s:s + 60].copy()
+            muts = rng.rand(60) < 0.05
+            r[muts] = rng.randint(0, sigma, muts.sum())
+        reads.append(bytes(bytearray(int(c) for c in r)))
+    from edlib_tpu import mapping as mp
+    calls = []
+    orig = mp._map_reads_fused
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(mp, "_map_reads_fused", spy)
+    best, pos = map_reads(reads, target, mode="HW")
+    assert calls, "big-sigma batch did not take the fused path"
+    for i, r in enumerate(reads):
+        want = reference_first(r, target, "HW", -1)
+        assert (best[i], pos[i]) == want, i
