@@ -13,10 +13,19 @@ best == editDistance and pos == endLocations[0] whenever the best hit's
 first position is wanted (ties resolve to the smallest end position, like
 the first entry of the reference's ascending location list).
 
-Queries may have mixed lengths up to a bucket maximum; each read's wildcard
-padding is handled per-lane (scores compared against per-lane column
-bounds in the kernel would cost ops, so mixed-length batches are grouped by
-word count and post-filtered on host).
+Routing (large HW jobs, any alphabet <= 256): the MXU q-gram prefilter
+with index-derived auto-tuning (ops/qfilter.py) runs as ONE fused device
+dispatch — filter, windowed verification, an in-jit segmented fallback
+for the first unresolved stragglers, and the merge (RTT discipline: one
+packed upload, one packed download; the same body runs per shard under a
+mesh).  SHW jobs prune via prefix slices with a doubling ladder (spans
+start at column 0).  Small jobs, repeat-rich targets the tuner rejects,
+and device-less hosts fall through to the segmented / shared-sweep /
+native engines — results identical everywhere, only speed differs.
+
+Queries may have mixed lengths up to a bucket maximum; each read's
+wildcard padding is handled per-lane, and the -1 end-location candidate
+plus user-k filtering are applied in one vectorised host post-pass.
 """
 
 from __future__ import annotations
