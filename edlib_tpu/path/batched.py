@@ -165,21 +165,25 @@ def _capture_walk(buf, eq_s1, *, sigma: int, n_words: int, C: int,
         [jnp.zeros((B, Tp, 1), jnp.bool_), mhb[..., :-1]], axis=2)
     diag_match = ((pvb & mh_up) | (mvb & ph_up)
                   | (~pvb & ~mvb & ~ph_up & ~mh_up))
-    movec = jnp.where(pvb, 1,
-                      jnp.where(phb, 2,
-                                jnp.where(diag_match, 3, 4)))
-    # movec: (B, Tp, total) int32
+    one, two, three, four = (jnp.int8(v) for v in (1, 2, 3, 4))
+    movec = jnp.where(pvb, one,
+                      jnp.where(phb, two,
+                                jnp.where(diag_match, three, four)))
+    # movec: (B, Tp, total) int8 — these tensors are pure HBM traffic.
 
     # Diagonal MATCH-run lengths by log-doubling: run[cc, j] counts the
     # consecutive movec==3 cells ending at (cc, j) walking up-left
     # (including the cell itself); after K doublings run is exact for
-    # runs < 2^(K+1) >= min(Tp, total) + 1.
-    run = (movec == 3).astype(jnp.int16)
+    # runs < 2^(K+1) >= min(Tp, total) + 1.  uint8 when the run bound
+    # fits (mapping buckets: min dim 128), else int16.
+    run_dt = jnp.uint8 if min(Tp, total) <= 255 else jnp.int16
+    run = (movec == three).astype(run_dt)
     span = 1
     while span < min(Tp, total):
         shifted = jnp.pad(run, ((0, 0), (span, 0), (span, 0)))[
             :, :Tp, :total]
-        run = run + jnp.where(run == span, shifted, 0)
+        run = run + jnp.where(run == jnp.asarray(span, run_dt), shifted,
+                              jnp.asarray(0, run_dt))
         span *= 2
     packed = (movec.astype(jnp.int32)
               | (run.astype(jnp.int32) << 3)).astype(jnp.int16)
