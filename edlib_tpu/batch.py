@@ -958,11 +958,13 @@ def align_batch_device(queries: Sequence, targets: Sequence,
                         or qlen * wlen > batched_path.max_cells():
                     return False
                 nw_b = _pow2_at_least(encode.num_words(qlen))
-                if nw_b * 32 > 32767:
-                    # The device decode cumsum runs in int16 (|vbase| can
-                    # reach nw_b*32); such long queries (only device-
-                    # eligible when the window is tiny or the cell cap is
-                    # raised) would silently wrap — keep them native.
+                if nw_b * 32 > 32767 or wlen > 32767:
+                    # The device path's packed transfers bound both axes
+                    # at int16 (query rows for the walk state, window
+                    # columns for the packed c0/c_f rows); out-of-range
+                    # pairs — only device-eligible when the other axis
+                    # is tiny or the cell cap is raised — keep the
+                    # native walkers.
                     return False
                 return sigma + 1 <= pallas_kernel.max_sigma1(nw_b, False)
 

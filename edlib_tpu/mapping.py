@@ -556,15 +556,13 @@ def _fused_filter_fn(sigma, q, L, stride, tlen, rung, maxc, nw, chunk,
                 jnp.int32).reshape(B, nb4 * 4)[:, :qmax]
             qlens = (q_buf[:, nb4].astype(jnp.int32)
                      + (q_buf[:, nb4 + 1].astype(jnp.int32) << 8))
-        elif q_buf.dtype == jnp.uint8:
+        else:
+            # uint8 symbols (the fused gate requires sigma <= 255) +
+            # little-endian uint16 qlen in the two trailing bytes.
             qmax = q_buf.shape[1] - 2
             qa = q_buf[:, :qmax].astype(jnp.int32)
             qlens = (q_buf[:, qmax].astype(jnp.int32)
                      + (q_buf[:, qmax + 1].astype(jnp.int32) << 8))
-        else:
-            qmax = q_buf.shape[1] - 1
-            qa = q_buf[:, :qmax].astype(jnp.int32)
-            qlens = q_buf[:, qmax].astype(jnp.int32)
         gb, gp, rs = qf.filter_verify_batch(
             qa, qlens, win_pres, win_syms, sigma=sigma, q=q, L=L,
             stride=stride, tlen=tlen, k=rung, maxc=maxc, nw=nw,
@@ -600,18 +598,8 @@ def _fused_filter_fn(sigma, q, L, stride, tlen, rung, maxc, nw, chunk,
                 # real span's end >= halo, so pad-null contact never
                 # reaches the readout window [halo+w, ...).  No select
                 # chain, no alphabet cap.
-                R = nw * 32
-                sent = jnp.int32((1 << pk.bitplane_nb(sigma)) - 1)
-                rows = jnp.arange(R, dtype=jnp.int32)
-                qo = qa[order]
-                qlo = qlens[order]
-                pad = rows[None, :] >= qlo[:, None]           # (FB, R)
-                qa_full = jnp.full((FB, R), sent, jnp.int32).at[
-                    :, :qa.shape[1]].set(qo)
-                q_alts = jnp.where(pad, sent, qa_full)[:, None, :]
-                pad_words = (pad.reshape(FB, nw, 32).astype(jnp.uint32)
-                             << jnp.arange(32, dtype=jnp.uint32)).sum(
-                    2, dtype=jnp.uint32)
+                q_alts, pad_words = pk.bitplane_identity_operands(
+                    qa[order], qlens[order], sigma, nw)
                 fb_best, fb_pf, _, _ = pk.reduce_flat_device_bitplane(
                     jnp.repeat(q_alts, n_seg, axis=0),
                     jnp.repeat(pad_words, n_seg, axis=0), tg,
@@ -888,6 +876,12 @@ def _auto_tune_cached(t_ids, sigma, q0, rung, qmin, L, stride, n_win, Lv,
         _INDEX_CACHE.pop(next(iter(_INDEX_CACHE)))
     q, maxc, pred = hit
     if q is None:
+        return None
+    if sigma ** q > vocab_cap:
+        # The cached verdict was tuned under a DIFFERENT call's HBM
+        # budget (vocab_cap depends on batch size); this call's read
+        # presence table would blow it — honest fallback to the sweep
+        # rather than an on-device OOM.
         return None
     win_pres, win_syms = _target_index_cached(t_ids, sigma, q, L, stride,
                                               n_win, Lv)

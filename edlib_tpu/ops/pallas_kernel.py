@@ -1982,6 +1982,27 @@ def bitplane_nb(sigma: int) -> int:
     return (sigma + 1).bit_length()
 
 
+def bitplane_identity_operands(q_arr: jnp.ndarray, qlens: jnp.ndarray,
+                               sigma: int, n_words: int):
+    """(q_alts, pad_words) for IDENTITY equality: q_alts are just the
+    reads (E=1) with the sentinel in every pad slot, pad_words the packed
+    bits of rows past each qlen.  The one place the bit-plane operand
+    layout is defined for identity callers (qfilter verify, the fused
+    mapping fallback, harnesses) — change it here only."""
+    B = q_arr.shape[0]
+    R = n_words * 32
+    sent = jnp.int32((1 << bitplane_nb(sigma)) - 1)
+    rows = jnp.arange(R, dtype=jnp.int32)
+    pad = rows[None, :] >= qlens[:, None]                   # (B, R)
+    qa_full = jnp.full((B, R), sent, jnp.int32).at[
+        :, :q_arr.shape[1]].set(q_arr.astype(jnp.int32))
+    q_alts = jnp.where(pad, sent, qa_full)[:, None, :]
+    pad_words = (pad.reshape(B, n_words, 32).astype(jnp.uint32)
+                 << jnp.arange(32, dtype=jnp.uint32)).sum(
+        2, dtype=jnp.uint32)
+    return q_alts, pad_words
+
+
 def bitplane_ok(n_words: int, sigma: int, n_alts: int) -> bool:
     """Whether the bit-plane kernels apply: plane block VMEM-resident
     (n_alts * nb * NW uint32 rows) within a quarter of the VMEM budget."""

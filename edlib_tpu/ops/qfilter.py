@@ -304,7 +304,8 @@ def filter_verify_batch(q_arr, qlens, win_pres, win_syms, *, sigma: int,
     globally-first best span reports exactly that column, and any other
     window reporting the same score does so at a true best column >= it.
     """
-    from edlib_tpu.ops.pallas_kernel import (bitplane_nb, build_peq_device,
+    from edlib_tpu.ops.pallas_kernel import (bitplane_identity_operands,
+                                             build_peq_device,
                                              reduce_flat_device,
                                              reduce_flat_device_bitplane)
     q_arr = q_arr.astype(jnp.int32)   # callers may ship uint8 (4x less
@@ -331,16 +332,8 @@ def filter_verify_batch(q_arr, qlens, win_pres, win_syms, *, sigma: int,
         # The filter requires identity equality (module docstring), so
         # the bit-plane q_alts are just the reads (E=1) with the
         # trailing pad rows riding the pad mask.
-        R = nw * 32
-        sent = jnp.int32((1 << bitplane_nb(sigma)) - 1)
-        rows = jnp.arange(R, dtype=jnp.int32)
-        pad = rows[None, :] >= qlens[:, None]             # (B, R)
-        qa_full = jnp.full((B, R), sent, jnp.int32).at[:, :q_arr.shape[1]
-                                                       ].set(q_arr)
-        q_alts = jnp.where(pad, sent, qa_full)[:, None, :]
-        pad_words = (pad.reshape(B, nw, 32).astype(jnp.uint32)
-                     << jnp.arange(32, dtype=jnp.uint32)).sum(
-            2, dtype=jnp.uint32)
+        q_alts, pad_words = bitplane_identity_operands(q_arr, qlens,
+                                                       sigma, nw)
         best_c, pf_c, _, _ = reduce_flat_device_bitplane(
             jnp.repeat(q_alts, maxc, axis=0),
             jnp.repeat(pad_words, maxc, axis=0), targets, lo, hi,

@@ -185,8 +185,12 @@ def _capture_walk(buf, eq_s1, *, sigma: int, n_words: int, C: int,
         run = run + jnp.where(run == jnp.asarray(span, run_dt), shifted,
                               jnp.asarray(0, run_dt))
         span *= 2
+    # movec|run<<3: int16 holds runs <= 4095; possible only when BOTH
+    # dims exceed 4095, i.e. a raised EDLIB_TPU_BATCHED_PATH_MAX_CELLS
+    # (default 2^18 cells caps min(dim) at 512) — widen then.
+    pk_dt = jnp.int16 if min(Tp, total) <= 4095 else jnp.int32
     packed = (movec.astype(jnp.int32)
-              | (run.astype(jnp.int32) << 3)).astype(jnp.int16)
+              | (run.astype(jnp.int32) << 3)).astype(pk_dt)
     packedf = packed.reshape(B, Tp * total)
 
     def step(state, _):
@@ -232,8 +236,8 @@ def batched_windows_path(pairs: List[Tuple[np.ndarray, np.ndarray]],
     pairs: (q_ids, window_ids) int arrays in the global alphabet; dists the
     known edit distances (the walk's starting values).  mode: 'tpu' or
     'interpret'.  Caller guarantees qlen >= 1, wlen >= 1, and
-    qlen * wlen <= max_cells() for every pair, and padded query words
-    nw_b * 32 <= 32767 (the decode cumsum accumulates in int16).
+    qlen * wlen <= max_cells() for every pair, plus nw_b * 32 <= 32767
+    AND wlen <= 32767 (walk rows and packed c0/c_f transfer as int16).
     """
     chunk = 128
     out: List[Optional[np.ndarray]] = [None] * len(pairs)
@@ -246,7 +250,8 @@ def batched_windows_path(pairs: List[Tuple[np.ndarray, np.ndarray]],
     buckets: Dict[Tuple[int, int], List[int]] = defaultdict(list)
     for i, (q_ids, w_ids) in enumerate(pairs):
         nw_b = _pow2_at_least(encode.num_words(len(q_ids)))
-        assert nw_b * 32 <= 32767, "int16 decode bound (see docstring)"
+        assert nw_b * 32 <= 32767 and len(w_ids) <= 32767, \
+            "int16 transfer bounds (see docstring)"
         C = _pow2_at_least(len(w_ids), floor=chunk)
         buckets[(nw_b, C)].append(i)
 

@@ -73,14 +73,10 @@ def main():
     peq, targets, lo, hi, qs, ts, eq, nw = build(SIGMA)
     R = nw * 32
     w = R - QLEN
-    nb = pk.bitplane_nb(SIGMA)
-    sent = (1 << nb) - 1
-    q_alts = np.full((B, 1, R), sent, np.int32)
-    q_alts[:, 0, :QLEN] = qs
-    pad_words = np.zeros((B, nw), np.uint32)
-    for r in range(QLEN, R):
-        pad_words[:, r // 32] |= np.uint32(1 << (r % 32))
-    args_bp = (jnp.asarray(q_alts), jnp.asarray(pad_words),
+    q_alts, pad_words = pk.bitplane_identity_operands(
+        jnp.asarray(qs.astype(np.int32)),
+        jnp.full((B,), QLEN, jnp.int32), SIGMA, nw)
+    args_bp = (q_alts, pad_words,
                jnp.asarray(targets), jnp.asarray(lo), jnp.asarray(hi))
     dt, outs = timed(lambda: pk.reduce_flat_device_bitplane(
         *args_bp, hin0=0, sigma=SIGMA))

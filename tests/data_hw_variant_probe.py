@@ -47,13 +47,11 @@ ok["resumable"] = bool(okr)
 
 # 2) bitplane want_hits on chip
 SIG2 = 150
-nb = pk.bitplane_nb(SIG2); sent = (1 << nb) - 1
 qs2 = rng.integers(0, SIG2, (B, QLEN))
 ts2 = rng.integers(0, SIG2, (B, 200))
-q_alts = np.full((B, 1, nw*32), sent, np.int32); q_alts[:, 0, :QLEN] = qs2
-padw = np.zeros((B, nw), np.uint32)
-for r in range(QLEN, nw*32):
-    padw[:, r // 32] |= np.uint32(1 << (r % 32))
+q_alts, padw = pk.bitplane_identity_operands(
+    jnp.asarray(qs2.astype(np.int32)), jnp.full((B,), QLEN, jnp.int32),
+    SIG2, nw)
 t_scan = -(-(200 + w)//32)*32
 tg2 = np.full((B, t_scan), SIG2, np.int32); tg2[:, :200] = ts2
 lo = np.full(B, w, np.int32); hi = np.full(B, w + 200, np.int32)
